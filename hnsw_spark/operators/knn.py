@@ -1,0 +1,178 @@
+"""Exact top-k nearest-neighbor search (the flagship query).
+
+Parity targets:
+- ``bruteForceKNN`` — the reference's exact oracle (src/bench/metrics.ts:9-24):
+  score the query against ALL vectors, sort desc, take k.
+- ``searchKNN`` result contract (src/main.ts:253-283): ≤ k rows per query,
+  ``{id, score}`` sorted score-desc; empty index or k ≤ 0 → empty result.
+
+Two physical strategies, same semantics:
+
+- ``window``: crossJoin(broadcast(queries)) → Catalyst higher-order-function
+  score → row_number over (query) window.  Fully declarative, bit-deterministic
+  left-to-right scoring — this is the DuckDB-oracle-parity plan.  The window
+  shuffles Q×N scored rows, so it is the small/medium-Q plan.
+- ``local_merge``: the 100 TB plan.  Queries are broadcast to executors once
+  (sc.broadcast of a numpy matrix); ``mapInPandas`` computes a vectorized
+  numpy score block per Arrow batch and keeps only the per-batch top-k per
+  query, so the shuffle input collapses from Q×N rows to Q×k×(#batches);
+  a final window over that reduced set yields the global top-k.  Scoring is
+  BLAS matmul (float64), never a per-row Python loop.
+
+Ties are broken by ascending id in both strategies so results are
+deterministic and oracle-comparable.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from hnsw_spark.functions.similarity import get_metric
+
+_RESULT_SCHEMA = StructType(
+    [
+        StructField("query_id", LongType()),
+        StructField("id", LongType()),
+        StructField("score", DoubleType()),
+    ]
+)
+
+
+def _topk_window(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
+def knn_exact(
+    base: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    metric: str = "cosine",
+    *,
+    base_id: str = "vec_id",
+    base_vec: str = "embedding",
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+    strategy: str = "window",
+) -> DataFrame:
+    """Exact brute-force top-k: DataFrame[(query_id, id, score)].
+
+    ``k <= 0`` → empty result (reference src/main.ts:258-260 guard); an empty
+    base likewise yields zero rows with the same schema.
+    """
+    if metric not in ("cosine", "euclidean"):
+        get_metric(metric)  # raises with the reference's message
+    if k <= 0:
+        return base.sparkSession.createDataFrame([], _RESULT_SCHEMA)
+    if strategy == "window":
+        return _knn_window(base, queries, k, metric, base_id, base_vec, query_id, query_vec)
+    if strategy == "local_merge":
+        return _knn_local_merge(base, queries, k, metric, base_id, base_vec, query_id, query_vec)
+    raise ValueError(f"unknown strategy: {strategy!r}")
+
+
+def _knn_window(base, queries, k, metric, base_id, base_vec, query_id, query_vec):
+    sim = get_metric(metric)
+    q = queries.select(
+        F.col(query_id).cast("long").alias("query_id"),
+        F.col(query_vec).alias("_qvec"),
+    )
+    b = base.select(
+        F.col(base_id).cast("long").alias("id"),
+        F.col(base_vec).alias("_bvec"),
+    )
+    scored = b.crossJoin(F.broadcast(q)).select(
+        "query_id", "id", sim("_qvec", "_bvec").alias("score")
+    )
+    return _topk_window(scored, k)
+
+
+def _score_block(metric: str, qmat: np.ndarray, bmat: np.ndarray) -> np.ndarray:
+    """(Q, N) score matrix in float64 via BLAS."""
+    if metric == "cosine":
+        qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+        bn = np.linalg.norm(bmat, axis=1, keepdims=True)
+        denom = qn @ bn.T
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return np.where(denom == 0.0, np.nan, (qmat @ bmat.T) / denom)
+    # euclidean similarity 1/(1+dist)
+    sq = (qmat * qmat).sum(axis=1, keepdims=True)
+    sb = (bmat * bmat).sum(axis=1, keepdims=True)
+    d2 = np.maximum(sq - 2.0 * (qmat @ bmat.T) + sb.T, 0.0)
+    return 1.0 / (1.0 + np.sqrt(d2))
+
+
+def _knn_local_merge(base, queries, k, metric, base_id, base_vec, query_id, query_vec):
+    spark = base.sparkSession
+    qpd = queries.select(
+        F.col(query_id).cast("long").alias("query_id"), F.col(query_vec).alias("v")
+    ).toPandas()
+    q_ids = qpd["query_id"].to_numpy()
+    qmat = np.ascontiguousarray(np.stack(qpd["v"].to_numpy()), dtype=np.float64)
+    bq = spark.sparkContext.broadcast((q_ids, qmat))
+
+    def score_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_ids_l, qmat_l = bq.value
+        nq = len(q_ids_l)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["id"].to_numpy()
+            bmat = np.ascontiguousarray(np.stack(pdf["v"].to_numpy()), dtype=np.float64)
+            scores = _score_block(metric, qmat_l, bmat)  # (Q, N)
+            n = scores.shape[1]
+            kk = min(k, n)
+            # per-query local top-k: argpartition then exact sort of the head
+            part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+            rows = np.repeat(np.arange(nq), kk)
+            cols = part.ravel()
+            yield pd.DataFrame(
+                {
+                    "query_id": q_ids_l[rows],
+                    "id": ids[cols],
+                    "score": scores[rows, cols],
+                }
+            )
+
+    b = base.select(
+        F.col(base_id).cast("long").alias("id"), F.col(base_vec).alias("v")
+    )
+    local = b.mapInPandas(score_partition, schema=_RESULT_SCHEMA)
+    return _topk_window(local, k)
+
+
+def similarity_scores(
+    pairs: DataFrame, a: Column | str = "a", b: Column | str = "b"
+) -> DataFrame:
+    """All four scalar kernels (F1-F4) as columns over a pair table —
+    the reference's per-pair scoring surface (src/similarity.ts)."""
+    from hnsw_spark.functions.similarity import (
+        cosine_similarity,
+        dot_product,
+        euclidean_distance,
+        euclidean_similarity,
+    )
+
+    return pairs.withColumns(
+        {
+            "dot": dot_product(a, b),
+            "cosine": cosine_similarity(a, b),
+            "euclidean_dist": euclidean_distance(a, b),
+            "euclidean_sim": euclidean_similarity(a, b),
+        }
+    )

@@ -1,0 +1,116 @@
+"""Vector-search query surface (SURVEY.md §2.3): exact kNN + scalar kernels.
+
+Queries use a fixed query batch (vec_id < 8) so results are deterministic at
+every scale factor; ties are broken by ascending id in both the Spark plan and
+the oracle.  Scores are rounded to 6 decimals on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hnsw_spark.operators.knn import knn_exact, similarity_scores
+from hnsw_spark.registry import query
+from hnsw_spark.sources.tables import load_table
+
+N_QUERIES = 8
+K = 10
+
+_KNN_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {nq}
+), b AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS bv FROM embeddings
+), s AS (
+  SELECT q.query_id, b.id, {score_expr} AS sc
+  FROM q CROSS JOIN b
+), r AS (
+  SELECT query_id, id, sc,
+         row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, id ASC) AS rn
+  FROM s
+)
+SELECT query_id, id, round(sc, 6) AS score
+FROM r WHERE rn <= {k}
+"""
+
+_COSINE_EXPR = (
+    "list_dot_product(qv, bv)"
+    " / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(bv, bv)))"
+)
+_EUCLID_EXPR = "1.0 / (1.0 + list_distance(qv, bv))"
+
+
+def _knn(spark: SparkSession, sf_dir: str, metric: str, strategy: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < N_QUERIES)
+    res = knn_exact(emb, qs, k=K, metric=metric, strategy=strategy)
+    return res.select("query_id", "id", F.round("score", 6).alias("score"))
+
+
+@query(
+    "knn_exact_cosine",
+    _KNN_ORACLE.format(nq=N_QUERIES, k=K, score_expr=_COSINE_EXPR),
+)
+def knn_exact_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4+F2: exact cosine top-k (reference src/bench/metrics.ts:9-24)."""
+    return _knn(spark, sf_dir, "cosine", "window")
+
+
+@query(
+    "knn_exact_euclidean",
+    _KNN_ORACLE.format(nq=N_QUERIES, k=K, score_expr=_EUCLID_EXPR),
+)
+def knn_exact_euclidean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4+F4: exact euclidean-similarity top-k (1/(1+dist) inversion)."""
+    return _knn(spark, sf_dir, "euclidean", "window")
+
+
+@query(
+    "knn_topk_local_merge",
+    _KNN_ORACLE.format(nq=N_QUERIES, k=K, score_expr=_COSINE_EXPR),
+)
+def knn_topk_local_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 exact tier via the scale strategy: per-partition vectorized local
+    top-k (mapInPandas + BLAS) then global merge — the plan that survives
+    100 TB (shuffle input is Q×k×batches, not Q×N)."""
+    return _knn(spark, sf_dir, "cosine", "local_merge")
+
+
+_PAIRS_ORACLE = """
+WITH p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         a.embedding::DOUBLE[] AS av, b.embedding::DOUBLE[] AS bv
+  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+  WHERE a.vec_id < 64
+)
+SELECT id_a, id_b,
+       round(list_dot_product(av, bv), 6) AS dot,
+       round(list_dot_product(av, bv)
+             / (sqrt(list_dot_product(av, av)) * sqrt(list_dot_product(bv, bv))), 6) AS cosine,
+       round(list_distance(av, bv), 6) AS euclidean_dist,
+       round(1.0 / (1.0 + list_distance(av, bv)), 6) AS euclidean_sim
+FROM p
+"""
+
+
+@query("similarity_pairs", _PAIRS_ORACLE)
+def similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F4 as column expressions over consecutive-id vector pairs
+    (reference src/similarity.ts)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("a")).filter(
+        F.col("id_a") < 64
+    )
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("b"))
+    pairs = a.join(b, F.col("id_b") == F.col("id_a") + 1)
+    scored = similarity_scores(pairs, "a", "b")
+    return scored.select(
+        "id_a",
+        "id_b",
+        F.round("dot", 6).alias("dot"),
+        F.round("cosine", 6).alias("cosine"),
+        F.round("euclidean_dist", 6).alias("euclidean_dist"),
+        F.round("euclidean_sim", 6).alias("euclidean_sim"),
+    )
