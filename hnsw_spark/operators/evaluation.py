@@ -1,0 +1,165 @@
+"""Evaluation / aggregation operators (reference bench subsystem).
+
+Parity targets:
+- recall@k per query + micro-averaged mean recall — src/bench/metrics.ts:26-44
+  and :70-75 (mean = Σhits/Σtotal across queries, NOT mean-of-ratios).
+- floor-index percentile — src/bench/metrics.ts:51-57:
+  ``sorted[floor(p/100 · (n−1))]``, p clamped to [0,100], 0 on empty.
+- latency summary {count, avg, p50, p90, p95, p99} — src/bench/metrics.ts:59-68.
+- A/B compare: full-outer join of base vs candidate metric tables on a
+  composite key with per-metric deltas (candidate − base) and avg/min/max
+  delta summary — src/bench/report.ts:88-183, :94-100.  ``strict`` → inner
+  join (report.ts ``--strict``).
+
+Determinism: cross-engine (and cross-partitioning) reproducible float
+aggregates use exact decimal accumulation (``dsum``) — double sums are
+order-dependent, decimal sums are not, so results hash-match a single-threaded
+oracle regardless of the shuffle layout.  Percentiles use a per-group window
+(shuffle by group key — scales with group count, no global sort).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dsum(col: Column | str, scale: int = 8) -> Column:
+    """Order-independent sum of doubles via exact decimal accumulation."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(27,{scale})")).cast("double")
+
+
+def davg(col: Column | str, scale: int = 8) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return dsum(c, scale) / F.count(c)
+
+
+def recall_table(approx: DataFrame, exact: DataFrame) -> DataFrame:
+    """Per-query recall@k: (query_id, hits, total, recall).
+
+    ``hits`` = |approx ∩ exact| per query_id (semi-join on (query_id, id));
+    ``total`` = |exact| per query_id (reference src/bench/metrics.ts:26-44).
+    Queries present in ``exact`` but absent from ``approx`` get hits=0.
+    """
+    totals = exact.groupBy("query_id").agg(F.count("*").alias("total"))
+    hits = (
+        exact.join(approx, ["query_id", "id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("hits"))
+    )
+    return (
+        totals.join(hits, "query_id", "left")
+        .na.fill(0, ["hits"])
+        .select(
+            "query_id",
+            "hits",
+            "total",
+            (F.col("hits") / F.col("total")).alias("recall"),
+        )
+    )
+
+
+def mean_recall(recalls: DataFrame) -> DataFrame:
+    """Micro-average Σhits/Σtotal (reference src/bench/metrics.ts:70-75)."""
+    return recalls.agg(
+        F.sum("hits").alias("hits"),
+        F.sum("total").alias("total"),
+        (F.sum("hits") / F.sum("total")).alias("mean_recall"),
+    )
+
+
+def _floor_index(p: float, n: Column) -> Column:
+    """1-based row_number of the reference's percentile index:
+    floor(p/100 · (n−1)) + 1, with p pre-clamped to [0,100]."""
+    p = min(max(p, 0.0), 100.0)
+    return F.floor(F.lit(p) / 100.0 * (n - 1)) + 1
+
+
+def percentile_floor(
+    df: DataFrame,
+    value_col: str,
+    ps: Sequence[float],
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Exact floor-index percentiles, optionally per group.
+
+    Matches src/bench/metrics.ts:51-57 (lower-interpolation index).  Physical
+    plan: one shuffle on the group key, per-group sort inside the window —
+    no global single-partition sort, so this scales with the number of groups.
+    """
+    keys = list(group_cols)
+    w = Window.partitionBy(*keys).orderBy(value_col)
+    cw = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    ranked = df.select(*keys, value_col).withColumns(
+        {"_rn": F.row_number().over(w), "_n": F.count("*").over(cw)}
+    )
+    aggs = [
+        F.max(
+            F.when(F.col("_rn") == _floor_index(p, F.col("_n")), F.col(value_col))
+        ).alias(f"p{str(p).replace('.', '_').removesuffix('_0')}")
+        for p in ps
+    ]
+    return ranked.groupBy(*keys).agg(*aggs) if keys else ranked.agg(*aggs)
+
+
+def latency_summary(
+    df: DataFrame, value_col: str, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """{count, avg, p50, p90, p95, p99} (reference src/bench/metrics.ts:59-68).
+
+    ``avg`` uses decimal accumulation for cross-engine determinism.
+    """
+    keys = list(group_cols)
+    pct = percentile_floor(df, value_col, (50, 90, 95, 99), keys)
+    base = (
+        df.groupBy(*keys)
+        if keys
+        else df.groupBy()
+    ).agg(
+        F.count(value_col).alias("count"),
+        davg(value_col).alias("avg"),
+    )
+    return base.join(pct, keys) if keys else base.crossJoin(pct)
+
+
+def ab_compare(
+    base: DataFrame,
+    candidate: DataFrame,
+    key_cols: Sequence[str],
+    metric_cols: Sequence[str],
+    strict: bool = False,
+) -> DataFrame:
+    """Full-outer (or inner with ``strict``) diff of two metric tables.
+
+    Output: key cols + per-metric ``<m>_base``, ``<m>_cand``,
+    ``<m>_delta`` (candidate − base; null when either side is missing) +
+    ``in_base`` / ``in_candidate`` flags (reference src/bench/report.ts:126-183
+    tracks missing keys on both sides).
+    """
+    keys = list(key_cols)
+    b = base.select(*keys, *[F.col(m).alias(f"{m}_base") for m in metric_cols])
+    b = b.withColumn("in_base", F.lit(True))
+    c = candidate.select(
+        *keys, *[F.col(m).alias(f"{m}_cand") for m in metric_cols]
+    ).withColumn("in_candidate", F.lit(True))
+    how = "inner" if strict else "full_outer"
+    out = b.join(c, keys, how)
+    for m in metric_cols:
+        out = out.withColumn(f"{m}_delta", F.col(f"{m}_cand") - F.col(f"{m}_base"))
+    return out.na.fill(False, ["in_base", "in_candidate"])
+
+
+def delta_summary(diff: DataFrame, metric_cols: Sequence[str]) -> DataFrame:
+    """avg/min/max per delta column (reference src/bench/report.ts:94-100)."""
+    aggs = []
+    for m in metric_cols:
+        c = f"{m}_delta"
+        aggs += [
+            davg(c).alias(f"{c}_avg"),
+            F.min(c).alias(f"{c}_min"),
+            F.max(c).alias(f"{c}_max"),
+        ]
+    return diff.agg(*aggs)

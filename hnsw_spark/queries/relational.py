@@ -1,0 +1,171 @@
+"""Relational support surface (SURVEY.md §2.3 last row): the filter / join /
+agg / window / sort operators needed to express the evaluation subsystem in
+SQL, exercised over the TPC-H-ish fixtures.
+
+Float aggregates use decimal accumulation (order-independent) so results are
+bit-identical to a single-threaded oracle regardless of partitioning; per-row
+products are computed in double before the decimal cast so each row's value is
+IEEE-deterministic too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hnsw_spark.operators.evaluation import davg, dsum
+from hnsw_spark.registry import query
+from hnsw_spark.sources.tables import load_table
+
+
+@query(
+    "tpch_q1_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       (sum(l_quantity::DECIMAL(27,8)))::DOUBLE AS sum_qty,
+       (sum(l_extendedprice::DECIMAL(27,8)))::DOUBLE AS sum_base_price,
+       (sum((l_extendedprice * (1 - l_discount))::DECIMAL(27,8)))::DOUBLE AS sum_disc_price,
+       (sum((l_extendedprice * (1 - l_discount) * (1 + l_tax))::DECIMAL(27,8)))::DOUBLE AS sum_charge,
+       (sum(l_quantity::DECIMAL(27,8)))::DOUBLE / count(l_quantity) AS avg_qty,
+       (sum(l_extendedprice::DECIMAL(27,8)))::DOUBLE / count(l_extendedprice) AS avg_price,
+       (sum(l_discount::DECIMAL(27,8)))::DOUBLE / count(l_discount) AS avg_disc,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter → hash agg (map-side partials) → 8 aggs.
+
+    Filter is pushed to the parquet scan; the groupBy shuffles only the
+    partial-aggregate rows (2 group cols × few groups), not the scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz")
+    )
+    ep, disc, tax = F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_base_price"),
+        dsum(ep * (1 - disc)).alias("sum_disc_price"),
+        dsum(ep * (1 - disc) * (1 + tax)).alias("sum_charge"),
+        davg("l_quantity").alias("avg_qty"),
+        davg("l_extendedprice").alias("avg_price"),
+        davg("l_discount").alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "revenue_by_nation",
+    """
+SELECT r_name AS region, n_name AS nation,
+       count(*)::BIGINT AS n_orders,
+       (sum(o_totalprice::DECIMAL(27,8)))::DOUBLE AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join star-schema rollup: fact table joined to three dims.
+
+    customer/nation/region are broadcast (small dims) so the only shuffle is
+    the final aggregation — the plan shape that survives a 100 TB fact table."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "top_customers_per_segment",
+    """
+SELECT c_mktsegment, c_custkey, c_name, c_acctbal, rank
+FROM (
+  SELECT c_mktsegment, c_custkey, c_name, c_acctbal,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal DESC, c_custkey ASC)::INT AS rank
+  FROM customer)
+WHERE rank <= 5
+""",
+)
+def top_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via ranking window (deterministic tie-break on key)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        c.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("c_mktsegment", "c_custkey", "c_name", "c_acctbal", "rank")
+    )
+
+
+@query(
+    "events_hourly_rollup",
+    """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*)::BIGINT AS n,
+       (sum(value::DECIMAL(27,8)))::DOUBLE AS total_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+""",
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window (hourly) rollup over the event stream table — the
+    batch shape of the streaming windowed agg in hnsw_spark.streaming.
+
+    Truncation is rebuilt from NTZ components (make_timestamp_ntz) because
+    Spark's date_trunc coerces TIMESTAMP_NTZ → TIMESTAMP via the session
+    timezone, which would shift wall-clock hours under a non-UTC session."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.expr(
+        "make_timestamp_ntz(year(ts), month(ts), day(ts), hour(ts), 0, 0)"
+    ).alias("hour")
+    return ev.groupBy(hour, F.col("event_type")).agg(
+        F.count("*").alias("n"), dsum("value").alias("total_value")
+    )
+
+
+@query(
+    "order_priority_rolling",
+    """
+SELECT o_orderpriority, o_orderkey, o_totalprice,
+       (sum(o_totalprice::DECIMAL(27,8)) OVER (
+          PARTITION BY o_orderpriority ORDER BY o_orderkey
+          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))::DOUBLE AS rolling_sum,
+       lag(o_totalprice) OVER (
+          PARTITION BY o_orderpriority ORDER BY o_orderkey) AS prev_price
+FROM orders
+WHERE o_orderkey < 1000
+""",
+)
+def order_priority_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic windows: bounded rolling sum + lag (decimal accumulation keeps
+    the running sum engine-invariant)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        F.sum(F.col("o_totalprice").cast("decimal(27,8)"))
+        .over(w.rowsBetween(-3, 0))
+        .cast("double")
+        .alias("rolling_sum"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+    )

@@ -33,6 +33,25 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+        # reader rejects; read nanos as long and truncate to micros (matching
+        # DuckDB's TIMESTAMP_NS → TIMESTAMP µs truncation).  Runtime-settable,
+        # so this works under any caller-provided SparkSession.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        # epoch-µs → TIMESTAMP_NTZ by pure arithmetic: no session-timezone
+        # dependency, same wall-clock values DuckDB reads (orders/lineitem
+        # already infer as timestamp_ntz).
+        return df.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, CAST(ts/1000 AS BIGINT),"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
