@@ -1,0 +1,210 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five tiers, cheapest-first — the standard corpus-dedup ladder:
+
+1. exact (md5 fingerprint groupBy)            — ``exact_dedup``
+2. n-gram Jaccard via shingle equi-join        — ``ngram_jaccard_pairs``
+3. MinHash signatures + banded LSH             — ``minhash_signatures`` /
+                                                 ``lsh_candidate_pairs``
+4. SimHash bit-fingerprints                    — ``simhash``
+5. embedding-cosine near-dup                   — ``embedding_neardup``
+
+Scale design: everything is shuffle-on-key (fingerprint / shingle / band
+bucket), never an all-pairs crossJoin; candidate generation is linear in
+corpus size and pair verification touches only co-bucketed rows.  Hashes are
+md5-derived (functions.hashing) so results are engine-reproducible; minhash
+permutations use seeded coefficients shared with the SQL oracle generator.
+At 100 TB the only hot spot is degenerate buckets (a shingle/band shared by
+millions of docs); ``max_bucket`` caps those (the standard mitigation), and
+AQE skew-join handles moderate skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hnsw_spark.functions.hashing import P31, h31, md5_bigint, minhash_perms, perm_hash
+from hnsw_spark.functions.similarity import cosine_similarity
+from hnsw_spark.functions.text import fingerprint, shingles
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per distinct normalized text: (fingerprint, canonical_id =
+    min id, n_copies).  Map-side partial agg → one shuffle on fingerprint."""
+    return (
+        df.select(F.col(id_col).alias("_id"), fingerprint(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("_id").alias("canonical_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def doc_shingles(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct (id, shingle) pairs — the set representation for Jaccard."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    left: DataFrame,
+    right: DataFrame | None = None,
+    n: int = 2,
+    threshold: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pairwise n-gram Jaccard via shingle equi-join (id_a < id_b):
+    |A∩B| from the join, |A∪B| = |A|+|B|−|A∩B|.
+
+    The join key is the shingle, so cost is Σ bucket² over shingle buckets,
+    not corpus² — the distributable formulation of pairwise Jaccard."""
+    right = right if right is not None else left
+    sa = doc_shingles(left, n, text_col, id_col)
+    sb = doc_shingles(right, n, text_col, id_col)
+    sizes_a = sa.groupBy("id").agg(F.count("*").alias("size_a"))
+    sizes_b = sb.groupBy("id").agg(F.count("*").alias("size_b"))
+    inter = (
+        sa.alias("a")
+        .join(sb.alias("b"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(sizes_a.withColumnRenamed("id", "id_a"), "id_a")
+        .join(sizes_b.withColumnRenamed("id", "id_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "size_a", "size_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_perm: int = 64,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signature per doc: m0..m{num_perm-1} columns, each
+    min((aᵢ·h31(shingle) + bᵢ) mod P31) over the doc's shingle set.
+
+    min() is duplicate-insensitive, so no distinct is needed before the agg;
+    one explode + one shuffle on doc id."""
+    perms = minhash_perms(num_perm, seed)
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("shingle")
+    ).withColumn("h", h31("shingle"))
+    return sh.groupBy("id").agg(
+        *[F.min(perm_hash(F.col("h"), a, b)).alias(f"m{i}") for i, (a, b) in enumerate(perms)]
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    num_perm: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Banded-LSH candidate pairs: docs sharing ≥1 identical band.
+
+    Signature split into ``bands`` bands of ``num_perm/bands`` rows; band key
+    = md5 of the concatenated band values; self-join per (band_idx, key)
+    bucket → distinct (id_a < id_b) pairs with the count of matching bands.
+    ``max_bucket`` drops degenerate buckets (anti-quadratic guard at scale)."""
+    rows = num_perm // bands
+    sig = minhash_signatures(df, num_perm, n, text_col, id_col, seed)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        ",", *[F.col(f"m{bi * rows + j}") for j in range(rows)]
+                    )
+                ).alias("band_key"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    buckets = sig.select("id", F.explode(band_structs).alias("b")).select(
+        "id", "b.band_idx", "b.band_key"
+    )
+    if max_bucket is not None:
+        counts = buckets.groupBy("band_idx", "band_key").agg(
+            F.count("*").alias("_n")
+        )
+        buckets = buckets.join(
+            counts.filter(F.col("_n") <= max_bucket), ["band_idx", "band_key"]
+        ).drop("_n")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
+def simhash(
+    df: DataFrame,
+    bits: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash fingerprint over the word multiset: bit j of the output is 1
+    iff Σ_tokens (±1 by bit j of h31(token)) ≥ 0.  One explode + one shuffle."""
+    from hnsw_spark.functions.text import words
+
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(words(text_col)).alias("tok")
+    ).withColumn("h", h31("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    summed = tok.groupBy("id").agg(*bit_sums)
+    sim = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") >= 0, F.lit(2**j).cast("long")).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return summed.select("id", sim.alias("simhash"))
+
+
+def embedding_neardup(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ τ).
+
+    Brute-force tier (all-pairs); at scale route through
+    operators.ann.ivf_self_join so only co-partitioned candidates are scored."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_similarity("_va", "_vb"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

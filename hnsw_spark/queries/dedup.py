@@ -1,0 +1,194 @@
+"""Dedup query surface over ``documents`` / ``embeddings``: the five-tier
+dedup ladder (exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine),
+each with a DuckDB oracle generated from the same seeded parameters."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hnsw_spark.functions.hashing import P31, md5_bigint_sql, minhash_perms
+from hnsw_spark.operators.dedup import (
+    embedding_neardup,
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from hnsw_spark.registry import query
+from hnsw_spark.sources.tables import load_table
+
+_W = r"string_split_regex(trim(lower(text)), '\s+')"
+_NORM = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
+
+
+def _shingle_sql(n: int) -> str:
+    """DuckDB word n-gram shingle list (empty when fewer than n words)."""
+    parts = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
+    return (
+        f"CASE WHEN len(w) >= {n} THEN "
+        f"list_transform(generate_series(1, len(w)-{n - 1}), i -> {parts}) "
+        f"ELSE [] END"
+    )
+
+
+@query(
+    "dedup_exact",
+    f"""
+SELECT substr(md5({_NORM}), 1, 16) AS fingerprint,
+       min(doc_id) AS canonical_id, count(*)::BIGINT AS n_copies
+FROM documents GROUP BY 1
+""",
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one row per distinct normalized text with canonical id."""
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+_JACCARD_SQL = f"""
+WITH docs AS (SELECT doc_id, {_W} AS w FROM documents),
+sh_all AS (
+  SELECT DISTINCT doc_id AS id, shingle FROM (
+    SELECT doc_id, unnest({_shingle_sql(2)}) AS shingle FROM docs)
+),
+sh_left AS (SELECT * FROM sh_all WHERE id < 100),
+size_l AS (SELECT id, count(*)::BIGINT AS size_a FROM sh_left GROUP BY id),
+size_r AS (SELECT id, count(*)::BIGINT AS size_b FROM sh_all GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS n_common
+  FROM sh_left a JOIN sh_all b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b, n_common, size_a, size_b,
+       round(n_common / (size_a + size_b - n_common), 6) AS jaccard
+FROM inter
+JOIN size_l ON id_a = size_l.id
+JOIN size_r ON id_b = size_r.id
+WHERE n_common / (size_a + size_b - n_common) >= 0.02
+"""
+
+
+@query("ngram_jaccard_pairs", _JACCARD_SQL)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-2-gram Jaccard pairs (left subset doc_id < 100 vs whole corpus)
+    via the distributable shingle equi-join formulation."""
+    docs = load_table(spark, sf_dir, "documents")
+    res = ngram_jaccard_pairs(
+        docs.filter(F.col("doc_id") < 100), docs, n=2, threshold=0.02
+    )
+    return res.withColumn("jaccard", F.round("jaccard", 6))
+
+
+NUM_PERM, BANDS, SUBSET = 8, 4, 200
+
+
+def _minhash_ctes(n: int = 3) -> str:
+    perms = minhash_perms(NUM_PERM)
+    mins = ",\n         ".join(
+        f"min(({a} * h + {b}) % {P31}) AS m{i}" for i, (a, b) in enumerate(perms)
+    )
+    return f"""
+WITH docs AS (SELECT doc_id, {_W} AS w FROM documents WHERE doc_id < {SUBSET}),
+sh AS (
+  SELECT doc_id AS id, {md5_bigint_sql("shingle")} % {P31} AS h FROM (
+    SELECT doc_id, unnest({_shingle_sql(n)}) AS shingle FROM docs)
+),
+sig AS (SELECT id, {mins} FROM sh GROUP BY id)
+"""
+
+
+@query(
+    "minhash_signatures",
+    _minhash_ctes() + f"SELECT id, {', '.join(f'm{i}' for i in range(NUM_PERM))} FROM sig",
+)
+def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 seeded affine permutations over 3-gram shingle
+    hashes) — the scale tier of near-dup detection."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < SUBSET)
+    return minhash_signatures(docs, num_perm=NUM_PERM, n=3)
+
+
+def _lsh_sql() -> str:
+    rows = NUM_PERM // BANDS
+    bands_sql = "\n  UNION ALL\n".join(
+        "  SELECT id, {bi} AS band_idx, md5({key}) AS band_key FROM sig".format(
+            bi=bi,
+            key=" || ',' || ".join(
+                f"m{bi * rows + j}::VARCHAR" for j in range(rows)
+            ),
+        )
+        for bi in range(BANDS)
+    )
+    return (
+        _minhash_ctes()
+        + f""", buckets AS (
+{bands_sql}
+)
+SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS n_bands
+FROM buckets a
+JOIN buckets b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             AND a.id < b.id
+GROUP BY a.id, b.id
+"""
+    )
+
+
+@query("lsh_candidate_pairs", _lsh_sql())
+def lsh_candidate_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH candidate pairs (4 bands × 2 rows): docs sharing an
+    identical band bucket, with the matching-band count."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < SUBSET)
+    return lsh_candidate_pairs(
+        docs, num_perm=NUM_PERM, bands=BANDS, n=3, max_bucket=None
+    )
+
+
+SIM_BITS = 16
+
+
+def _simhash_sql() -> str:
+    sums = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(SIM_BITS)
+    )
+    val = " + ".join(
+        f"(CASE WHEN s{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(SIM_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, {md5_bigint_sql("tok")} % {P31} AS h FROM (
+    SELECT doc_id, unnest({_W}) AS tok FROM documents)
+),
+sums AS (SELECT id, {sums} FROM toks GROUP BY id)
+SELECT id, ({val})::BIGINT AS simhash FROM sums
+"""
+
+
+@query("simhash_fingerprints", _simhash_sql())
+def simhash_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprints over the word multiset."""
+    return simhash(load_table(spark, sf_dir, "documents"), bits=SIM_BITS)
+
+
+@query(
+    "embedding_neardup",
+    """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+         / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+          * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.vec_id < b.vec_id
+WHERE a.vec_id < 200 AND b.vec_id < 200
+  AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.3
+""",
+)
+def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (vec_id < 200, cosine ≥ 0.3) —
+    brute-force tier; the ANN module provides the scale path."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    res = embedding_neardup(emb, threshold=0.3)
+    return res.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))

@@ -1,0 +1,116 @@
+"""Text-analysis query surface over ``documents`` (training-data pipeline:
+language ID, quality scoring, token counting, fingerprinting)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hnsw_spark.functions.text import (
+    BPE_PATTERN,
+    LANG_LEXICON,
+    STOPWORDS,
+    avg_word_len,
+    bpe_token_count,
+    fingerprint,
+    lang_id,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    word_count,
+    words,
+)
+from hnsw_spark.registry import query
+from hnsw_spark.sources.tables import load_table
+
+# shared DuckDB snippets (mirror the Catalyst builders in functions.text)
+_W = r"string_split_regex(trim(lower(text)), '\s+')"
+_NORM = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
+_PUNCT = r"(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))) / length(text)"
+_AWL = f"list_sum(list_transform({_W}, x -> length(x)))::DOUBLE / len({_W})"
+_SW_LIST = ", ".join(f"'{s}'" for s in STOPWORDS)
+_SWR = f"len(list_filter({_W}, x -> x IN ({_SW_LIST}))) / len({_W})"
+
+
+@query(
+    "doc_fingerprints",
+    f"SELECT doc_id, substr(md5({_NORM}), 1, 16) AS fingerprint FROM documents",
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 fingerprint of whitespace-normalized text (document fingerprinting
+    tier of the dedup ladder)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint("text").alias("fingerprint"))
+
+
+@query(
+    "token_counts",
+    f"""
+SELECT doc_id,
+       len({_W})::INT AS n_words,
+       len(list_distinct({_W}))::INT AS n_distinct_words,
+       len(regexp_extract_all(lower(text), '{BPE_PATTERN}'))::INT AS n_bpe_tokens
+FROM documents
+""",
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish-regex token counting per document."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        word_count("text").alias("n_words"),
+        F.size(F.array_distinct(words("text"))).alias("n_distinct_words"),
+        bpe_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+@query(
+    "text_quality",
+    f"""
+SELECT doc_id,
+       length(text)::BIGINT AS n_chars,
+       len({_W})::INT AS n_words,
+       round({_AWL}, 6) AS avg_word_len,
+       round({_SWR}, 6) AS stopword_ratio,
+       round(0.4 * least(length(text) / 500.0, 1.0)
+           + 0.3 * (CASE WHEN {_AWL} >= 3 AND {_AWL} <= 10 THEN 1.0 ELSE 0.5 END)
+           + 0.2 * least(({_SWR}) * 5.0, 1.0)
+           + 0.1 * (1.0 - ({_PUNCT})), 6) AS quality
+FROM documents
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality heuristics: length / word shape / stopword presence / punct."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        word_count("text").alias("n_words"),
+        F.round(avg_word_len("text"), 6).alias("avg_word_len"),
+        F.round(stopword_ratio("text"), 6).alias("stopword_ratio"),
+        quality_score("text").alias("quality"),
+    )
+
+
+def _lang_sql() -> str:
+    hits = {
+        lang: f"len(list_filter({_W}, x -> x IN ({', '.join(repr(w) for w in lex)})))"
+        for lang, lex in LANG_LEXICON.items()
+    }
+    best = "greatest(" + ", ".join(hits.values()) + ")"
+    case = " ".join(
+        f"WHEN {best} > 0 AND {hits[lang]} = {best} THEN '{lang}'"
+        for lang in sorted(hits)
+    )
+    return f"""
+SELECT doc_id, lang, CASE {case} ELSE 'und' END AS lang_pred
+FROM documents
+"""
+
+
+@query("lang_id_pred", _lang_sql())
+def lang_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon/n-gram language-ID heuristic vs the labeled ``lang`` column;
+    argmax with deterministic alphabetical tie-break, 'und' when no hits."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", lang_id("text").alias("lang_pred"))
