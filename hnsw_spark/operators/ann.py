@@ -1,0 +1,147 @@
+"""Approximate nearest-neighbor tier: IVF (inverted-file) partitioned index.
+
+Role mapping to the reference (SURVEY.md §3.1, §7 Phase 3): the HNSW upper
+layers route a query to a small neighborhood of the graph before the
+ef-bounded beam search at layer 0 (src/main.ts:253-283).  The Spark-native
+equivalent of that coarse-to-fine routing is a coarse quantizer: k-means
+centroids partition the base vectors into ``n_lists`` inverted lists; a query
+probes only its ``n_probe`` nearest lists, so the scored candidate set is
+``n_probe/n_lists`` of the corpus instead of all of it.  ``n_probe`` plays
+efSearch's recall↔latency role (ef = max(k, efSearch), src/main.ts:267 —
+probing is likewise floored so k results are reachable); ``n_lists`` plays
+M's build-granularity role.
+
+Scale design:
+- Build: MLlib KMeans (distributed, Tungsten-backed) over ``array_to_vector``;
+  assignment is one model.transform pass.  The index table is partitioned by
+  ``list_id`` on write, so probing prunes parquet partitions at scan time.
+- Search: the probe table (query_id × n_probe rows, tiny) is broadcast and
+  equi-joined on list_id — no crossJoin against the corpus; scoring stays in
+  whole-stage codegen; the per-query top-k reduces via window over the
+  already-pruned candidate set.
+- Correctness: recall@k vs the exact operator (the reference's own validation
+  regime, bench/README.md:108); n_probe = n_lists degenerates to exact search.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hnsw_spark.functions.similarity import get_metric
+from hnsw_spark.operators.knn import _topk_window
+
+
+class IVFIndex:
+    """An inverted-file vector index: assignment table + centroid matrix."""
+
+    def __init__(
+        self,
+        index_df: DataFrame,
+        centroids: np.ndarray,
+        metric: str = "cosine",
+        params: dict | None = None,
+    ):
+        self.index_df = index_df  # (list_id INT, id LONG, vector ARRAY<FLOAT>)
+        self.centroids = centroids  # (n_lists, dim) float64
+        self.metric = metric
+        self.params = params or {}
+
+    @property
+    def n_lists(self) -> int:
+        return self.centroids.shape[0]
+
+    def search(
+        self, queries: DataFrame, k: int = 10, n_probe: int | None = None,
+        query_id: str = "vec_id", query_vec: str = "embedding",
+    ) -> DataFrame:
+        """Top-k over the probed lists: DataFrame[(query_id, id, score)]."""
+        sim = get_metric(self.metric)
+        if k <= 0:
+            return self.index_df.sparkSession.createDataFrame(
+                [], "query_id long, id long, score double"
+            )
+        n_probe = min(n_probe or max(1, self.n_lists // 4), self.n_lists)
+        qpd = queries.select(
+            F.col(query_id).cast("long").alias("query_id"),
+            F.col(query_vec).alias("v"),
+        ).toPandas()
+        if qpd.empty:
+            return self.index_df.sparkSession.createDataFrame(
+                [], "query_id long, id long, score double"
+            )
+        qmat = np.stack(qpd["v"].to_numpy()).astype(np.float64)
+        # route each query to its n_probe nearest centroids (driver-side:
+        # centroids are tiny; this replaces the reference's upper-layer descent)
+        if self.metric == "cosine":
+            qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-30)
+            cn = self.centroids / np.maximum(
+                np.linalg.norm(self.centroids, axis=1, keepdims=True), 1e-30
+            )
+            d = -(qn @ cn.T)
+        else:
+            d = (
+                (qmat * qmat).sum(1, keepdims=True)
+                - 2.0 * (qmat @ self.centroids.T)
+                + (self.centroids * self.centroids).sum(1)
+            )
+        probe_lists = np.argsort(d, axis=1)[:, :n_probe]
+        spark = self.index_df.sparkSession
+        probes = spark.createDataFrame(
+            [
+                (int(qid), [int(l) for l in lists], [float(x) for x in vec])
+                for qid, lists, vec in zip(qpd["query_id"], probe_lists, qmat)
+            ],
+            "query_id long, probe_lists array<int>, qvec array<float>",
+        ).select(
+            "query_id", F.explode("probe_lists").alias("list_id"), "qvec"
+        )
+        cand = self.index_df.join(F.broadcast(probes), "list_id")
+        scored = cand.select(
+            "query_id", "id", sim("qvec", "vector").alias("score")
+        )
+        return _topk_window(scored, k)
+
+
+def build_ivf_index(
+    df: DataFrame,
+    n_lists: int = 16,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 5,
+) -> IVFIndex:
+    """Cluster the corpus into ``n_lists`` inverted lists via MLlib KMeans.
+
+    Cosine uses spherical k-means (L2-normalized inputs); the stored vectors
+    stay un-normalized so search scores match the reference formulas exactly.
+    """
+    get_metric(metric)  # validate early (reference src/main.ts:42-44)
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vector")
+    )
+    feat = F.col("vector").cast("array<double>")
+    if metric == "cosine":
+        norm = F.sqrt(
+            F.aggregate(feat, F.lit(0.0), lambda a, x: a + x * x)
+        )
+        feat = F.transform(feat, lambda x: x / F.nullif(norm, F.lit(0.0)))
+    train = base.withColumn("features", array_to_vector(feat))
+    km = KMeans(k=n_lists, seed=seed, maxIter=max_iter, featuresCol="features")
+    model = km.fit(train)
+    assigned = (
+        model.transform(train)
+        .select(F.col("prediction").alias("list_id"), "id", "vector")
+    )
+    centroids = np.stack([np.asarray(c, dtype=np.float64) for c in model.clusterCenters()])
+    return IVFIndex(
+        assigned,
+        centroids,
+        metric,
+        params={"n_lists": n_lists, "seed": seed, "max_iter": max_iter},
+    )

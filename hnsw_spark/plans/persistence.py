@@ -1,0 +1,55 @@
+"""Index persistence: Parquet node table + JSON params sidecar.
+
+Parity targets (reference src/db.ts + src/main.ts:322-362):
+- save = whole-index overwrite (IndexedDB single-key put, src/db.ts:54-60)
+  → ``mode('overwrite')`` parquet write, partitioned by list_id so probed
+  searches prune partitions at scan time.
+- load-if-exists: a missing index is a silent no-op and subsequent queries
+  return empty results (src/db.ts:72-74 + src/main.ts:258-260) → ``load``
+  returns None when nothing was saved; callers treat None as empty.
+- deserialization defaults (src/main.ts:349-362): ``metric`` defaults to
+  'cosine', search width defaults to the build-time width (efSearch ←
+  efConstruction; here default_n_probe ← n_lists // 4).
+- delete = drop + recreate-empty (src/db.ts:92-100) → remove the directory.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import numpy as np
+from pyspark.sql import SparkSession
+
+from hnsw_spark.operators.ann import IVFIndex
+
+
+def save_index(index: IVFIndex, path: str) -> None:
+    nodes = os.path.join(path, "nodes")
+    index.index_df.write.mode("overwrite").partitionBy("list_id").parquet(nodes)
+    params = {
+        "metric": index.metric,
+        "n_lists": int(index.n_lists),
+        "centroids": index.centroids.tolist(),
+        **{k: v for k, v in index.params.items() if k != "centroids"},
+    }
+    with open(os.path.join(path, "params.json"), "w") as f:
+        json.dump(params, f)
+
+
+def load_index(spark: SparkSession, path: str) -> IVFIndex | None:
+    """None when absent (load-if-exists semantics, src/db.ts:72-74)."""
+    sidecar = os.path.join(path, "params.json")
+    if not os.path.exists(sidecar):
+        return None
+    with open(sidecar) as f:
+        params = json.load(f)
+    centroids = np.asarray(params.pop("centroids"), dtype=np.float64)
+    metric = params.pop("metric", "cosine")  # back-compat default (main.ts:357)
+    index_df = spark.read.parquet(os.path.join(path, "nodes"))
+    return IVFIndex(index_df, centroids, metric, params)
+
+
+def delete_index(path: str) -> None:
+    shutil.rmtree(path, ignore_errors=True)

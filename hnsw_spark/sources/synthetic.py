@@ -1,0 +1,72 @@
+"""Seeded synthetic vector datasets (reference S5, src/bench/dataset.ts:28-50).
+
+The reference generates ``count`` × ``dimension`` vectors, uniform [−1, 1) or
+gaussian (Box-Muller), ids 0..n−1, from a seeded PRNG (mulberry32).  Exact
+PRNG parity is a non-goal (SURVEY §2.1 S5); what must hold is determinism per
+seed — and, unlike ``F.rand(seed)``, determinism must survive repartitioning,
+so every element is a pure hash of (seed, id, coordinate).  The uniform
+variant uses only +,×,÷ and is bit-reproducible in DuckDB; gaussian goes
+through libm (ln/cos/sqrt) and is checked statistically instead.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hnsw_spark.functions.hashing import P31, h31, h31_sql
+
+
+def _unit(id_col, j, seed: int, tag: str):
+    """Deterministic uniform [0,1) per (seed, id, coordinate)."""
+    key = F.concat(
+        F.lit(f"{tag}{seed}_"), id_col.cast("string"), F.lit("_"), j.cast("string")
+    )
+    return h31(key) / F.lit(float(P31))
+
+
+def synthetic_vectors(
+    spark: SparkSession,
+    count: int,
+    dimension: int,
+    seed: int = 42,
+    distribution: str = "uniform",
+) -> DataFrame:
+    """DataFrame[(vec_id BIGINT, embedding ARRAY<FLOAT>)], ids 0..count−1.
+
+    uniform: elements in [−1, 1).  gaussian: Box-Muller from two hashed
+    uniforms.  No shuffle, no driver data: spark.range parallelizes id
+    generation and each element is computed where its row lives.
+    """
+    if distribution not in ("uniform", "gaussian"):
+        raise ValueError(f"unknown distribution: {distribution!r}")
+    base = spark.range(count).withColumnRenamed("id", "vec_id")
+    idx = F.sequence(F.lit(0), F.lit(dimension - 1))
+    rid = F.col("vec_id")
+    if distribution == "uniform":
+        elem = lambda j: (_unit(rid, j, seed, "u") * 2.0 - 1.0)
+    else:
+        def elem(j):
+            u1 = _unit(rid, j, seed, "g1")
+            u2 = _unit(rid, j, seed, "g2")
+            # Box-Muller (reference src/bench/dataset.ts:207-213); guard u1=0
+            safe = F.greatest(u1, F.lit(1e-12))
+            return F.sqrt(-2.0 * F.log(safe)) * F.cos(2.0 * math.pi * u2)
+
+    return base.select(
+        "vec_id",
+        F.transform(idx, lambda j: elem(j).cast("float")).alias("embedding"),
+    )
+
+
+def synthetic_uniform_sql(count: int, dimension: int, seed: int = 42) -> str:
+    """DuckDB mirror of the uniform variant (float32 cast included)."""
+    u = h31_sql(f"'u{seed}_' || vec_id::VARCHAR || '_' || j::VARCHAR")
+    return f"""
+SELECT vec_id,
+       list_transform(generate_series(0, {dimension - 1}),
+                      j -> (({u} / {float(P31)}) * 2.0 - 1.0)::FLOAT) AS embedding
+FROM (SELECT range::BIGINT AS vec_id FROM range({count}))
+"""

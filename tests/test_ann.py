@@ -1,0 +1,78 @@
+"""ANN tier correctness: recall@k vs the exact operator (the reference's own
+validation method), persistence round-trip, and edge guards."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hnsw_spark.operators.ann import build_ivf_index
+from hnsw_spark.operators.evaluation import mean_recall, recall_table
+from hnsw_spark.operators.knn import knn_exact
+from hnsw_spark.plans.persistence import delete_index, load_index, save_index
+from hnsw_spark.sources.synthetic import synthetic_vectors
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return synthetic_vectors(spark, 2000, 16, seed=7).cache()
+
+
+@pytest.fixture(scope="module")
+def queries(spark, corpus):
+    return corpus.filter(F.col("vec_id") < 20)
+
+
+def _recall(spark, corpus, queries, index, k=10, n_probe=None):
+    exact = knn_exact(corpus, queries, k=k, metric=index.metric)
+    approx = index.search(queries, k=k, n_probe=n_probe)
+    return mean_recall(recall_table(approx, exact)).first().mean_recall
+
+
+@pytest.mark.parametrize("metric", ["cosine", "euclidean"])
+def test_full_probe_equals_exact(spark, corpus, queries, metric):
+    # n_probe = n_lists degenerates to exhaustive search → recall 1.0
+    index = build_ivf_index(corpus, n_lists=8, metric=metric)
+    assert _recall(spark, corpus, queries, index, n_probe=8) == pytest.approx(1.0)
+
+
+def test_partial_probe_recall_reasonable(spark, corpus, queries):
+    index = build_ivf_index(corpus, n_lists=16, metric="cosine")
+    r4 = _recall(spark, corpus, queries, index, n_probe=4)
+    r1 = _recall(spark, corpus, queries, index, n_probe=1)
+    assert r4 >= 0.55  # uniform data is the adversarial case for IVF
+    assert r4 >= r1  # recall monotone in n_probe (efSearch↑ → recall↑ curve)
+
+
+def test_search_k_zero_and_empty_queries(spark, corpus, queries):
+    index = build_ivf_index(corpus, n_lists=4)
+    assert index.search(queries, k=0).count() == 0
+    empty_q = queries.filter(F.col("vec_id") < 0)
+    assert index.search(empty_q, k=5).count() == 0
+
+
+def test_persistence_roundtrip(spark, corpus, queries, tmp_path):
+    path = str(tmp_path / "ivf")
+    index = build_ivf_index(corpus, n_lists=8)
+    before = {
+        (r.query_id, r.id) for r in index.search(queries, k=5, n_probe=8).collect()
+    }
+    save_index(index, path)
+    loaded = load_index(spark, path)
+    assert loaded is not None and loaded.metric == "cosine" and loaded.n_lists == 8
+    after = {
+        (r.query_id, r.id) for r in loaded.search(queries, k=5, n_probe=8).collect()
+    }
+    assert before == after
+    # delete → load-if-exists returns None (silent-miss, src/db.ts:72-74)
+    delete_index(path)
+    assert load_index(spark, path) is None
+
+
+def test_save_is_whole_index_overwrite(spark, corpus, tmp_path):
+    path = str(tmp_path / "ivf2")
+    save_index(build_ivf_index(corpus.filter(F.col("vec_id") < 100), n_lists=2), path)
+    save_index(build_ivf_index(corpus, n_lists=4), path)
+    loaded = load_index(spark, path)
+    assert loaded.n_lists == 4
+    assert loaded.index_df.count() == 2000  # second save fully replaced the first

@@ -1,0 +1,84 @@
+"""Tests for fvecs/ivecs decoding, synthetic generation, and level sampling."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hnsw_spark.operators.levels import level_probs, select_level
+from hnsw_spark.sources.fvecs import (
+    decode_fvecs,
+    read_fvecs,
+    read_ivecs_as_float,
+    write_fvecs,
+)
+from hnsw_spark.sources.synthetic import synthetic_vectors
+
+
+def test_fvecs_roundtrip(spark, tmp_path):
+    rng = np.random.default_rng(3)
+    mat = rng.standard_normal((50, 8)).astype(np.float32)
+    path = str(tmp_path / "v.fvecs")
+    write_fvecs(path, mat)
+    df = read_fvecs(spark, path).orderBy("vec_id")
+    rows = df.collect()
+    assert len(rows) == 50
+    got = np.array([r.embedding for r in rows], dtype=np.float32)
+    np.testing.assert_array_equal(got, mat)
+
+
+def test_fvecs_limit_offset_pushdown(spark, tmp_path):
+    mat = np.arange(40, dtype=np.float32).reshape(10, 4)
+    path = str(tmp_path / "lo.fvecs")
+    write_fvecs(path, mat)
+    rows = read_fvecs(spark, path, limit=3, offset=2).orderBy("vec_id").collect()
+    # reference semantics (dataset.ts:87-88): ids keep absolute positions
+    assert [r.vec_id for r in rows] == [2, 3, 4]
+    assert rows[0].embedding == [8.0, 9.0, 10.0, 11.0]
+
+
+def test_ivecs_as_float(spark, tmp_path):
+    mat = np.arange(12, dtype="<i4").reshape(3, 4)
+    out = np.empty((3, 5), dtype="<i4")
+    out[:, 0] = 4
+    out[:, 1:] = mat
+    path = str(tmp_path / "v.ivecs")
+    with open(path, "wb") as f:
+        f.write(out.tobytes())
+    rows = read_ivecs_as_float(spark, path).orderBy("vec_id").collect()
+    assert rows[1].embedding == [4.0, 5.0, 6.0, 7.0]
+
+
+def test_decode_rejects_corrupt(spark):
+    with pytest.raises(ValueError, match="corrupt|invalid"):
+        decode_fvecs(b"\x04\x00\x00\x00" + b"\x00" * 7)  # truncated record
+
+
+def test_synthetic_deterministic_and_partition_invariant(spark):
+    a = synthetic_vectors(spark, 100, 8, seed=42)
+    b = synthetic_vectors(spark, 100, 8, seed=42).repartition(7)
+    pa = {r.vec_id: r.embedding for r in a.collect()}
+    pb = {r.vec_id: r.embedding for r in b.collect()}
+    assert pa == pb  # same seed → same vectors under any partitioning
+    c = {r.vec_id: r.embedding for r in synthetic_vectors(spark, 100, 8, seed=1).collect()}
+    assert pa[0] != c[0]  # different seed → different data
+    vals = np.array(list(pa.values()))
+    assert vals.min() >= -1.0 and vals.max() < 1.0
+
+
+def test_synthetic_gaussian_moments(spark):
+    df = synthetic_vectors(spark, 2000, 8, seed=42, distribution="gaussian")
+    flat = np.concatenate([r.embedding for r in df.collect()])
+    assert abs(flat.mean()) < 0.02
+    assert abs(flat.std() - 1.0) < 0.02
+
+
+def test_level_probs_sum_and_distribution(spark):
+    probs = level_probs(16)
+    assert sum(probs) == pytest.approx(1.0, abs=1e-6)
+    assert probs[0] == pytest.approx(1 - 1 / 16, rel=1e-9)  # P(level 0) = 1 − 1/M
+    df = spark.range(20000).withColumn("level", select_level("id", m=16, seed=42))
+    hist = {r.level: r["count"] for r in df.groupBy("level").count().collect()}
+    assert hist[0] / 20000 == pytest.approx(probs[0], abs=0.01)
+    assert hist[1] / 20000 == pytest.approx(probs[1], abs=0.01)
