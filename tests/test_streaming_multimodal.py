@@ -1,0 +1,116 @@
+"""Streaming (windowed aggs, incremental index ingest) and multimodal
+plumbing tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hnsw_spark.operators.multimodal import (
+    FEATURE_DIM,
+    frame_sample,
+    image_features,
+    resize_bilinear,
+    synthetic_media,
+)
+from hnsw_spark.streaming.ingest import (
+    StreamingVectorIngest,
+    stream_events,
+    windowed_event_counts,
+)
+
+
+@pytest.fixture()
+def event_files(spark, tmp_path):
+    """Three parquet files (µs timestamps) acting as micro-batch arrivals."""
+    src = str(tmp_path / "events_src")
+    rows = [
+        (i, f"2024-01-01 0{i % 3}:15:00", i % 5, "click" if i % 2 else "view", float(i), "{}")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    df.coalesce(3).write.mode("overwrite").parquet(src)
+    return src
+
+
+def test_windowed_stream_counts(spark, event_files):
+    stream = stream_events(spark, event_files)
+    assert stream.isStreaming
+    agg = windowed_event_counts(stream, window="1 hour", watermark="4 hours")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_counts")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.sql("select * from win_counts").collect()
+    finally:
+        q.stop()
+    assert sum(r.n for r in out) == 30
+    assert all(r.win_end > r.win_start for r in out)
+    by_type = {}
+    for r in out:
+        by_type[r.event_type] = by_type.get(r.event_type, 0) + r.n
+    assert by_type == {"click": 15, "view": 15}
+
+
+def test_streaming_vector_ingest_appends_and_flags_rebuild(spark, tmp_path):
+    from hnsw_spark.sources.synthetic import synthetic_vectors
+
+    centroids = np.array([[1.0] + [0.0] * 7, [0.0] * 7 + [1.0]])
+    ingest = StreamingVectorIngest(centroids, str(tmp_path / "nodes"))
+    batch1 = synthetic_vectors(spark, 50, 8, seed=1)
+    batch2 = synthetic_vectors(spark, 30, 8, seed=2).withColumn(
+        "vec_id", F.col("vec_id") + 1000
+    )
+    ingest.process_batch(batch1, 0)
+    ingest.process_batch(batch2, 1)
+    nodes = spark.read.parquet(str(tmp_path / "nodes"))
+    assert nodes.count() == 80
+    assert set(nodes.columns) == {"list_id", "id", "vector"}
+    assert nodes.select("list_id").distinct().count() <= 2
+    assert ingest.appended == 80
+
+
+def test_image_features_shape_and_determinism(spark):
+    media = synthetic_media(spark, count=10)
+    feats = image_features(media).orderBy("media_id").collect()
+    assert len(feats) == 10
+    assert all(len(r.embedding) == FEATURE_DIM for r in feats)
+    norms = [float(np.linalg.norm(r.embedding)) for r in feats]
+    assert all(abs(n - 1.0) < 1e-5 for n in norms)
+    again = image_features(media).orderBy("media_id").collect()
+    assert [r.embedding for r in again] == [r.embedding for r in feats]
+
+
+def test_image_features_feed_knn(spark):
+    from hnsw_spark.operators.knn import knn_exact
+
+    media = synthetic_media(spark, count=12)
+    emb = image_features(media).select(
+        F.col("media_id").alias("vec_id"), "embedding"
+    )
+    res = knn_exact(emb, emb.filter(F.col("vec_id") == 0), k=3)
+    rows = res.orderBy(F.desc("score")).collect()
+    assert rows[0].id == 0 and rows[0].score == pytest.approx(1.0)
+
+
+def test_resize_bilinear_identity_and_downscale(spark):
+    img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    same = resize_bilinear(img, 4, 4)
+    np.testing.assert_allclose(same, img.astype(float))
+    small = resize_bilinear(img, 2, 2)
+    assert small.shape == (2, 2, 3)
+
+
+def test_frame_sample(spark):
+    media = synthetic_media(spark, count=3, kind="video")
+    frames = frame_sample(media, every_n=25).collect()
+    # n_frames=100 → frames 0,25,50,75 per video
+    assert len(frames) == 12
+    assert {f.frame_idx for f in frames} == {0, 25, 50, 75}
