@@ -30,11 +30,15 @@ def bpe_token_count(col: Column | str) -> Column:
     return F.size(F.regexp_extract_all(F.lower(c), F.lit(BPE_PATTERN), 0))
 
 
-def shingles(col: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles as an array of space-joined strings; docs with
+def shingles_w(w: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from a pre-tokenized words COLUMN; docs with
     fewer than n words yield an empty array (guarded explicitly — Spark's
-    sequence(1, 0) would produce a DESCENDING [1,0], not an empty list)."""
-    w = words(col)
+    sequence(1, 0) would produce a DESCENDING [1,0], not an empty list).
+
+    Must be given a bound column, not an inline split() expression: every
+    element_at(w, ...) inside the lambda embeds its argument subtree, so an
+    inline split would be re-evaluated ~n×shingle-count times per row
+    (measured ~10× slowdown)."""
     idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
     arr = F.transform(
         idx,
@@ -45,6 +49,12 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     return F.when(F.size(w) >= n, arr).otherwise(
         F.expr("CAST(array() AS ARRAY<STRING>)")
     )
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Convenience wrapper over raw text; for hot paths project words(col)
+    into a column first and use shingles_w (see note there)."""
+    return shingles_w(words(col), n)
 
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
@@ -60,19 +70,23 @@ LANG_LEXICON: dict[str, tuple[str, ...]] = {
 }
 
 
-def _lexicon_hits(col: Column | str, lexicon: tuple[str, ...]) -> Column:
-    w = words(col)
+def _lexicon_hits_w(w: Column, lexicon: tuple[str, ...]) -> Column:
     return F.size(F.filter(w, lambda t: t.isin(*lexicon)))
 
 
-def lang_scores(col: Column | str) -> dict[str, Column]:
-    return {lang: _lexicon_hits(col, lex) for lang, lex in LANG_LEXICON.items()}
+def lang_scores_w(w: Column) -> dict[str, Column]:
+    return {lang: _lexicon_hits_w(w, lex) for lang, lex in LANG_LEXICON.items()}
 
 
-def lang_id(col: Column | str) -> Column:
+def lang_id_w(w: Column) -> Column:
     """argmax over lexicon hit counts; ties and all-zero fall back to 'und'
-    then alphabetical language order (deterministic)."""
-    scores = lang_scores(col)
+    then alphabetical language order (deterministic).
+
+    Takes a pre-tokenized words column: tokenizing once and reusing the array
+    keeps split() out of the plan's repeated subexpressions (Catalyst does
+    not CSE the 10+ occurrences this expression family would otherwise emit —
+    measured 7× slower)."""
+    scores = lang_scores_w(w)
     best = F.greatest(*scores.values())
     expr = F.lit("und")
     # reversed alphabetical chain so the FIRST alphabetical winner is applied last
@@ -81,10 +95,17 @@ def lang_id(col: Column | str) -> Column:
     return expr
 
 
-def stopword_ratio(col: Column | str) -> Column:
-    w = words(col)
+def lang_id(col: Column | str) -> Column:
+    return lang_id_w(words(col))
+
+
+def stopword_ratio_w(w: Column) -> Column:
     hits = F.size(F.filter(w, lambda t: t.isin(*STOPWORDS)))
     return F.when(F.size(w) == 0, F.lit(0.0)).otherwise(hits / F.size(w))
+
+
+def stopword_ratio(col: Column | str) -> Column:
+    return stopword_ratio_w(words(col))
 
 
 def punct_ratio(col: Column | str) -> Column:
@@ -95,26 +116,34 @@ def punct_ratio(col: Column | str) -> Column:
     )
 
 
-def avg_word_len(col: Column | str) -> Column:
-    w = words(col)
+def avg_word_len_w(w: Column) -> Column:
     total = F.aggregate(w, F.lit(0), lambda acc, t: acc + F.length(t))
     return F.when(F.size(w) == 0, F.lit(0.0)).otherwise(
         total.cast("double") / F.size(w)
     )
 
 
-def quality_score(col: Column | str) -> Column:
-    """Deterministic [0,1] quality heuristic: rewards mid-length docs, sane
-    word lengths, and stopword presence; penalizes punctuation soup."""
-    c = F.col(col) if isinstance(col, str) else col
-    len_score = F.least(F.length(c) / F.lit(500.0), F.lit(1.0))
-    wl = avg_word_len(col)
+def avg_word_len(col: Column | str) -> Column:
+    return avg_word_len_w(words(col))
+
+
+def quality_score_w(text: Column, w: Column) -> Column:
+    """Deterministic [0,1] quality heuristic over (raw text, tokenized words):
+    rewards mid-length docs, sane word lengths, and stopword presence;
+    penalizes punctuation soup."""
+    len_score = F.least(F.length(text) / F.lit(500.0), F.lit(1.0))
+    wl = avg_word_len_w(w)
     wl_score = F.when((wl >= 3) & (wl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
-    sw_score = F.least(stopword_ratio(col) * 5.0, F.lit(1.0))
+    sw_score = F.least(stopword_ratio_w(w) * 5.0, F.lit(1.0))
     return F.round(
-        0.4 * len_score + 0.3 * wl_score + 0.2 * sw_score + 0.1 * (1.0 - punct_ratio(col)),
+        0.4 * len_score + 0.3 * wl_score + 0.2 * sw_score + 0.1 * (1.0 - punct_ratio(text)),
         6,
     )
+
+
+def quality_score(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return quality_score_w(c, words(c))
 
 
 def fingerprint(col: Column | str, nchars: int = 16) -> Column:

@@ -104,6 +104,42 @@ class IVFIndex:
         return _topk_window(scored, k)
 
 
+def _normalize_rows(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+
+
+def _kmeans_numpy(
+    x: np.ndarray, k: int, seed: int, iters: int, spherical: bool
+) -> np.ndarray:
+    """Seeded Lloyd's with kmeans++ init on the training sample (driver-side;
+    the sample is bounded, so this is O(sample·k·iters) regardless of corpus
+    size — FAISS trains IVF quantizers the same way)."""
+    rng = np.random.default_rng(seed)
+    if spherical:
+        x = _normalize_rows(x)
+    n = x.shape[0]
+    k = min(k, n)
+    # kmeans++ seeding
+    centers = [x[rng.integers(n)]]
+    d2 = ((x - centers[0]) ** 2).sum(1)
+    for _ in range(1, k):
+        probs = d2 / max(d2.sum(), 1e-30)
+        centers.append(x[rng.choice(n, p=probs)])
+        d2 = np.minimum(d2, ((x - centers[-1]) ** 2).sum(1))
+    c = np.stack(centers)
+    for _ in range(iters):
+        assign = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1).argmin(1) if n * k * x.shape[1] < 5e7 else np.argmax(
+            x @ c.T - 0.5 * (c * c).sum(1), axis=1
+        )
+        for j in range(k):
+            mask = assign == j
+            if mask.any():
+                c[j] = x[mask].mean(0)
+        if spherical:
+            c = _normalize_rows(c)
+    return c
+
+
 def build_ivf_index(
     df: DataFrame,
     n_lists: int = 16,
@@ -111,37 +147,93 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
-    max_iter: int = 5,
+    max_iter: int = 10,
+    train_method: str = "sample",
+    sample_size: int = 65536,
 ) -> IVFIndex:
-    """Cluster the corpus into ``n_lists`` inverted lists via MLlib KMeans.
+    """Cluster the corpus into ``n_lists`` inverted lists.
 
-    Cosine uses spherical k-means (L2-normalized inputs); the stored vectors
-    stay un-normalized so search scores match the reference formulas exactly.
+    ``train_method='sample'`` (default, the FAISS recipe): train the coarse
+    quantizer on a deterministic hash-sampled subset driver-side, then assign
+    the full corpus in one vectorized mapInPandas pass — one scan to sample,
+    one to assign, no per-iteration Spark jobs.  ``'mllib'`` uses distributed
+    KMeans when even the training sample must stay off-driver.
+
+    Cosine uses spherical k-means; stored vectors stay un-normalized so
+    search scores match the reference formulas exactly.
     """
     get_metric(metric)  # validate early (reference src/main.ts:42-44)
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     base = df.select(
         F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vector")
     )
-    feat = F.col("vector").cast("array<double>")
-    if metric == "cosine":
-        norm = F.sqrt(
-            F.aggregate(feat, F.lit(0.0), lambda a, x: a + x * x)
+    spherical = metric == "cosine"
+
+    if train_method == "mllib":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feat = F.col("vector").cast("array<double>")
+        if spherical:
+            norm = F.sqrt(F.aggregate(feat, F.lit(0.0), lambda a, x: a + x * x))
+            feat = F.transform(feat, lambda x: x / F.nullif(norm, F.lit(0.0)))
+        train = base.withColumn("features", array_to_vector(feat))
+        km = KMeans(k=n_lists, seed=seed, maxIter=max_iter, featuresCol="features")
+        model = km.fit(train)
+        centroids = np.stack(
+            [np.asarray(c, dtype=np.float64) for c in model.clusterCenters()]
         )
-        feat = F.transform(feat, lambda x: x / F.nullif(norm, F.lit(0.0)))
-    train = base.withColumn("features", array_to_vector(feat))
-    km = KMeans(k=n_lists, seed=seed, maxIter=max_iter, featuresCol="features")
-    model = km.fit(train)
-    assigned = (
-        model.transform(train)
-        .select(F.col("prediction").alias("list_id"), "id", "vector")
+    elif train_method == "sample":
+        # deterministic hash sample (partition-invariant), bounded size
+        from hnsw_spark.operators.levels import uniform_from_id
+
+        n_rows = base.count()
+        frac = min(1.0, sample_size / max(n_rows, 1))
+        sample = base
+        if frac < 1.0:
+            sample = base.filter(uniform_from_id(F.col("id"), seed) < frac)
+        spd = sample.limit(sample_size).toPandas()
+        x = np.stack(spd["vector"].to_numpy()).astype(np.float64)
+        centroids = _kmeans_numpy(x, n_lists, seed, max_iter, spherical)
+    else:
+        raise ValueError(f"unknown train_method: {train_method!r}")
+
+    bc = df.sparkSession.sparkContext.broadcast(
+        _normalize_rows(centroids) if spherical else centroids
     )
-    centroids = np.stack([np.asarray(c, dtype=np.float64) for c in model.clusterCenters()])
+
+    def assign(batches):
+        import pandas as pd
+
+        cents = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.stack(pdf["vector"].to_numpy()).astype(np.float64)
+            if spherical:
+                m = _normalize_rows(m)
+                pred = np.argmax(m @ cents.T, axis=1)
+            else:
+                pred = np.argmin(
+                    (m * m).sum(1, keepdims=True)
+                    - 2.0 * (m @ cents.T)
+                    + (cents * cents).sum(1),
+                    axis=1,
+                )
+            yield pd.DataFrame(
+                {"list_id": pred.astype(np.int32), "id": pdf["id"], "vector": pdf["vector"]}
+            )
+
+    assigned = base.mapInPandas(
+        assign, schema="list_id int, id long, vector array<float>"
+    )
     return IVFIndex(
         assigned,
         centroids,
         metric,
-        params={"n_lists": n_lists, "seed": seed, "max_iter": max_iter},
+        params={
+            "n_lists": n_lists,
+            "seed": seed,
+            "max_iter": max_iter,
+            "train_method": train_method,
+        },
     )

@@ -44,11 +44,14 @@ def exact_dedup(
 def doc_shingles(
     df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Distinct (id, shingle) pairs — the set representation for Jaccard."""
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("shingle"))
-        .distinct()
-    )
+    """Distinct (id, shingle) pairs — the set representation for Jaccard.
+    Tokenizes into a bound column first (see shingles_w performance note)."""
+    from hnsw_spark.functions.text import shingles_w, words
+
+    base = df.select(F.col(id_col).alias("id"), words(text_col).alias("_w"))
+    return base.select(
+        "id", F.explode(shingles_w(F.col("_w"), n)).alias("shingle")
+    ).distinct()
 
 
 def ngram_jaccard_pairs(
@@ -63,20 +66,25 @@ def ngram_jaccard_pairs(
     |A∩B| from the join, |A∪B| = |A|+|B|−|A∩B|.
 
     The join key is the shingle, so cost is Σ bucket² over shingle buckets,
-    not corpus² — the distributable formulation of pairwise Jaccard."""
+    not corpus² — the distributable formulation of pairwise Jaccard.  When
+    ``left`` is a distinct (usually filtered, small) frame, its shingle table
+    is broadcast so the corpus-side shingles never shuffle; asymmetric
+    probe-vs-corpus comparison is the common shape at scale."""
+    asymmetric = right is not None and right is not left
     right = right if right is not None else left
     sa = doc_shingles(left, n, text_col, id_col)
     sb = doc_shingles(right, n, text_col, id_col)
     sizes_a = sa.groupBy("id").agg(F.count("*").alias("size_a"))
     sizes_b = sb.groupBy("id").agg(F.count("*").alias("size_b"))
+    probe = F.broadcast(sa) if asymmetric else sa
     inter = (
-        sa.alias("a")
+        probe.alias("a")
         .join(sb.alias("b"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("n_common"))
     )
     return (
-        inter.join(sizes_a.withColumnRenamed("id", "id_a"), "id_a")
+        inter.join(F.broadcast(sizes_a).withColumnRenamed("id", "id_a"), "id_a")
         .join(sizes_b.withColumnRenamed("id", "id_b"), "id_b")
         .withColumn(
             "jaccard",
@@ -100,9 +108,12 @@ def minhash_signatures(
 
     min() is duplicate-insensitive, so no distinct is needed before the agg;
     one explode + one shuffle on doc id."""
+    from hnsw_spark.functions.text import shingles_w, words
+
     perms = minhash_perms(num_perm, seed)
-    sh = df.select(
-        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("shingle")
+    base = df.select(F.col(id_col).alias("id"), words(text_col).alias("_w"))
+    sh = base.select(
+        "id", F.explode(shingles_w(F.col("_w"), n)).alias("shingle")
     ).withColumn("h", h31("shingle"))
     return sh.groupBy("id").agg(
         *[F.min(perm_hash(F.col("h"), a, b)).alias(f"m{i}") for i, (a, b) in enumerate(perms)]
