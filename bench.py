@@ -23,6 +23,7 @@ HEADLINE = [
     "knn_exact_euclidean",
     "knn_topk_local_merge",
     "ann_ivf_knn",
+    "ann_hnsw_knn",
     "tpch_q1_pricing_summary",
     "revenue_by_nation",
     "events_hourly_rollup",
@@ -58,10 +59,16 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
-    # warm up the JVM / parquet footer caches on the smallest fixture
-    qs["tpch_q1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # warm up the JVM, Python workers, and Arrow serde on the smallest
+    # fixture so measurements reflect steady state, not first-call JIT
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for warm_q in ("tpch_q1_pricing_summary", "ann_hnsw_knn"):
+        if warm_q in qs:
+            qs[warm_q](spark, warm_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -33,6 +33,48 @@ from hnsw_spark.functions.similarity import get_metric
 from hnsw_spark.operators.knn import _topk_window
 
 
+def route_probes(
+    queries: DataFrame,
+    centroids: np.ndarray,
+    metric: str,
+    n_probe: int,
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+) -> DataFrame:
+    """Route each query to its ``n_probe`` nearest centroids, driver-side
+    (centroids are tiny; this replaces the reference's upper-layer descent,
+    src/main.ts:262-265).  Returns DataFrame[(query_id, list_id, qvec)] —
+    Q × n_probe rows, always broadcast-sized."""
+    spark = queries.sparkSession
+    qpd = queries.select(
+        F.col(query_id).cast("long").alias("query_id"),
+        F.col(query_vec).alias("v"),
+    ).toPandas()
+    if qpd.empty:
+        return spark.createDataFrame(
+            [], "query_id long, list_id int, qvec array<float>"
+        )
+    qmat = np.stack(qpd["v"].to_numpy()).astype(np.float64)
+    if metric == "cosine":
+        qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-30)
+        cn = _normalize_rows(centroids)
+        d = -(qn @ cn.T)
+    else:
+        d = (
+            (qmat * qmat).sum(1, keepdims=True)
+            - 2.0 * (qmat @ centroids.T)
+            + (centroids * centroids).sum(1)
+        )
+    probe_lists = np.argsort(d, axis=1)[:, :n_probe]
+    return spark.createDataFrame(
+        [
+            (int(qid), [int(l) for l in lists], [float(x) for x in vec])
+            for qid, lists, vec in zip(qpd["query_id"], probe_lists, qmat)
+        ],
+        "query_id long, probe_lists array<int>, qvec array<float>",
+    ).select("query_id", F.explode("probe_lists").alias("list_id"), "qvec")
+
+
 class IVFIndex:
     """An inverted-file vector index: assignment table + centroid matrix."""
 
@@ -63,39 +105,8 @@ class IVFIndex:
                 [], "query_id long, id long, score double"
             )
         n_probe = min(n_probe or max(1, self.n_lists // 4), self.n_lists)
-        qpd = queries.select(
-            F.col(query_id).cast("long").alias("query_id"),
-            F.col(query_vec).alias("v"),
-        ).toPandas()
-        if qpd.empty:
-            return self.index_df.sparkSession.createDataFrame(
-                [], "query_id long, id long, score double"
-            )
-        qmat = np.stack(qpd["v"].to_numpy()).astype(np.float64)
-        # route each query to its n_probe nearest centroids (driver-side:
-        # centroids are tiny; this replaces the reference's upper-layer descent)
-        if self.metric == "cosine":
-            qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-30)
-            cn = self.centroids / np.maximum(
-                np.linalg.norm(self.centroids, axis=1, keepdims=True), 1e-30
-            )
-            d = -(qn @ cn.T)
-        else:
-            d = (
-                (qmat * qmat).sum(1, keepdims=True)
-                - 2.0 * (qmat @ self.centroids.T)
-                + (self.centroids * self.centroids).sum(1)
-            )
-        probe_lists = np.argsort(d, axis=1)[:, :n_probe]
-        spark = self.index_df.sparkSession
-        probes = spark.createDataFrame(
-            [
-                (int(qid), [int(l) for l in lists], [float(x) for x in vec])
-                for qid, lists, vec in zip(qpd["query_id"], probe_lists, qmat)
-            ],
-            "query_id long, probe_lists array<int>, qvec array<float>",
-        ).select(
-            "query_id", F.explode("probe_lists").alias("list_id"), "qvec"
+        probes = route_probes(
+            queries, self.centroids, self.metric, n_probe, query_id, query_vec
         )
         cand = self.index_df.join(F.broadcast(probes), "list_id")
         scored = cand.select(
@@ -140,34 +151,22 @@ def _kmeans_numpy(
     return c
 
 
-def build_ivf_index(
-    df: DataFrame,
-    n_lists: int = 16,
-    metric: str = "cosine",
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+def train_centroids(
+    base: DataFrame,
+    n_lists: int,
+    metric: str,
     seed: int = 42,
     max_iter: int = 10,
     train_method: str = "sample",
     sample_size: int = 65536,
-) -> IVFIndex:
-    """Cluster the corpus into ``n_lists`` inverted lists.
+) -> np.ndarray:
+    """Coarse-quantizer training over a (id, vector) frame → (n_lists, d).
 
-    ``train_method='sample'`` (default, the FAISS recipe): train the coarse
-    quantizer on a deterministic hash-sampled subset driver-side, then assign
-    the full corpus in one vectorized mapInPandas pass — one scan to sample,
-    one to assign, no per-iteration Spark jobs.  ``'mllib'`` uses distributed
-    KMeans when even the training sample must stay off-driver.
-
-    Cosine uses spherical k-means; stored vectors stay un-normalized so
-    search scores match the reference formulas exactly.
+    ``train_method='sample'`` (default, the FAISS recipe): train on a
+    deterministic hash-sampled subset driver-side.  ``'mllib'`` runs
+    distributed KMeans when even the training sample must stay off-driver.
     """
-    get_metric(metric)  # validate early (reference src/main.ts:42-44)
-    base = df.select(
-        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vector")
-    )
     spherical = metric == "cosine"
-
     if train_method == "mllib":
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
@@ -196,9 +195,20 @@ def build_ivf_index(
         centroids = _kmeans_numpy(x, n_lists, seed, max_iter, spherical)
     else:
         raise ValueError(f"unknown train_method: {train_method!r}")
+    return centroids
 
-    bc = df.sparkSession.sparkContext.broadcast(
+
+def assign_lists(
+    base: DataFrame, centroids: np.ndarray, metric: str, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Assign every (id, vector[, extra…]) row to its nearest centroid in one
+    vectorized mapInPandas pass → (list_id, id, vector[, extra…])."""
+    spherical = metric == "cosine"
+    bc = base.sparkSession.sparkContext.broadcast(
         _normalize_rows(centroids) if spherical else centroids
+    )
+    extra_schema = "".join(
+        f", {name} {base.schema[name].dataType.simpleString()}" for name in extra_cols
     )
 
     def assign(batches):
@@ -219,13 +229,39 @@ def build_ivf_index(
                     + (cents * cents).sum(1),
                     axis=1,
                 )
-            yield pd.DataFrame(
-                {"list_id": pred.astype(np.int32), "id": pdf["id"], "vector": pdf["vector"]}
-            )
+            out = {"list_id": pred.astype(np.int32), "id": pdf["id"], "vector": pdf["vector"]}
+            for name in extra_cols:
+                out[name] = pdf[name]
+            yield pd.DataFrame(out)
 
-    assigned = base.mapInPandas(
-        assign, schema="list_id int, id long, vector array<float>"
+    return base.mapInPandas(
+        assign, schema=f"list_id int, id long, vector array<float>{extra_schema}"
     )
+
+
+def build_ivf_index(
+    df: DataFrame,
+    n_lists: int = 16,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+    train_method: str = "sample",
+    sample_size: int = 65536,
+) -> IVFIndex:
+    """Cluster the corpus into ``n_lists`` inverted lists — one scan to
+    sample/train, one to assign, no per-iteration Spark jobs (see
+    ``train_centroids``).  Cosine uses spherical k-means; stored vectors stay
+    un-normalized so search scores match the reference formulas exactly."""
+    get_metric(metric)  # validate early (reference src/main.ts:42-44)
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vector")
+    )
+    centroids = train_centroids(
+        base, n_lists, metric, seed, max_iter, train_method, sample_size
+    )
+    assigned = assign_lists(base, centroids, metric)
     return IVFIndex(
         assigned,
         centroids,

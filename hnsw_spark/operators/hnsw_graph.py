@@ -1,0 +1,418 @@
+"""Partitioned HNSW graph tier — the reference's namesake algorithm, Spark-first.
+
+Parity targets (SURVEY.md §2 B1-B7, Q1-Q3; reference ``src/main.ts``):
+
+- B1 level sampling (src/main.ts:47-69): levels are assigned Spark-side with
+  the deterministic hash-seeded geometric draw (``operators/levels.py``), so
+  the distribution is partition-invariant and independently oracle-checkable.
+- B2-B7 build (src/main.ts:202-317): sequential, order-dependent graph
+  wiring.  This does NOT translate to Catalyst — it runs as a per-partition
+  routine inside ``applyInPandas`` over IVF lists: a k-means coarse quantizer
+  (the Spark analogue of the upper layers' coarse-to-fine routing role)
+  splits the corpus into ``n_lists`` independent sub-graphs built in
+  parallel, one per executor task.  Insertion order within a partition is
+  ascending id, the deterministic stand-in for the reference's input order.
+- Q1-Q3 search (src/main.ts:71-129, 253-283): greedy upper-layer descent,
+  then the ef-bounded beam at layer 0 with ``ef = max(k, efSearch)``
+  (src/main.ts:267).  Each probed list searches its local graph inside a
+  cogrouped ``applyInPandas``; the global merge is ``ORDER BY score DESC
+  LIMIT k`` — dedupe is structural (each id lives in exactly one list).
+
+Scale design (100 TB): each list is one executor task — n_lists is chosen so
+a list's vectors + adjacency fit executor memory (e.g. 100 TB / 2 GB ≈ 50k
+lists); build parallelism = n_lists, search touches only n_probe lists.  The
+node table is a plain DataFrame (id, level, vector, neighbors) persisted as
+Parquet partitioned by list_id, so probed searches prune at scan time.
+
+Semantics mirrored from the reference (studied, not copied):
+- neighbor-diversity heuristic keeps a candidate only if no already-kept
+  neighbor is MORE similar to it than the candidate is to the node
+  (Malkov & Yashunin Alg. 4 on similarities; src/main.ts:171-200);
+- bidirectional connect re-selects both endpoints' adjacency and prunes
+  displaced edges reciprocally (src/main.ts:139-169);
+- entry point = first inserted node, promoted only on strictly greater
+  level (src/main.ts:225-228);
+- beam search early-terminates when the best frontier candidate scores
+  below the worst retained result and the result set is full
+  (src/main.ts:104-106).
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hnsw_spark.functions.similarity import get_metric
+from hnsw_spark.operators.ann import (
+    assign_lists,
+    route_probes,
+    train_centroids,
+)
+from hnsw_spark.operators.knn import _topk_window
+from hnsw_spark.operators.levels import select_level
+
+NODE_SCHEMA = (
+    "list_id int, id long, level int, vector array<float>, "
+    "neighbors array<array<long>>"
+)
+RESULT_SCHEMA = "query_id long, id long, score double"
+
+
+class _LocalSim:
+    """Vectorized similarity of one query vector against graph rows.
+
+    float64 like the reference's scoring (JS numbers over f32 inputs);
+    cosine keeps the NaN-on-zero-norm behavior (src/similarity.ts:10-12 has
+    no guard) — NaN compares false everywhere, so zero-norm rows are simply
+    never selected, matching the reference.
+    """
+
+    def __init__(self, vecs: np.ndarray, metric: str):
+        self.metric = metric
+        self.v = vecs
+        if metric == "cosine":
+            with np.errstate(divide="ignore", invalid="ignore"):
+                self.vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        else:
+            self.sq = (vecs * vecs).sum(axis=1)
+
+    def prep_query(self, q: np.ndarray) -> np.ndarray:
+        if self.metric == "cosine":
+            with np.errstate(divide="ignore", invalid="ignore"):
+                return q / np.linalg.norm(q)
+        return q
+
+    def scores(self, qprep: np.ndarray, idx: np.ndarray) -> np.ndarray:
+        """Similarity of the prepared query vs rows ``idx`` in one matmul."""
+        if self.metric == "cosine":
+            return self.vn[idx] @ qprep
+        d2 = np.maximum(
+            self.sq[idx] - 2.0 * (self.v[idx] @ qprep) + (qprep @ qprep), 0.0
+        )
+        return 1.0 / (1.0 + np.sqrt(d2))
+
+    def pair(self, i: int, j: int) -> float:
+        if self.metric == "cosine":
+            return float(self.vn[i] @ self.vn[j])
+        d2 = max(self.sq[i] - 2.0 * float(self.v[i] @ self.v[j]) + self.sq[j], 0.0)
+        return 1.0 / (1.0 + np.sqrt(d2))
+
+
+def _select_neighbors(
+    sim: _LocalSim, node: int, cand: list[int], max_neighbors: int
+) -> list[int]:
+    """Diversity heuristic (src/main.ts:171-200): candidates sorted by
+    similarity-to-node desc; keep one only if every already-kept neighbor is
+    no more similar to it than it is to the node.  Ties break by ascending
+    id for cross-run determinism (the reference's JS sort is unstable)."""
+    uniq = [c for c in dict.fromkeys(cand) if c != node]
+    if not uniq:
+        return []
+    idx = np.asarray(uniq)
+    s = sim.scores(sim.prep_query(sim.v[node]), idx)
+    order = np.lexsort((idx, -s))
+    selected: list[int] = []
+    for o in order:
+        if len(selected) >= max_neighbors:
+            break
+        c, c_score = int(idx[o]), float(s[o])
+        if all(sim.pair(c, n) <= c_score for n in selected):
+            selected.append(c)
+    return selected
+
+
+def _greedy_search(
+    sim: _LocalSim, nbrs: list[list[list[int]]], qprep: np.ndarray,
+    entry: int, level: int,
+) -> int:
+    """Hill-climb at one layer (src/main.ts:71-91): move to the best
+    strictly-improving neighbor until a local maximum."""
+    best = entry
+    best_score = float(sim.scores(qprep, np.asarray([entry]))[0])
+    improved = True
+    while improved:
+        improved = False
+        adj = nbrs[best][level] if level < len(nbrs[best]) else []
+        if not adj:
+            break
+        a = np.asarray(adj)
+        s = sim.scores(qprep, a)
+        j = int(np.argmax(s))
+        if s[j] > best_score:
+            best, best_score, improved = int(a[j]), float(s[j]), True
+    return best
+
+
+def _search_layer(
+    sim: _LocalSim, nbrs: list[list[list[int]]], qprep: np.ndarray,
+    entry: int, level: int, ef: int,
+) -> list[tuple[float, int]]:
+    """ef-bounded best-first beam at one layer (src/main.ts:93-129):
+    max-frontier + bounded min-heap of retained results + visited set;
+    early-exit when the frontier can't beat the worst retained result.
+    Returns (score, id) pairs sorted score-desc, id-asc."""
+    e_score = float(sim.scores(qprep, np.asarray([entry]))[0])
+    visited = {entry}
+    frontier = [(-e_score, entry)]  # max-heap via negation
+    best: list[tuple[float, int]] = [(e_score, entry)]  # min-heap, size ≤ ef
+    while frontier:
+        neg, cur = heapq.heappop(frontier)
+        if len(best) >= ef and -neg < best[0][0]:
+            break
+        adj = nbrs[cur][level] if level < len(nbrs[cur]) else []
+        fresh = [n for n in adj if n not in visited]
+        if not fresh:
+            continue
+        visited.update(fresh)
+        a = np.asarray(fresh)
+        s = sim.scores(qprep, a)
+        worst = best[0][0] if len(best) >= ef else -np.inf
+        for sc, n in zip(s, a):
+            sc = float(sc)
+            if len(best) < ef or sc > worst:
+                heapq.heappush(frontier, (-sc, int(n)))
+                heapq.heappush(best, (sc, int(n)))
+                if len(best) > ef:
+                    heapq.heappop(best)
+                worst = best[0][0] if len(best) >= ef else -np.inf
+    return sorted(best, key=lambda t: (-t[0], t[1]))
+
+
+def _insert_neighbor(
+    sim: _LocalSim, nbrs: list[list[list[int]]], m: int,
+    node: int, new: int, level: int,
+) -> list[int]:
+    """Insert ``new`` into ``node``'s adjacency, re-select the best ≤M, and
+    return displaced ids (src/main.ts:154-169)."""
+    existing = [x for x in nbrs[node][level] if x != new]
+    selected = _select_neighbors(sim, node, existing + [new], m)
+    removed = [x for x in existing if x not in selected]
+    nbrs[node][level] = selected
+    return removed
+
+
+def _connect(
+    sim: _LocalSim, nbrs: list[list[list[int]]], m: int,
+    node: int, candidates: list[int], level: int,
+) -> None:
+    """B4-B5: connect ≤M diverse neighbors bidirectionally, pruning each
+    displaced edge reciprocally (src/main.ts:131-152)."""
+    for nb in _select_neighbors(sim, node, candidates, m):
+        for removed in _insert_neighbor(sim, nbrs, m, node, nb, level):
+            nbrs[removed][level] = [x for x in nbrs[removed][level] if x != node]
+        for removed in _insert_neighbor(sim, nbrs, m, nb, node, level):
+            nbrs[removed][level] = [x for x in nbrs[removed][level] if x != nb]
+
+
+def build_local_graph(
+    levels: np.ndarray, vecs: np.ndarray, m: int, ef_construction: int, metric: str
+) -> list[list[list[int]]]:
+    """Sequential HNSW build over one partition's rows, in row order
+    (src/main.ts:202-317).  Returns per-row per-level adjacency (row indices,
+    not ids — the caller translates)."""
+    n = len(levels)
+    nbrs: list[list[list[int]]] = [
+        [[] for _ in range(int(levels[i]) + 1)] for i in range(n)
+    ]
+    if n == 0:
+        return nbrs
+    sim = _LocalSim(vecs, metric)
+    entry, level_max = 0, int(levels[0])
+    for i in range(1, n):
+        qprep = sim.prep_query(vecs[i])
+        lvl_i = int(levels[i])
+        ep = entry
+        for level in range(level_max, lvl_i, -1):
+            ep = _greedy_search(sim, nbrs, qprep, ep, level)
+        for level in range(min(lvl_i, level_max), -1, -1):
+            found = _search_layer(sim, nbrs, qprep, ep, level, ef_construction)
+            _connect(sim, nbrs, m, i, [f[1] for f in found], level)
+            if found:
+                ep = found[0][1]
+        if lvl_i > level_max:
+            entry, level_max = i, lvl_i
+    return nbrs
+
+
+def search_local_graph(
+    levels: np.ndarray,
+    vecs: np.ndarray,
+    nbrs: list[list[list[int]]],
+    query: np.ndarray,
+    k: int,
+    ef: int,
+    metric: str = "cosine",
+) -> list[tuple[float, int]]:
+    """searchKNN over one partition's graph (src/main.ts:253-283): descend
+    levelMax→1 greedily, beam at layer 0 with ``ef``, take k (score, row)
+    pairs.  Entry point = first row at the max level (promotion is
+    strictly-greater, insertion order = row order)."""
+    n = len(levels)
+    if n == 0 or k <= 0:
+        return []
+    sim = _LocalSim(vecs, metric)
+    level_max = int(levels.max())
+    entry = int(np.argmax(levels == level_max))
+    qprep = sim.prep_query(np.asarray(query, dtype=np.float64))
+    ep = entry
+    for level in range(level_max, 0, -1):
+        ep = _greedy_search(sim, nbrs, qprep, ep, level)
+    return _search_layer(sim, nbrs, qprep, ep, 0, max(k, ef))[:k]
+
+
+class HNSWIndex:
+    """Partitioned HNSW index: node table + coarse-quantizer centroids.
+
+    ``index_df``: (list_id, id, level, vector, neighbors) — ``neighbors[l]``
+    is the layer-l adjacency as ids, the reference's persisted node shape
+    (src/main.ts:322-344) as a DataFrame.
+    """
+
+    def __init__(
+        self,
+        index_df: DataFrame,
+        centroids: np.ndarray,
+        metric: str = "cosine",
+        params: dict | None = None,
+    ):
+        self.index_df = index_df
+        self.centroids = centroids
+        self.metric = metric
+        self.params = params or {}
+
+    @property
+    def n_lists(self) -> int:
+        return self.centroids.shape[0]
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        n_probe: int | None = None,
+        ef_search: int | None = None,
+        query_id: str = "vec_id",
+        query_vec: str = "embedding",
+    ) -> DataFrame:
+        """Top-k: DataFrame[(query_id, id, score)].  ``ef = max(k, efSearch)``
+        (src/main.ts:267); efSearch defaults to the build-time
+        efConstruction (the fromJSON default, src/main.ts:354)."""
+        spark = self.index_df.sparkSession
+        if k <= 0:
+            return spark.createDataFrame([], RESULT_SCHEMA)
+        n_probe = min(n_probe or max(1, self.n_lists // 4), self.n_lists)
+        ef = max(
+            k,
+            ef_search
+            or self.params.get("ef_search")
+            or self.params.get("ef_construction", 100),
+        )
+        metric = self.metric
+        probes = route_probes(
+            queries, self.centroids, metric, n_probe, query_id, query_vec
+        )
+
+        def search_group(
+            nodes: pd.DataFrame, qs: pd.DataFrame
+        ) -> pd.DataFrame:
+            if nodes.empty or qs.empty:
+                return pd.DataFrame(
+                    {"query_id": pd.Series(dtype="int64"),
+                     "id": pd.Series(dtype="int64"),
+                     "score": pd.Series(dtype="float64")}
+                )
+            nodes = nodes.sort_values("id").reset_index(drop=True)
+            ids = nodes["id"].to_numpy()
+            levels = nodes["level"].to_numpy()
+            vecs = np.stack(nodes["vector"].to_numpy()).astype(np.float64)
+            pos = {int(v): i for i, v in enumerate(ids)}
+            nbrs = [
+                [[pos[int(x)] for x in lvl if int(x) in pos] for lvl in row]
+                for row in nodes["neighbors"]
+            ]
+            sim = _LocalSim(vecs, metric)
+            level_max = int(levels.max())
+            entry = int(np.argmax(levels == level_max))
+            out_q, out_i, out_s = [], [], []
+            for qid, qv in zip(qs["query_id"], qs["qvec"]):
+                qprep = sim.prep_query(np.asarray(qv, dtype=np.float64))
+                ep = entry
+                for level in range(level_max, 0, -1):
+                    ep = _greedy_search(sim, nbrs, qprep, ep, level)
+                found = _search_layer(sim, nbrs, qprep, ep, 0, ef)[:k]
+                out_q.extend(int(qid) for _ in found)
+                out_i.extend(int(ids[f[1]]) for f in found)
+                out_s.extend(f[0] for f in found)
+            return pd.DataFrame({"query_id": out_q, "id": out_i, "score": out_s})
+
+        local = (
+            self.index_df.groupBy("list_id")
+            .cogroup(probes.groupBy("list_id"))
+            .applyInPandas(search_group, RESULT_SCHEMA)
+        )
+        # global merge: ids are unique across lists, so dedupe (src/main.ts:
+        # 269-280) is structural and the merge is a pure top-k.
+        return _topk_window(local, k)
+
+
+def build_hnsw_index(
+    df: DataFrame,
+    n_lists: int = 8,
+    m: int = 16,
+    ef_construction: int = 100,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    ef_search: int | None = None,
+    train_method: str = "sample",
+) -> HNSWIndex:
+    """Build the partitioned index: coarse-quantize into ``n_lists``, assign
+    levels (B1) Spark-side, then build each list's graph in parallel inside
+    ``applyInPandas``."""
+    get_metric(metric)  # validate early (src/main.ts:42-44)
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).alias("vector"),
+        select_level(F.col(id_col).cast("long"), m, seed).alias("level"),
+    )
+    centroids = train_centroids(
+        base.select("id", "vector"), n_lists, metric, seed, train_method=train_method
+    )
+    assigned = assign_lists(base, centroids, metric, extra_cols=("level",))
+
+    def build_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        levels = pdf["level"].to_numpy()
+        vecs = np.stack(pdf["vector"].to_numpy()).astype(np.float64)
+        ids = pdf["id"].to_numpy()
+        nbrs = build_local_graph(levels, vecs, m, ef_construction, metric)
+        return pd.DataFrame(
+            {
+                "list_id": pdf["list_id"],
+                "id": ids,
+                "level": levels,
+                "vector": pdf["vector"],
+                "neighbors": [
+                    [[int(ids[x]) for x in lvl] for lvl in row] for row in nbrs
+                ],
+            }
+        )
+
+    index_df = assigned.groupBy("list_id").applyInPandas(build_group, NODE_SCHEMA)
+    return HNSWIndex(
+        index_df,
+        centroids,
+        metric,
+        params={
+            "n_lists": n_lists,
+            "m": m,
+            "ef_construction": ef_construction,
+            "ef_search": ef_search,
+            "seed": seed,
+            "train_method": train_method,
+        },
+    )

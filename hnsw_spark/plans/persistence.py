@@ -25,10 +25,15 @@ from pyspark.sql import SparkSession
 from hnsw_spark.operators.ann import IVFIndex
 
 
-def save_index(index: IVFIndex, path: str) -> None:
+def save_index(index, path: str) -> None:
+    """Persist an IVFIndex or HNSWIndex: node table partitioned by list_id
+    (probe-time partition pruning) + params sidecar with a ``kind`` tag."""
+    from hnsw_spark.operators.hnsw_graph import HNSWIndex
+
     nodes = os.path.join(path, "nodes")
     index.index_df.write.mode("overwrite").partitionBy("list_id").parquet(nodes)
     params = {
+        "kind": "hnsw" if isinstance(index, HNSWIndex) else "ivf",
         "metric": index.metric,
         "n_lists": int(index.n_lists),
         "centroids": index.centroids.tolist(),
@@ -38,8 +43,11 @@ def save_index(index: IVFIndex, path: str) -> None:
         json.dump(params, f)
 
 
-def load_index(spark: SparkSession, path: str) -> IVFIndex | None:
-    """None when absent (load-if-exists semantics, src/db.ts:72-74)."""
+def load_index(spark: SparkSession, path: str):
+    """None when absent (load-if-exists semantics, src/db.ts:72-74);
+    ``kind`` defaults to 'ivf' for indexes saved before the tag existed."""
+    from hnsw_spark.operators.hnsw_graph import HNSWIndex
+
     sidecar = os.path.join(path, "params.json")
     if not os.path.exists(sidecar):
         return None
@@ -47,8 +55,10 @@ def load_index(spark: SparkSession, path: str) -> IVFIndex | None:
         params = json.load(f)
     centroids = np.asarray(params.pop("centroids"), dtype=np.float64)
     metric = params.pop("metric", "cosine")  # back-compat default (main.ts:357)
+    kind = params.pop("kind", "ivf")
     index_df = spark.read.parquet(os.path.join(path, "nodes"))
-    return IVFIndex(index_df, centroids, metric, params)
+    cls = HNSWIndex if kind == "hnsw" else IVFIndex
+    return cls(index_df, centroids, metric, params)
 
 
 def delete_index(path: str) -> None:

@@ -93,3 +93,17 @@ def ann_ivf_knn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = build_ivf_index(emb, n_lists=8, metric="cosine")
     res = index.search(qs, k=10, n_probe=2)
     return res.select("query_id", "id", F.round("score", 6).alias("score"))
+
+
+@query("ann_hnsw_knn")  # no oracle: order-dependent graph build (SURVEY §7)
+def ann_hnsw_knn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1-B7 + Q1-Q3: partition-local HNSW graphs over IVF lists, greedy
+    descent + ef-bounded beam per probed list, global top-k merge.
+    Recall-vs-exact asserted in tests (the reference's validation regime)."""
+    from hnsw_spark.operators.hnsw_graph import build_hnsw_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 8)
+    index = build_hnsw_index(emb, n_lists=8, m=8, ef_construction=48, metric="cosine")
+    res = index.search(qs, k=10, n_probe=4, ef_search=48)
+    return res.select("query_id", "id", F.round("score", 6).alias("score"))

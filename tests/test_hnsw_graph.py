@@ -1,0 +1,143 @@
+"""Partitioned HNSW graph tier tests — mirrors the reference's structural
+invariants (tests/HNSW.test.ts) plus recall-vs-exact, its real oracle
+(bench/README.md:108)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hnsw_spark.operators.hnsw_graph import (
+    _LocalSim,
+    _select_neighbors,
+    build_hnsw_index,
+    build_local_graph,
+    search_local_graph,
+)
+from hnsw_spark.operators.knn import knn_exact
+
+
+def test_diversity_heuristic_geometry():
+    # reference tests/HNSW.test.ts:105-115: center (0,0); candidates at
+    # (1,0), (2,0), (0,2); euclidean; expect [ (1,0), (0,2) ] — (2,0) is
+    # shadowed by (1,0) being more similar to it than it is to the center.
+    vecs = np.array([[0, 0], [1, 0], [2, 0], [0, 2]], dtype=np.float64)
+    sim = _LocalSim(vecs, "euclidean")
+    selected = _select_neighbors(sim, 0, [1, 2, 3], 2)
+    assert selected == [1, 3]
+
+
+def test_degree_bound_and_line_graph():
+    # reference tests/HNSW.test.ts:81-103: 1-D line, M=2, all levels 0.
+    vecs = np.array([[0, 0], [0, 1], [0, 2], [0, 3]], dtype=np.float64)
+    levels = np.zeros(4, dtype=np.int64)
+    nbrs = build_local_graph(levels, vecs, m=2, ef_construction=16, metric="euclidean")
+    # last node keeps only its nearest (diversity shadows the rest)
+    assert nbrs[3][0] == [2]
+    assert len(nbrs[1][0]) <= 2
+    assert set(nbrs[1][0]) == {0, 2}
+    for row in nbrs:
+        for lvl in row:
+            assert len(lvl) <= 2
+
+
+def test_local_search_exact_on_small_graph():
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(50, 8))
+    levels = np.zeros(50, dtype=np.int64)
+    nbrs = build_local_graph(levels, vecs, m=8, ef_construction=50, metric="cosine")
+    q = rng.normal(size=8)
+    got = search_local_graph(levels, vecs, nbrs, q, k=5, ef=50, metric="cosine")
+    qn = q / np.linalg.norm(q)
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    exact = np.argsort(-(vn @ qn))[:5]
+    assert [i for _, i in got] == list(exact)
+
+
+def test_k_larger_than_graph_returns_all():
+    vecs = np.array([[0, 1], [1, 0], [1, 1]], dtype=np.float64)
+    levels = np.zeros(3, dtype=np.int64)
+    nbrs = build_local_graph(levels, vecs, m=4, ef_construction=8, metric="cosine")
+    got = search_local_graph(levels, vecs, nbrs, np.array([1.0, 1.0]), 10, 8)
+    assert len(got) == 3  # reference tests/HNSW.test.ts:134-138
+
+
+def test_empty_and_k_zero():
+    assert search_local_graph(
+        np.array([], dtype=np.int64), np.zeros((0, 2)), [], np.array([1.0, 0.0]), 5, 8
+    ) == []
+    vecs = np.array([[0, 1]], dtype=np.float64)
+    nbrs = build_local_graph(np.zeros(1, dtype=np.int64), vecs, 4, 8, "cosine")
+    assert search_local_graph(
+        np.zeros(1, dtype=np.int64), vecs, nbrs, np.array([1.0, 0.0]), 0, 8
+    ) == []
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+
+def test_hnsw_index_recall_vs_exact(spark, embeddings):
+    qs = embeddings.filter(F.col("vec_id") < 8)
+    index = build_hnsw_index(
+        embeddings, n_lists=4, m=16, ef_construction=100, metric="cosine"
+    )
+    approx = index.search(qs, k=10, n_probe=4, ef_search=100).toPandas()
+    exact = knn_exact(embeddings, qs, k=10, metric="cosine").toPandas()
+    hits = 0
+    for qid in exact["query_id"].unique():
+        a = set(approx[approx["query_id"] == qid]["id"])
+        e = set(exact[exact["query_id"] == qid]["id"])
+        hits += len(a & e)
+    recall = hits / len(exact)
+    # n_probe = n_lists and wide ef → recall should be near-perfect
+    assert recall >= 0.95, f"recall@10 = {recall}"
+    # per-query contract: ≤ k rows, sorted score desc (src/main.ts:253-283)
+    counts = approx.groupby("query_id").size()
+    assert (counts <= 10).all()
+
+
+def test_hnsw_persistence_roundtrip(spark, embeddings, tmp_path):
+    # toJSON/fromJSON parity (src/main.ts:322-362 + tests/HNSW.test.ts:117-126):
+    # a save→load round-trip returns identical search results, and the loaded
+    # index comes back as an HNSWIndex with graph columns intact.
+    from hnsw_spark.operators.hnsw_graph import HNSWIndex
+    from hnsw_spark.plans.persistence import delete_index, load_index, save_index
+
+    qs = embeddings.filter(F.col("vec_id") < 4)
+    index = build_hnsw_index(embeddings, n_lists=2, m=8, ef_construction=32)
+    path = str(tmp_path / "hnsw")
+    before = {
+        (r.query_id, r.id)
+        for r in index.search(qs, k=5, n_probe=2, ef_search=32).collect()
+    }
+    save_index(index, path)
+    loaded = load_index(spark, path)
+    assert isinstance(loaded, HNSWIndex)
+    assert loaded.params["m"] == 8 and loaded.params["ef_construction"] == 32
+    after = {
+        (r.query_id, r.id)
+        for r in loaded.search(qs, k=5, n_probe=2, ef_search=32).collect()
+    }
+    assert before == after
+    delete_index(path)
+    assert load_index(spark, path) is None
+
+
+def test_hnsw_index_narrow_probe_still_decent(spark, embeddings):
+    qs = embeddings.filter(F.col("vec_id") < 8)
+    index = build_hnsw_index(
+        embeddings, n_lists=4, m=8, ef_construction=50, metric="euclidean"
+    )
+    approx = index.search(qs, k=10, n_probe=1, ef_search=50).toPandas()
+    exact = knn_exact(embeddings, qs, k=10, metric="euclidean").toPandas()
+    hits = sum(
+        len(
+            set(approx[approx["query_id"] == qid]["id"])
+            & set(exact[exact["query_id"] == qid]["id"])
+        )
+        for qid in exact["query_id"].unique()
+    )
+    assert hits / len(exact) >= 0.4  # 1/4 of lists probed
