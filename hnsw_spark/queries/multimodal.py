@@ -1,0 +1,50 @@
+"""Multimodal query surface: the image decode → feature-extract pipeline and
+video frame sampling over a deterministic synthetic media table.
+
+Rows-only oracle: the stubbed codec (md5-seeded fake decode — the container
+has no image libraries, see operators/multimodal.py) is not SQL-expressible,
+but every output is deterministic, so row counts and schema are stable.  The
+Spark-side plumbing being exercised — binary columns with typed metadata,
+Arrow-batched mapInPandas decode, fixed-schema feature rows feeding the
+ANN/dedup operators — is the real, scale-relevant part.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hnsw_spark.functions.similarity import l2_norm
+from hnsw_spark.operators.multimodal import (
+    frame_sample,
+    image_features,
+    synthetic_media,
+)
+from hnsw_spark.registry import query
+
+N_MEDIA = 64
+
+
+@query("multimodal_image_features")  # rows-only: stubbed codec is not SQL
+def multimodal_image_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + feature-extract 64 synthetic images via Arrow-batched
+    mapInPandas; emits (media_id, dim, norm) — the embedding column itself
+    feeds knn_exact/build_ivf_index unchanged (tested in
+    tests/test_streaming_multimodal.py)."""
+    media = synthetic_media(spark, count=N_MEDIA, kind="image")
+    feats = image_features(media)
+    return feats.select(
+        "media_id",
+        F.size("embedding").alias("dim"),
+        F.round(l2_norm("embedding"), 4).alias("norm"),
+        "width",
+        "height",
+    )
+
+
+@query("multimodal_frame_sample")  # rows-only: no media table in fixtures
+def multimodal_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: every-10th-frame expansion over synthetic
+    video rows — pure relational sequence/explode plumbing."""
+    media = synthetic_media(spark, count=16, kind="video")
+    return frame_sample(media, every_n=10)

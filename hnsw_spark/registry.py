@@ -38,6 +38,7 @@ def load_all_queries() -> None:
         "hnsw_spark.queries.dedup",
         "hnsw_spark.queries.relational",
         "hnsw_spark.queries.index",
+        "hnsw_spark.queries.multimodal",
     ):
         try:
             __import__(mod)
