@@ -78,6 +78,8 @@ def main() -> None:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
+    protocol = _protocol_axes(spark, sf_dir, qs)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -87,10 +89,65 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "protocol": protocol,
             }
         )
     )
     spark.stop()
+
+
+def _protocol_axes(spark, sf_dir: str, qs) -> dict:
+    """BASELINE.md axes: exact-kNN latency percentiles + queries/s (floor
+    percentile convention, src/bench/metrics.ts:51-57), ANN recall@10 +
+    speedup vs exact, and index build time — the reference's own protocol
+    (src/bench/run.ts:145-228)."""
+    from pyspark.sql import functions as F
+
+    from hnsw_spark.operators.evaluation import mean_recall, recall_table
+    from hnsw_spark.operators.knn import knn_exact
+    from hnsw_spark.plans.sweep import SweepConfig, run_sweep
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    queries = emb.filter(F.col("vec_id") < 8)
+    n_q = queries.count()
+
+    # exact kNN: repeated batch walls → floor-index percentiles
+    walls = []
+    for _ in range(5):
+        t0 = time.time()
+        knn_exact(emb, queries, k=10, metric="cosine").write.format("noop").mode(
+            "overwrite"
+        ).save()
+        walls.append(time.time() - t0)
+    walls.sort()
+    p = lambda q: walls[int(q / 100 * (len(walls) - 1))]  # noqa: E731
+    exact_avg = sum(walls) / len(walls)
+
+    # ANN tiers: one sweep cell each (build + probe + recall vs exact)
+    cfg = SweepConfig(
+        tiers=("ivf", "hnsw"), n_lists=(8,), n_probe=(2,), ef_search=(48,),
+        k=10, m=8, ef_construction=48,
+    )
+    cells = {r["tier"]: r for r in run_sweep(spark, emb, queries, cfg)}
+    emb.unpersist()
+
+    out = {
+        "exact_knn": {
+            "n_queries": n_q,
+            "batch_wall_avg_s": round(exact_avg, 3),
+            "batch_wall_p50_s": round(p(50), 3),
+            "batch_wall_p95_s": round(p(95), 3),
+            "queries_per_s": round(n_q / exact_avg, 1),
+        }
+    }
+    for tier, r in cells.items():
+        out[f"ann_{tier}"] = {
+            "build_ms": r["build_ms"],
+            "search_ms": r["search_ms_total"],
+            "recall_at_10": r["recall_at_k"],
+            "speedup_vs_exact": round(exact_avg * 1000.0 / max(r["search_ms_total"], 1e-9), 2),
+        }
+    return out
 
 
 if __name__ == "__main__":
