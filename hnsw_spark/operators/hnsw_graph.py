@@ -101,6 +101,18 @@ class _LocalSim:
         d2 = max(self.sq[i] - 2.0 * float(self.v[i] @ self.v[j]) + self.sq[j], 0.0)
         return 1.0 / (1.0 + np.sqrt(d2))
 
+    def cross(self, idx: np.ndarray) -> np.ndarray:
+        """All-pairs similarity among rows ``idx`` in one matmul — lets the
+        diversity heuristic's inner loop run on scalar lookups instead of
+        per-pair kernel calls (the build's hot path)."""
+        if self.metric == "cosine":
+            m = self.vn[idx]
+            return m @ m.T
+        m = self.v[idx]
+        sq = self.sq[idx]
+        d2 = np.maximum(sq[:, None] - 2.0 * (m @ m.T) + sq[None, :], 0.0)
+        return 1.0 / (1.0 + np.sqrt(d2))
+
 
 def _select_neighbors(
     sim: _LocalSim, node: int, cand: list[int], max_neighbors: int
@@ -115,14 +127,16 @@ def _select_neighbors(
     idx = np.asarray(uniq)
     s = sim.scores(sim.prep_query(sim.v[node]), idx)
     order = np.lexsort((idx, -s))
-    selected: list[int] = []
+    pairm = sim.cross(idx)  # one matmul; the greedy loop below is scalar-only
+    selected: list[int] = []  # positions into idx
     for o in order:
         if len(selected) >= max_neighbors:
             break
-        c, c_score = int(idx[o]), float(s[o])
-        if all(sim.pair(c, n) <= c_score for n in selected):
-            selected.append(c)
-    return selected
+        o = int(o)
+        c_score = float(s[o])
+        if all(pairm[o, p] <= c_score for p in selected):
+            selected.append(o)
+    return [int(idx[p]) for p in selected]
 
 
 def _greedy_search(

@@ -142,6 +142,73 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_props_stats",
+    """
+SELECT event_type,
+       count(k)::BIGINT AS n_with_k,
+       min(k) AS min_k, max(k) AS max_k,
+       sum(k)::BIGINT AS sum_k,
+       round(sum(k) / count(k), 6) AS avg_k
+FROM (SELECT event_type, json_extract(props, '$.k')::BIGINT AS k FROM events)
+GROUP BY event_type
+""",
+)
+def events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: JSON path over the ``props`` string column
+    → typed stats per event_type (the json/string scalar-function surface the
+    reference lacks but a training pipeline needs)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long").alias("k")
+    return (
+        ev.select("event_type", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.sum("k") / F.count("k"), 6).alias("avg_k"),
+        )
+    )
+
+
+@query(
+    "user_sessions",
+    """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events WHERE user_id < 500
+)
+SELECT user_id, count(*)::BIGINT AS n_events,
+       sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END)::BIGINT AS n_sessions
+FROM e GROUP BY user_id
+""",
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per-user event ordering + 30-minute-gap session
+    breaks via lag window — one shuffle on user_id serves both the window
+    and the aggregation (the partitioning is reused across stages)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 500)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts") - F.lag("ts").over(w)
+    new_session = F.when(
+        F.lag("ts").over(w).isNull()
+        | (gap > F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    return (
+        ev.select("user_id", new_session.alias("ns"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("ns").cast("long").alias("n_sessions"),
+        )
+    )
+
+
+@query(
     "order_priority_rolling",
     """
 SELECT o_orderpriority, o_orderkey, o_totalprice,
