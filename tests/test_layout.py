@@ -1,0 +1,67 @@
+"""Physical-layout strategies: bucketed joins plan without a shuffle;
+salted joins return identical results while splitting hot keys."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hnsw_spark.plans.layout import (
+    explain_has_exchange_above_scan,
+    salted_join,
+    write_bucketed,
+)
+
+
+def test_bucketed_join_skips_shuffle(spark, tmp_path):
+    # managed tables land in the session warehouse; DROP TABLE removes them
+    left = spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    right = spark.range(0, 10000, 3).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("w")
+    )
+    write_bucketed(left, "t_left_b", ["k"], n_buckets=8)
+    write_bucketed(right, "t_right_b", ["k"], n_buckets=8)
+    # disable broadcast so the join must co-locate by key — the case where
+    # bucketing saves the shuffle (at 100 TB neither side broadcasts anyway)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.table("t_left_b")
+        b = spark.table("t_right_b")
+        joined = a.join(b, "k")
+        # co-located buckets: no Exchange anywhere in the join plan
+        assert not explain_has_exchange_above_scan(joined)
+        assert joined.count() == 3334
+        # the same join on unbucketed frames DOES shuffle (sanity of the probe)
+        plain = left.join(right.withColumnRenamed("w", "w2"), "k")
+        assert explain_has_exchange_above_scan(plain)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_left_b")
+        spark.sql("DROP TABLE IF EXISTS t_right_b")
+
+
+def test_salted_join_matches_plain_join(spark):
+    # one pathological hot key (0) + a long tail
+    skewed = spark.range(0, 5000).select(
+        F.when(F.col("id") < 4000, F.lit(0)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("attr")
+    )
+    plain = skewed.join(dim, "k").select("k", "payload", "attr")
+    salted = salted_join(skewed, dim, "k", n_salts=4).select("k", "payload", "attr")
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_salted_join_left_outer(spark):
+    skewed = spark.range(0, 100).select(F.col("id").alias("k"))
+    dim = spark.range(0, 50).select(F.col("id").alias("k"), F.lit(1).alias("m"))
+    out = salted_join(skewed, dim, "k", n_salts=3, how="left")
+    assert out.count() == 100
+    assert out.filter(F.col("m").isNull()).count() == 50
