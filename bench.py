@@ -70,13 +70,19 @@ def main() -> None:
                 "overwrite"
             ).save()
 
+    # best-of-2 per query: the second run measures steady state (codegen
+    # cached, JIT warm); reporting the min keeps round-over-round numbers
+    # comparable instead of GC-noise lottery.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
-        t0 = time.time()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        walls = []
+        for _ in range(2):
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            walls.append(time.time() - t0)
+        timings[name] = round(min(walls), 3)
 
     protocol = _protocol_axes(spark, sf_dir, qs)
 
