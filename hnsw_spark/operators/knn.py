@@ -137,15 +137,26 @@ def _knn_local_merge(base, queries, k, metric, base_id, base_vec, query_id, quer
             scores = _score_block(metric, qmat_l, bmat)  # (Q, N)
             n = scores.shape[1]
             kk = min(k, n)
-            # per-query local top-k: argpartition then exact sort of the head
-            part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+            # NaN (zero-norm cosine) must rank HIGHEST to match Catalyst's
+            # sort order (Spark treats NaN as the largest double; numpy's
+            # argpartition would instead sort it last) — selection uses +inf,
+            # the emitted score stays NaN.
+            sel = np.where(np.isnan(scores), np.inf, scores)
+            # per-query local top-k: argpartition; the global window applies
+            # the exact (score desc, id asc) order.  The emitted score uses
+            # the +inf encoding too: pandas→Arrow turns NaN into NULL (which
+            # desc-sorts LAST, silently dropping the row) — +inf survives the
+            # boundary, sorts exactly where Catalyst puts NaN (largest), and
+            # is unattainable for cosine/euclidean-similarity, so it is
+            # decoded back to NaN after the merge.
+            part = np.argpartition(-sel, kk - 1, axis=1)[:, :kk]
             rows = np.repeat(np.arange(nq), kk)
             cols = part.ravel()
             yield pd.DataFrame(
                 {
                     "query_id": q_ids_l[rows],
                     "id": ids[cols],
-                    "score": scores[rows, cols],
+                    "score": sel[rows, cols],
                 }
             )
 
@@ -153,7 +164,14 @@ def _knn_local_merge(base, queries, k, metric, base_id, base_vec, query_id, quer
         F.col(base_id).cast("long").alias("id"), F.col(base_vec).alias("v")
     )
     local = b.mapInPandas(score_partition, schema=_RESULT_SCHEMA)
-    return _topk_window(local, k)
+    merged = _topk_window(local, k)
+    # decode the NaN-as-inf transport encoding (see score_partition note)
+    return merged.withColumn(
+        "score",
+        F.when(F.col("score") == float("inf"), F.lit(float("nan"))).otherwise(
+            F.col("score")
+        ),
+    )
 
 
 def similarity_scores(

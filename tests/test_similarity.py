@@ -105,3 +105,19 @@ def test_window_and_local_merge_agree(spark):
         wr = {(r.query_id, r.id) for r in w.collect()}
         mr = {(r.query_id, r.id) for r in m.collect()}
         assert wr == mr
+
+
+def test_knn_strategies_agree_on_nan_ranking(spark):
+    # Spark sorts NaN as the largest double, so a zero-norm (NaN-cosine) row
+    # ranks FIRST under desc ordering in the window strategy; the
+    # local_merge selection must agree (numpy would otherwise drop NaN).
+    from hnsw_spark.operators.knn import knn_exact
+
+    rows = [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.5, 0.5]), (3, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id = 1")
+    res = {}
+    for strat in ("window", "local_merge"):
+        got = knn_exact(df, q, k=3, metric="cosine", strategy=strat).collect()
+        res[strat] = [r.id for r in got]
+    assert res["window"] == res["local_merge"] == [0, 1, 2]
