@@ -90,16 +90,21 @@ class _LocalSim:
         """Similarity of the prepared query vs rows ``idx`` in one matmul."""
         if self.metric == "cosine":
             return self.vn[idx] @ qprep
-        d2 = np.maximum(
-            self.sq[idx] - 2.0 * (self.v[idx] @ qprep) + (qprep @ qprep), 0.0
-        )
+        qq = qprep @ qprep
+        d2 = np.maximum(self.sq[idx] - 2.0 * (self.v[idx] @ qprep) + qq, 0.0)
+        # recompute near-zero entries: the expansion cancels catastrophically
+        # for near-identical vectors (see operators/knn.py::_score_block)
+        near = d2 < 1e-8 * (self.sq[idx] + qq)
+        if near.any():
+            diff = self.v[idx[near]] - qprep
+            d2[near] = (diff * diff).sum(axis=1)
         return 1.0 / (1.0 + np.sqrt(d2))
 
     def pair(self, i: int, j: int) -> float:
         if self.metric == "cosine":
             return float(self.vn[i] @ self.vn[j])
-        d2 = max(self.sq[i] - 2.0 * float(self.v[i] @ self.v[j]) + self.sq[j], 0.0)
-        return 1.0 / (1.0 + np.sqrt(d2))
+        diff = self.v[i] - self.v[j]  # direct form: no cancellation
+        return 1.0 / (1.0 + np.sqrt(float(diff @ diff)))
 
     def cross(self, idx: np.ndarray) -> np.ndarray:
         """All-pairs similarity among rows ``idx`` in one matmul — lets the
@@ -111,6 +116,11 @@ class _LocalSim:
         m = self.v[idx]
         sq = self.sq[idx]
         d2 = np.maximum(sq[:, None] - 2.0 * (m @ m.T) + sq[None, :], 0.0)
+        near = d2 < 1e-8 * (sq[:, None] + sq[None, :])
+        if near.any():
+            ii, jj = np.nonzero(near)
+            diff = m[ii] - m[jj]
+            d2[ii, jj] = (diff * diff).sum(axis=1)
         return 1.0 / (1.0 + np.sqrt(d2))
 
 

@@ -114,6 +114,14 @@ def _score_block(metric: str, qmat: np.ndarray, bmat: np.ndarray) -> np.ndarray:
     sq = (qmat * qmat).sum(axis=1, keepdims=True)
     sb = (bmat * bmat).sum(axis=1, keepdims=True)
     d2 = np.maximum(sq - 2.0 * (qmat @ bmat.T) + sb.T, 0.0)
+    # the expansion cancels catastrophically near zero distance (a self-pair
+    # comes out ~1e-14 → dist 1e-7 → sim 0.99999994 instead of 1.0, exactly
+    # where near-dup detection looks); recompute those few entries directly
+    near = d2 < 1e-8 * (sq + sb.T)
+    if near.any():
+        ii, jj = np.nonzero(near)
+        diff = qmat[ii] - bmat[jj]
+        d2[ii, jj] = (diff * diff).sum(axis=1)
     return 1.0 / (1.0 + np.sqrt(d2))
 
 

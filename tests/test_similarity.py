@@ -121,3 +121,23 @@ def test_knn_strategies_agree_on_nan_ranking(spark):
         got = knn_exact(df, q, k=3, metric="cosine", strategy=strat).collect()
         res[strat] = [r.id for r in got]
     assert res["window"] == res["local_merge"] == [0, 1, 2]
+
+
+def test_knn_strategies_agree_at_scale(spark):
+    # the 100 TB plan (local_merge) must return exactly the window plan's
+    # results on a larger corpus — guards the per-batch top-k + global merge
+    # against boundary/tie divergence.
+    from pyspark.sql import functions as F
+
+    from hnsw_spark.operators.knn import knn_exact
+    from hnsw_spark.sources.synthetic import synthetic_vectors
+
+    corpus = synthetic_vectors(spark, 20000, 32, seed=5).repartition(16).cache()
+    qs = corpus.filter(F.col("vec_id") < 6)
+    for metric in ("cosine", "euclidean"):
+        w = knn_exact(corpus, qs, k=10, metric=metric, strategy="window")
+        m = knn_exact(corpus, qs, k=10, metric=metric, strategy="local_merge")
+        wa = {(r.query_id, r.id, round(r.score, 9)) for r in w.collect()}
+        ma = {(r.query_id, r.id, round(r.score, 9)) for r in m.collect()}
+        assert wa == ma
+    corpus.unpersist()
