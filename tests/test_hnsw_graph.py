@@ -141,3 +141,14 @@ def test_hnsw_index_narrow_probe_still_decent(spark, embeddings):
         for qid in exact["query_id"].unique()
     )
     assert hits / len(exact) >= 0.4  # 1/4 of lists probed
+
+
+def test_ef_floors_to_k_and_empty_queries(spark, embeddings):
+    # ef = max(k, efSearch) (src/main.ts:267): a tiny ef_search must still
+    # return k rows per query; an empty query batch returns an empty frame.
+    qs = embeddings.filter(F.col("vec_id") < 3)
+    index = build_hnsw_index(embeddings, n_lists=2, m=8, ef_construction=32)
+    got = index.search(qs, k=10, n_probe=2, ef_search=1).toPandas()
+    assert (got.groupby("query_id").size() == 10).all()
+    empty = index.search(embeddings.filter(F.col("vec_id") < 0), k=5)
+    assert empty.count() == 0
