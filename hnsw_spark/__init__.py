@@ -13,6 +13,14 @@ DataFrame programs:
 - ``operators.ann``         — the approximate tier: IVF-partitioned index build
   + nProbe-routed search (the Spark-native analogue of the HNSW layer
   hierarchy, src/main.ts:202-229).
+- ``operators.hnsw_graph``  — the reference's namesake algorithm itself:
+  per-list HNSW graphs built inside applyInPandas (level sampling, diversity
+  heuristic, reciprocal pruning), greedy-descent + ef-bounded beam search
+  (src/main.ts:71-129, 202-317).
+- ``operators.validate``    — ingest guards: dimension consistency and
+  duplicate-id rejection (src/main.ts:234-248).
+- ``plans.sweep`` / ``plans.layout`` — benchmark grid sweeps with JSON/CSV
+  sinks (src/bench/run.ts), bucketed co-located joins, skew salting.
 - ``operators.evaluation``  — recall@k, micro-averaged mean recall, floor-index
   percentiles, latency summaries, A/B diff reports (src/bench/metrics.ts,
   src/bench/report.ts).
@@ -27,3 +35,42 @@ DataFrame programs:
 """
 
 __version__ = "0.1.0"
+
+from hnsw_spark.functions.similarity import (  # noqa: E402
+    cosine_similarity,
+    dot_product,
+    euclidean_distance,
+    euclidean_similarity,
+    get_metric,
+    l2_norm,
+)
+from hnsw_spark.operators.ann import IVFIndex, build_ivf_index  # noqa: E402
+from hnsw_spark.operators.hnsw_graph import (  # noqa: E402
+    HNSWIndex,
+    build_hnsw_index,
+)
+from hnsw_spark.operators.knn import knn_exact  # noqa: E402
+from hnsw_spark.operators.validate import validate_vectors  # noqa: E402
+from hnsw_spark.plans.persistence import (  # noqa: E402
+    delete_index,
+    load_index,
+    save_index,
+)
+
+__all__ = [
+    "dot_product",
+    "cosine_similarity",
+    "euclidean_distance",
+    "euclidean_similarity",
+    "l2_norm",
+    "get_metric",
+    "knn_exact",
+    "build_ivf_index",
+    "IVFIndex",
+    "build_hnsw_index",
+    "HNSWIndex",
+    "validate_vectors",
+    "save_index",
+    "load_index",
+    "delete_index",
+]
