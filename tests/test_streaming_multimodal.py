@@ -114,3 +114,35 @@ def test_frame_sample(spark):
     # n_frames=100 → frames 0,25,50,75 per video
     assert len(frames) == 12
     assert {f.frame_idx for f in frames} == {0, 25, 50, 75}
+
+
+def test_stream_window_agg_matches_batch(spark, event_files):
+    # the streaming windowed agg must produce exactly the batch groupBy's
+    # result on the same files — window boundaries, counts, and sums.
+    stream = stream_events(spark, event_files)
+    agg = windowed_event_counts(stream, window="1 hour", watermark="4 hours")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_parity")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.win_start, r.win_end, r.event_type, r.n, round(r.total_value, 9))
+            for r in spark.sql("select * from win_parity").collect()
+        }
+    finally:
+        q.stop()
+    batch = (
+        spark.read.parquet(event_files)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select("win.start", "win.end", "event_type", "n", "total_value")
+    )
+    want = {
+        (r.start, r.end, r.event_type, r.n, round(r.total_value, 9))
+        for r in batch.collect()
+    }
+    assert got == want
