@@ -152,3 +152,29 @@ def test_ef_floors_to_k_and_empty_queries(spark, embeddings):
     assert (got.groupby("query_id").size() == 10).all()
     empty = index.search(embeddings.filter(F.col("vec_id") < 0), k=5)
     assert empty.count() == 0
+
+
+def test_recall_monotone_in_ef_search(spark):
+    # the reference's documented expectation: efSearch up -> recall up
+    # (bench/README.md:102-104); fixed seed + fixed index, widening beam.
+    from hnsw_spark.operators.evaluation import mean_recall, recall_table
+    from hnsw_spark.sources.synthetic import synthetic_vectors
+
+    corpus = synthetic_vectors(spark, 3000, 16, seed=9).cache()
+    qs = corpus.filter(F.col("vec_id") < 16)
+    exact = knn_exact(corpus, qs, k=10, metric="cosine").cache()
+    exact.count()
+    idx = build_hnsw_index(corpus, n_lists=4, m=8, ef_construction=32)
+    idx.index_df = idx.index_df.cache()
+    idx.index_df.count()
+    recalls = {}
+    for ef in (10, 32, 100):
+        approx = idx.search(qs, k=10, n_probe=4, ef_search=ef)
+        recalls[ef] = mean_recall(recall_table(approx, exact)).first().mean_recall
+    assert recalls[10] >= 0.8
+    assert recalls[32] >= recalls[10]
+    assert recalls[100] >= recalls[32]
+    assert recalls[100] >= 0.99  # full probe + wide beam on a small corpus
+    idx.index_df.unpersist()
+    exact.unpersist()
+    corpus.unpersist()
