@@ -86,6 +86,26 @@ def read_ivecs_as_float(
     return binary.mapInPandas(_reader("<i4", limit, offset), schema=_SCHEMA)
 
 
+def stream_fvecs(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """S4 streaming fvecs scan (reference src/bench/dataset.ts:153-194):
+    vectors arrive incrementally as files land; Spark's file source handles
+    chunk/recovery concerns the reference's manual boundary-safe decoder
+    managed by hand.  One whole file decodes per record batch (fvecs is not
+    splittable); cap ingest rate with ``max_files_per_trigger``."""
+    binary = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(path)
+        .select("path", "content")
+    )
+    return binary.mapInPandas(_reader("<f4", None, 0), schema=_SCHEMA)
+
+
 def write_fvecs(path: str, matrix: np.ndarray) -> None:
     """Test/fixture helper: encode a (n, dim) float32 matrix as fvecs."""
     m = np.ascontiguousarray(matrix, dtype=np.float32)

@@ -82,3 +82,36 @@ def test_level_probs_sum_and_distribution(spark):
     hist = {r.level: r["count"] for r in df.groupBy("level").count().collect()}
     assert hist[0] / 20000 == pytest.approx(probs[0], abs=0.01)
     assert hist[1] / 20000 == pytest.approx(probs[1], abs=0.01)
+
+
+def test_stream_fvecs_incremental(spark, tmp_path):
+    # S4: vectors land file-by-file; the stream decodes each arrival and the
+    # accumulated set matches a batch read of the same directory.
+    import numpy as np
+
+    from hnsw_spark.sources.fvecs import read_fvecs, stream_fvecs, write_fvecs
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    rng = np.random.default_rng(3)
+    for i in range(3):
+        write_fvecs(str(src / f"part{i}.fvecs"), rng.normal(size=(5, 4)))
+    stream = stream_fvecs(spark, str(src))
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("fvecs_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql(
+            "select path, vec_id, embedding from fvecs_stream"
+        ).collect()
+    finally:
+        q.stop()
+    want = read_fvecs(spark, str(src)).collect()
+    key = lambda r: (r.path, r.vec_id, tuple(r.embedding))  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    assert len(got) == 15
