@@ -233,20 +233,36 @@ def _connect(
 
 
 def build_local_graph(
-    levels: np.ndarray, vecs: np.ndarray, m: int, ef_construction: int, metric: str
+    levels: np.ndarray,
+    vecs: np.ndarray,
+    m: int,
+    ef_construction: int,
+    metric: str,
+    existing: list[list[list[int]]] | None = None,
 ) -> list[list[list[int]]]:
     """Sequential HNSW build over one partition's rows, in row order
     (src/main.ts:202-317).  Returns per-row per-level adjacency (row indices,
-    not ids — the caller translates)."""
+    not ids — the caller translates).
+
+    ``existing`` enables the incremental addPoint path (src/main.ts:234-248):
+    rows ``0..len(existing)-1`` keep their wiring and rows beyond it are
+    inserted into the live graph in row order, exactly as a continued
+    ``addPoint`` sequence would."""
     n = len(levels)
-    nbrs: list[list[list[int]]] = [
-        [[] for _ in range(int(levels[i]) + 1)] for i in range(n)
-    ]
+    n0 = len(existing) if existing else 0
+    nbrs: list[list[list[int]]] = (
+        [[list(lvl) for lvl in row] for row in existing] if existing else []
+    ) + [[[] for _ in range(int(levels[i]) + 1)] for i in range(n0, n)]
     if n == 0:
         return nbrs
     sim = _LocalSim(vecs, metric)
-    entry, level_max = 0, int(levels[0])
-    for i in range(1, n):
+    if n0 == 0:
+        entry, level_max, start = 0, int(levels[0]), 1
+    else:
+        level_max = int(levels[:n0].max())
+        entry = int(np.argmax(levels[:n0] == level_max))
+        start = n0
+    for i in range(start, n):
         qprep = sim.prep_query(vecs[i])
         lvl_i = int(levels[i])
         ep = entry
@@ -380,6 +396,76 @@ class HNSWIndex:
         # global merge: ids are unique across lists, so dedupe (src/main.ts:
         # 269-280) is structural and the merge is a pure top-k.
         return _topk_window(local, k)
+
+
+def add_points(
+    index: HNSWIndex,
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> HNSWIndex:
+    """Incremental insert (the addPoint path, src/main.ts:234-248): new
+    vectors are routed to their lists with the frozen centroids and wired
+    into each list's live graph — existing adjacency is preserved and
+    extended, untouched lists pass through unchanged.
+
+    Insertion order within a list is ascending id after the existing rows,
+    the same append discipline as the reference's sequential addPoint; ids
+    must be fresh (duplicate inserts are rejected by validate_vectors
+    upstream, matching src/main.ts:240-242).
+    """
+    m = int(index.params.get("m", 16))
+    ef_construction = int(index.params.get("ef_construction", 100))
+    seed = int(index.params.get("seed", 42))
+    metric = index.metric
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).alias("vector"),
+        select_level(F.col(id_col).cast("long"), m, seed).alias("level"),
+    )
+    assigned = assign_lists(base, index.centroids, metric, extra_cols=("level",))
+    new_nodes = assigned.withColumn(
+        "neighbors", F.lit(None).cast("array<array<long>>")
+    ).select("list_id", "id", "level", "vector", "neighbors")
+    unioned = index.index_df.select(
+        "list_id", "id", "level", "vector", "neighbors"
+    ).unionByName(new_nodes)
+
+    def rewire_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        is_new = pdf["neighbors"].isna()
+        old = pdf[~is_new].sort_values("id")
+        new = pdf[is_new].sort_values("id")
+        if new.empty:  # untouched list: pass through unchanged
+            return old.reset_index(drop=True)
+        ordered = pd.concat([old, new]).reset_index(drop=True)
+        ids = ordered["id"].to_numpy()
+        levels = ordered["level"].to_numpy()
+        vecs = np.stack(ordered["vector"].to_numpy()).astype(np.float64)
+        pos = {int(v): i for i, v in enumerate(ids)}
+        if old.empty:
+            existing = None
+        else:
+            existing = [
+                [[pos[int(x)] for x in lvl if int(x) in pos] for lvl in row]
+                for row in old["neighbors"]
+            ]
+        nbrs = build_local_graph(
+            levels, vecs, m, ef_construction, metric, existing=existing
+        )
+        return pd.DataFrame(
+            {
+                "list_id": ordered["list_id"],
+                "id": ids,
+                "level": levels,
+                "vector": ordered["vector"],
+                "neighbors": [
+                    [[int(ids[x]) for x in lvl] for lvl in row] for row in nbrs
+                ],
+            }
+        )
+
+    index_df = unioned.groupBy("list_id").applyInPandas(rewire_group, NODE_SCHEMA)
+    return HNSWIndex(index_df, index.centroids, metric, dict(index.params))
 
 
 def build_hnsw_index(

@@ -178,3 +178,42 @@ def test_recall_monotone_in_ef_search(spark):
     idx.index_df.unpersist()
     exact.unpersist()
     corpus.unpersist()
+
+
+def test_incremental_add_points_matches_continued_build(spark):
+    # addPoint parity (src/main.ts:234-248): inserting a second batch into a
+    # live local graph gives the SAME adjacency as one continuous build over
+    # the concatenation — build_local_graph(existing=...) is a continued
+    # insertion sequence, not an approximation.
+    rng = np.random.default_rng(21)
+    vecs = rng.normal(size=(60, 8))
+    levels = (rng.random(60) * 2).astype(np.int64)
+    full = build_local_graph(levels, vecs, m=6, ef_construction=24, metric="cosine")
+    first = build_local_graph(
+        levels[:40], vecs[:40], m=6, ef_construction=24, metric="cosine"
+    )
+    resumed = build_local_graph(
+        levels, vecs, m=6, ef_construction=24, metric="cosine", existing=first
+    )
+    assert resumed == full
+
+
+def test_add_points_index_searchable(spark, embeddings):
+    # new vectors become findable; untouched-list rows keep their wiring
+    from hnsw_spark.operators.hnsw_graph import add_points
+
+    base = embeddings.filter(F.col("vec_id") < 300)
+    extra = embeddings.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 340))
+    index = build_hnsw_index(base, n_lists=2, m=8, ef_construction=32)
+    index.index_df = index.index_df.cache()
+    index.index_df.count()
+    grown = add_points(index, extra)
+    assert grown.index_df.count() == 340
+    # query WITH one of the new vectors: it must rank itself first
+    q = embeddings.filter(F.col("vec_id") == 320)
+    got = grown.search(q, k=5, n_probe=2, ef_search=64).toPandas()
+    assert got.iloc[0]["id"] == 320
+    # exact tier agreement on the grown corpus
+    exact = knn_exact(embeddings.filter(F.col("vec_id") < 340), q, k=5).toPandas()
+    inter = set(got["id"]) & set(exact["id"])
+    assert len(inter) >= 4
