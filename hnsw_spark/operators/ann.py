@@ -182,16 +182,19 @@ def train_centroids(
             [np.asarray(c, dtype=np.float64) for c in model.clusterCenters()]
         )
     elif train_method == "sample":
-        # deterministic hash sample (partition-invariant), bounded size
+        # probe with limit(sample_size+1): if the whole corpus fits the
+        # training budget we already hold it (no count job, no sampling
+        # bias); only a larger corpus pays for the count + deterministic
+        # hash sample (partition-invariant)
         from hnsw_spark.operators.levels import uniform_from_id
 
-        n_rows = base.count()
-        frac = min(1.0, sample_size / max(n_rows, 1))
-        sample = base
-        if frac < 1.0:
+        probe = base.limit(sample_size + 1).toPandas()
+        if len(probe) > sample_size:
+            n_rows = base.count()
+            frac = min(1.0, sample_size / max(n_rows, 1))
             sample = base.filter(uniform_from_id(F.col("id"), seed) < frac)
-        spd = sample.limit(sample_size).toPandas()
-        x = np.stack(spd["vector"].to_numpy()).astype(np.float64)
+            probe = sample.limit(sample_size).toPandas()
+        x = np.stack(probe["vector"].to_numpy()).astype(np.float64)
         centroids = _kmeans_numpy(x, n_lists, seed, max_iter, spherical)
     else:
         raise ValueError(f"unknown train_method: {train_method!r}")

@@ -130,3 +130,43 @@ class StreamingVectorIngest:
             .option("checkpointLocation", checkpoint)
             .start()
         )
+
+
+class StreamingGraphIngest:
+    """Incremental HNSW maintenance over a vector stream: each micro-batch
+    is wired into the persisted graph index with ``add_points`` (the true
+    addPoint path — identical adjacency to a continued sequential build) and
+    the index is re-persisted whole (the reference's single-key overwrite
+    semantics, src/db.ts:54-60).
+
+    The grown node table is local-checkpointed BEFORE the overwrite —
+    writing parquet over the path a lazy plan still reads from would
+    otherwise race the scan.  Suited to moderate per-list volumes; for bulk
+    backfill use build_hnsw_index.
+    """
+
+    def __init__(self, index_path: str):
+        self.index_path = index_path
+
+    def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        from hnsw_spark.operators.hnsw_graph import add_points
+        from hnsw_spark.plans.persistence import load_index, save_index
+
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        index = load_index(spark, self.index_path)
+        if index is None:
+            raise ValueError(
+                f"no index at {self.index_path}; build_hnsw_index first"
+            )
+        grown = add_points(index, batch)
+        grown.index_df = grown.index_df.localCheckpoint(eager=True)
+        save_index(grown, self.index_path)
+
+    def start(self, stream: DataFrame, checkpoint: str):
+        return (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )

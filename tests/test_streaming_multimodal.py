@@ -146,3 +146,43 @@ def test_stream_window_agg_matches_batch(spark, event_files):
         for r in batch.collect()
     }
     assert got == want
+
+
+def test_streaming_graph_ingest_grows_searchable_index(spark, tmp_path):
+    # end-to-end B2: build a base HNSW index, stream two vector files in,
+    # and the persisted index must contain every id and find a streamed one.
+    import numpy as np
+
+    from hnsw_spark.operators.hnsw_graph import build_hnsw_index
+    from hnsw_spark.plans.persistence import load_index, save_index
+    from hnsw_spark.sources.fvecs import stream_fvecs, write_fvecs
+    from hnsw_spark.streaming.ingest import StreamingGraphIngest
+    from hnsw_spark.sources.synthetic import synthetic_vectors
+
+    base = synthetic_vectors(spark, 200, 8, seed=13)
+    index_path = str(tmp_path / "hnsw_idx")
+    save_index(build_hnsw_index(base, n_lists=2, m=8, ef_construction=32), index_path)
+
+    src = tmp_path / "vec_stream"
+    src.mkdir()
+    rng = np.random.default_rng(4)
+    for i in range(2):
+        write_fvecs(str(src / f"b{i}.fvecs"), rng.normal(size=(10, 8)))
+    stream = (
+        stream_fvecs(spark, str(src))
+        .selectExpr("vec_id + 1000 + 100 * cast(regexp_extract(path, 'b([0-9])', 1) as long) as vec_id",
+                    "embedding")
+    )
+    ingest = StreamingGraphIngest(index_path)
+    q = ingest.start(stream, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    final = load_index(spark, index_path)
+    assert final.index_df.count() == 220
+    probe_vec = final.index_df.filter(F.col("id") == 1105).select("vector").first()[0]
+    qdf = spark.createDataFrame([(1105, list(probe_vec))], "vec_id long, embedding array<float>")
+    got = final.search(qdf, k=3, n_probe=2, ef_search=32).toPandas()
+    assert got.iloc[0]["id"] == 1105
