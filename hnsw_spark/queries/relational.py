@@ -142,6 +142,62 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "customers_without_orders",
+    """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+""",
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join: customers with no high-value (>400k) order.  The orders
+    side filters then reduces to a distinct-key set, so the anti probe is
+    key-only and the filter pushes to the scan."""
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select("o_custkey")
+        .distinct()
+    )
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@query(
+    "revenue_rollup",
+    """
+SELECT r_name AS region, n_name AS nation,
+       count(*)::BIGINT AS n_orders,
+       (sum(o_totalprice::DECIMAL(27,8)))::DOUBLE AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+""",
+)
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets: ROLLUP(region, nation) — per-nation rows, per-region
+    subtotals, and a grand total in one pass (partial-agg friendly)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(F.col("r_name").alias("region"), F.col("n_name").alias("nation"),
+                "o_totalprice")
+    )
+    return joined.rollup("region", "nation").agg(
+        F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue")
+    )
+
+
+@query(
     "events_props_stats",
     """
 SELECT event_type,
