@@ -95,6 +95,25 @@ def ann_ivf_knn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("query_id", "id", F.round("score", 6).alias("score"))
 
 
+from hnsw_spark.queries.vector import _COSINE_EXPR, _KNN_ORACLE
+
+
+@query(
+    "ann_ivf_full_probe",
+    _KNN_ORACLE.format(nq=8, k=10, score_expr=_COSINE_EXPR),
+)
+def ann_ivf_full_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with n_probe = n_lists degenerates to exact search, so the WHOLE
+    approximate-tier pipeline — assignment completeness (every vector in
+    exactly one list), Catalyst scoring, broadcast probe join, global top-k
+    merge — is checkable against the exact-kNN SQL oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 8)
+    index = build_ivf_index(emb, n_lists=8, metric="cosine")
+    res = index.search(qs, k=10, n_probe=8)
+    return res.select("query_id", "id", F.round("score", 6).alias("score"))
+
+
 @query("ann_hnsw_knn")  # no oracle: order-dependent graph build (SURVEY §7)
 def ann_hnsw_knn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B1-B7 + Q1-Q3: partition-local HNSW graphs over IVF lists, greedy
