@@ -137,6 +137,24 @@ def _protocol_axes(spark, sf_dir: str, qs) -> dict:
     cells = {r["tier"]: r for r in run_sweep(spark, emb, queries, cfg)}
     emb.unpersist()
 
+    # scale probe: the fixture embeddings are small at sf0.1 (2k rows), so
+    # demonstrate the local_merge scale path on a 100k x 64 seeded synthetic
+    # corpus — per-batch BLAS top-k, shuffle input Q x k x batches, not Q x N
+    from hnsw_spark.sources.synthetic import synthetic_vectors
+
+    big = synthetic_vectors(spark, 100_000, 64, seed=17).repartition(32).cache()
+    big.count()
+    big_q = big.filter(F.col("vec_id") < 8)
+    walls_big = []
+    for _ in range(3):
+        t0 = time.time()
+        knn_exact(
+            big, big_q, k=10, metric="cosine", strategy="local_merge"
+        ).write.format("noop").mode("overwrite").save()
+        walls_big.append(time.time() - t0)
+    big.unpersist()
+    big_best = min(walls_big)
+
     out = {
         "exact_knn": {
             "n_queries": n_q,
@@ -144,7 +162,15 @@ def _protocol_axes(spark, sf_dir: str, qs) -> dict:
             "batch_wall_p50_s": round(p(50), 3),
             "batch_wall_p95_s": round(p(95), 3),
             "queries_per_s": round(n_q / exact_avg, 1),
-        }
+        },
+        "exact_knn_100k_local_merge": {
+            "n_base": 100_000,
+            "dim": 64,
+            "n_queries": 8,
+            "batch_wall_best_s": round(big_best, 3),
+            "queries_per_s": round(8 / big_best, 1),
+            "scored_vectors_per_s": round(8 * 100_000 / big_best),
+        },
     }
     for tier, r in cells.items():
         out[f"ann_{tier}"] = {
