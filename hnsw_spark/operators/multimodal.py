@@ -108,6 +108,75 @@ def image_features(df: DataFrame) -> DataFrame:
     )
 
 
+def _fake_decode_audio(payload: bytes, sample_rate: int, seconds: float = 1.0) -> np.ndarray:
+    """DETERMINISTIC FAKE (no codec in container): md5-seeded float32 mono
+    waveform in [-1, 1) at ``sample_rate``."""
+    seed = int.from_bytes(hashlib.md5(payload).digest()[8:], "little")
+    rng = np.random.default_rng(seed)
+    n = max(1, int(sample_rate * seconds))
+    return (rng.random(n, dtype=np.float32) * 2.0 - 1.0)
+
+
+def decode_audio(payload: bytes, sample_rate: int) -> np.ndarray:
+    try:  # pragma: no cover - soundfile absent in this container
+        import io
+
+        import soundfile as sf
+
+        data, _ = sf.read(io.BytesIO(payload), dtype="float32", always_2d=False)
+        return data if data.ndim == 1 else data.mean(axis=1)
+    except ImportError:
+        return _fake_decode_audio(payload, sample_rate)
+
+
+def _audio_feature(wave: np.ndarray, sample_rate: int) -> np.ndarray:
+    """Feature extraction over a decoded waveform: per-frame RMS energy (32
+    frames), zero-crossing rate, and coarse FFT band energies, L2-normalized
+    → FEATURE_DIM floats.  Pure numpy — this part is real."""
+    n = len(wave)
+    frames = np.array_split(wave.astype(np.float64), 32)
+    rms = np.array([np.sqrt((f * f).mean()) if len(f) else 0.0 for f in frames])
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(wave))))) if n > 1 else 0.0
+    spec = np.abs(np.fft.rfft(wave.astype(np.float64)))
+    bands = np.array([b.mean() if len(b) else 0.0 for b in np.array_split(spec, 28)])
+    bands = bands / max(bands.max(), 1e-30)
+    stats = np.array([wave.mean(), wave.std(), zcr, n / max(sample_rate, 1)])
+    feat = np.concatenate([rms, bands, stats])[:FEATURE_DIM]
+    feat = np.pad(feat, (0, FEATURE_DIM - len(feat)))
+    nrm = np.linalg.norm(feat)
+    return (feat / nrm if nrm > 0 else feat).astype(np.float32)
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """media table → (media_id, embedding ARRAY<FLOAT>, sample_rate) via
+    Arrow-batched partition-parallel decode; output feeds the ANN/dedup
+    operators unchanged (same contract as image_features)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            feats = [
+                _audio_feature(
+                    decode_audio(row.payload, int(row.sample_rate)),
+                    int(row.sample_rate),
+                )
+                for row in pdf.itertuples()
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "embedding": feats,
+                    "sample_rate": pdf["sample_rate"].to_numpy(),
+                }
+            )
+
+    cols = df.select("media_id", "payload", "sample_rate")
+    return cols.mapInPandas(
+        run, schema="media_id long, embedding array<float>, sample_rate int"
+    )
+
+
 def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame sampling: one (media_id, frame_idx) row per kept frame.
     Pure relational expansion — the decode of each kept frame is the stubbed

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from hnsw_spark.functions.similarity import l2_norm
 from hnsw_spark.operators.multimodal import (
+    audio_features,
     frame_sample,
     image_features,
     synthetic_media,
@@ -39,6 +40,20 @@ def multimodal_image_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(l2_norm("embedding"), 4).alias("norm"),
         "width",
         "height",
+    )
+
+
+@query("multimodal_audio_features")  # rows-only: stubbed codec is not SQL
+def multimodal_audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + feature-extract synthetic audio (frame RMS, zero-crossing
+    rate, FFT band energies) via Arrow-batched mapInPandas."""
+    media = synthetic_media(spark, count=32, kind="audio")
+    feats = audio_features(media)
+    return feats.select(
+        "media_id",
+        F.size("embedding").alias("dim"),
+        F.round(l2_norm("embedding"), 4).alias("norm"),
+        "sample_rate",
     )
 
 

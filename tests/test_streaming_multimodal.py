@@ -186,3 +186,32 @@ def test_streaming_graph_ingest_grows_searchable_index(spark, tmp_path):
     qdf = spark.createDataFrame([(1105, list(probe_vec))], "vec_id long, embedding array<float>")
     got = final.search(qdf, k=3, n_probe=2, ef_search=32).toPandas()
     assert got.iloc[0]["id"] == 1105
+
+
+def test_audio_features_shape_determinism_and_feed_knn(spark):
+    from hnsw_spark.operators.knn import knn_exact
+    from hnsw_spark.operators.multimodal import (
+        FEATURE_DIM,
+        audio_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, count=12, kind="audio")
+    feats = audio_features(media)
+    a = feats.orderBy("media_id").collect()
+    b = audio_features(media).orderBy("media_id").collect()
+    assert len(a) == 12
+    assert all(len(r.embedding) == FEATURE_DIM for r in a)
+    # deterministic fake decode → identical features across runs
+    assert [list(r.embedding) for r in a] == [list(r.embedding) for r in b]
+    # unit-normalized, and usable directly as an ANN corpus
+    import numpy as np
+
+    assert all(abs(np.linalg.norm(r.embedding) - 1.0) < 1e-5 for r in a)
+    qs = feats.filter(F.col("media_id") < 2)
+    top = knn_exact(
+        feats, qs, k=3, metric="cosine", base_id="media_id", query_id="media_id"
+    ).toPandas()
+    # self-similarity ranks first per query
+    first = top.sort_values(["query_id", "score"], ascending=[True, False]).groupby("query_id").first()
+    assert (first["id"] == first.index).all()
