@@ -155,7 +155,30 @@ def _protocol_axes(spark, sf_dir: str, qs) -> dict:
     big.unpersist()
     big_best = min(walls_big)
 
+    # dedup-at-scale probe: 50k synthetic docs (fixtures cap at 5k) through
+    # the MinHash signature pass — the dedup ladder's heavy stage
+    from hnsw_spark.operators.dedup import minhash_signatures
+    from hnsw_spark.sources.synthetic import synthetic_documents
+
+    docs = synthetic_documents(spark, 50_000, words_per_doc=40, seed=23).cache()
+    docs.count()
+    walls_mh = []
+    for _ in range(2):
+        t0 = time.time()
+        minhash_signatures(docs, num_perm=32, n=3).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        walls_mh.append(time.time() - t0)
+    docs.unpersist()
+    mh_best = min(walls_mh)
+
     out = {
+        "minhash_50k_docs": {
+            "n_docs": 50_000,
+            "num_perm": 32,
+            "batch_wall_best_s": round(mh_best, 3),
+            "docs_per_s": round(50_000 / mh_best),
+        },
         "exact_knn": {
             "n_queries": n_q,
             "batch_wall_avg_s": round(exact_avg, 3),

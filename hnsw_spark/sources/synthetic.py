@@ -70,3 +70,50 @@ SELECT vec_id,
                       j -> (({u} / {float(P31)}) * 2.0 - 1.0)::FLOAT) AS embedding
 FROM (SELECT range::BIGINT AS vec_id FROM range({count}))
 """
+
+
+def synthetic_documents(
+    spark: SparkSession,
+    count: int,
+    words_per_doc: int = 40,
+    vocab_size: int = 5000,
+    seed: int = 42,
+    dup_every: int | None = 10,
+) -> DataFrame:
+    """DataFrame[(doc_id BIGINT, text STRING)] — deterministic synthetic
+    corpus for dedup-at-scale probes: word j of doc i is a pure hash of
+    (seed, source_id, j), so the corpus is identical under any partitioning.
+
+    ``dup_every`` plants exact duplicates (every Nth doc repeats the text of
+    the doc ``N//2`` before it), giving the dedup ladder a known answer:
+    planted pairs share a fingerprint, MinHash signature, and LSH buckets.
+    No shuffle, no driver data — spark.range + per-row expressions.
+    """
+    base = spark.range(count).withColumnRenamed("id", "doc_id")
+    src = F.col("doc_id")
+    if dup_every and dup_every > 1:
+        is_dup = (F.col("doc_id") % dup_every == dup_every - 1) & (
+            F.col("doc_id") >= dup_every
+        )
+        src = F.when(is_dup, F.col("doc_id") - dup_every // 2).otherwise(
+            F.col("doc_id")
+        )
+    idx = F.sequence(F.lit(0), F.lit(words_per_doc - 1))
+    word = lambda j: F.concat(  # noqa: E731
+        F.lit("w"),
+        (
+            h31(
+                F.concat(
+                    F.lit(f"doc{seed}_"),
+                    src.cast("string"),
+                    F.lit("_"),
+                    j.cast("string"),
+                )
+            )
+            % vocab_size
+        ).cast("string"),
+    )
+    return base.select(
+        "doc_id",
+        F.array_join(F.transform(idx, word), " ").alias("text"),
+    )

@@ -115,3 +115,23 @@ def test_stream_fvecs_incremental(spark, tmp_path):
     key = lambda r: (r.path, r.vec_id, tuple(r.embedding))  # noqa: E731
     assert sorted(map(key, got)) == sorted(map(key, want))
     assert len(got) == 15
+
+
+def test_synthetic_documents_deterministic_with_planted_dups(spark):
+    from hnsw_spark.operators.dedup import exact_dedup
+    from hnsw_spark.sources.synthetic import synthetic_documents
+
+    docs = synthetic_documents(spark, 200, words_per_doc=12, seed=6, dup_every=10)
+    again = synthetic_documents(spark, 200, words_per_doc=12, seed=6, dup_every=10)
+    assert docs.orderBy("doc_id").collect() == again.orderBy("doc_id").collect()
+    # every 10th doc (>= 10) repeats an earlier doc: 19 planted duplicates
+    groups = exact_dedup(docs)
+    dup_groups = groups.filter("n_copies > 1")
+    assert dup_groups.count() == 19
+    assert groups.agg({"n_copies": "sum"}).first()[0] == 200
+    # partition-invariance: the corpus is identical under a different layout
+    re = synthetic_documents(spark, 200, words_per_doc=12, seed=6, dup_every=10)
+    assert (
+        re.repartition(7).orderBy("doc_id").collect()
+        == docs.orderBy("doc_id").collect()
+    )
