@@ -95,6 +95,31 @@ def ann_ivf_knn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("query_id", "id", F.round("score", 6).alias("score"))
 
 
+from hnsw_spark.sources.synthetic import synthetic_documents_sql
+
+_DOC_N, _DOC_W = 500, 20
+
+
+@query(
+    "synthetic_documents",
+    f"""
+SELECT doc_id, substr(md5(text), 1, 16) AS fp, len(string_split(text, ' ')) AS n_words
+FROM ({synthetic_documents_sql(_DOC_N, _DOC_W, seed=SEED)})
+""",
+)
+def synthetic_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded synthetic document corpus (hash-derived words, planted exact
+    duplicates) — byte-identical across engines, fully oracle-checked."""
+    from hnsw_spark.sources.synthetic import synthetic_documents
+
+    docs = synthetic_documents(spark, _DOC_N, _DOC_W, seed=SEED)
+    return docs.select(
+        "doc_id",
+        F.substring(F.md5("text"), 1, 16).alias("fp"),
+        F.size(F.split("text", " ")).alias("n_words"),
+    )
+
+
 from hnsw_spark.queries.vector import _COSINE_EXPR, _KNN_ORACLE
 
 

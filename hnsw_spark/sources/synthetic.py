@@ -117,3 +117,33 @@ def synthetic_documents(
         "doc_id",
         F.array_join(F.transform(idx, word), " ").alias("text"),
     )
+
+
+def synthetic_documents_sql(
+    count: int,
+    words_per_doc: int = 40,
+    vocab_size: int = 5000,
+    seed: int = 42,
+    dup_every: int | None = 10,
+) -> str:
+    """DuckDB mirror of synthetic_documents (hash arithmetic is identical on
+    both engines, so the generated text oracle-matches byte-for-byte)."""
+    src = "doc_id"
+    if dup_every and dup_every > 1:
+        src = (
+            f"CASE WHEN doc_id % {dup_every} = {dup_every - 1} "
+            f"AND doc_id >= {dup_every} THEN doc_id - {dup_every // 2} "
+            f"ELSE doc_id END"
+        )
+    word = (
+        "'w' || ("
+        + h31_sql(f"'doc{seed}_' || src::VARCHAR || '_' || j::VARCHAR")
+        + f" % {vocab_size})::VARCHAR"
+    )
+    return f"""
+SELECT doc_id,
+       array_to_string(list_transform(generate_series(0, {words_per_doc - 1}),
+                                      j -> {word}), ' ') AS text
+FROM (SELECT range::BIGINT AS doc_id, ({src}) AS src
+      FROM range({count}))
+"""
