@@ -134,8 +134,11 @@ def _kmeans_numpy(
     centers = [x[rng.integers(n)]]
     d2 = ((x - centers[0]) ** 2).sum(1)
     for _ in range(1, k):
-        probs = d2 / max(d2.sum(), 1e-30)
-        centers.append(x[rng.choice(n, p=probs)])
+        total = d2.sum()
+        if total <= 0.0:  # all-duplicate sample: any uniform pick is as good
+            centers.append(x[rng.integers(n)])
+        else:
+            centers.append(x[rng.choice(n, p=d2 / total)])
         d2 = np.minimum(d2, ((x - centers[-1]) ** 2).sum(1))
     c = np.stack(centers)
     for _ in range(iters):
@@ -240,6 +243,103 @@ def assign_lists(
     return base.mapInPandas(
         assign, schema=f"list_id int, id long, vector array<float>{extra_schema}"
     )
+
+
+def multi_probe_assign(
+    base: DataFrame, centroids: np.ndarray, metric: str, n_probe: int
+) -> DataFrame:
+    """Assign every (id, vector) row to its ``n_probe`` nearest centroids in
+    one vectorized mapInPandas pass → (list_id, id, vector), n_probe rows per
+    input row.  The multi-probe generalization of ``assign_lists`` — used by
+    ``ivf_self_join`` so boundary pairs (near-duplicates straddling a
+    centroid boundary) still co-bucket in a shared list."""
+    spherical = metric == "cosine"
+    n_probe = min(n_probe, centroids.shape[0])
+    bc = base.sparkSession.sparkContext.broadcast(
+        _normalize_rows(centroids) if spherical else centroids
+    )
+
+    def assign(batches):
+        import pandas as pd
+
+        cents = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.stack(pdf["vector"].to_numpy()).astype(np.float64)
+            if spherical:
+                d = -(_normalize_rows(m) @ cents.T)
+            else:
+                d = (
+                    (m * m).sum(1, keepdims=True)
+                    - 2.0 * (m @ cents.T)
+                    + (cents * cents).sum(1)
+                )
+            lists = np.argsort(d, axis=1)[:, :n_probe]  # (n, n_probe)
+            n_rows = len(pdf)
+            rows = np.repeat(np.arange(n_rows), n_probe)
+            yield pd.DataFrame(
+                {
+                    "list_id": lists.ravel().astype(np.int32),
+                    "id": pdf["id"].to_numpy()[rows],
+                    "vector": pdf["vector"].to_numpy()[rows],
+                }
+            )
+
+    return base.mapInPandas(
+        assign, schema="list_id int, id long, vector array<float>"
+    )
+
+
+def ivf_self_join(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_lists: int = 16,
+    n_probe: int = 2,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    train_method: str = "sample",
+) -> DataFrame:
+    """Bucketed self-similarity join: (id_a, id_b, cosine) pairs with
+    ``id_a < id_b`` and cosine ≥ ``threshold``, scoring only pairs that share
+    at least one of their ``n_probe`` assigned inverted lists.
+
+    This is the scale path for embedding near-dup detection — the same
+    bucketed shape the LSH tier uses: candidate generation is
+    Σ list² over inverted lists, never corpus².  ``n_probe > 1`` recovers
+    boundary pairs; ``n_probe = n_lists`` degenerates to the exact all-pairs
+    result (every pair co-buckets), which is how the oracle checks this
+    operator end-to-end.  Cosine only (the near-dup metric).
+    """
+    if metric != "cosine":
+        raise ValueError(f"ivf_self_join supports cosine only, got {metric!r}")
+    from hnsw_spark.functions.similarity import cosine_similarity
+
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vector")
+    )
+    centroids = train_centroids(
+        base, n_lists, metric, seed, train_method=train_method
+    )
+    assigned = multi_probe_assign(base, centroids, metric, n_probe)
+    a = assigned.select(
+        "list_id", F.col("id").alias("id_a"), F.col("vector").alias("_va")
+    )
+    b = assigned.select(
+        "list_id", F.col("id").alias("id_b"), F.col("vector").alias("_vb")
+    )
+    pairs = a.join(b, "list_id").filter(F.col("id_a") < F.col("id_b"))
+    scored = (
+        pairs.withColumn("cosine", cosine_similarity("_va", "_vb"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+    # a pair co-bucketed in up to n_probe shared lists scores identically in
+    # each; dedupe after the threshold filter so the shuffle input is only
+    # the (small) surviving pair set
+    return scored.dropDuplicates(["id_a", "id_b"])
 
 
 def build_ivf_index(

@@ -61,38 +61,87 @@ def ngram_jaccard_pairs(
     threshold: float = 0.0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_doc_freq: int | None = 10_000,
 ) -> DataFrame:
-    """Pairwise n-gram Jaccard via shingle equi-join (id_a < id_b):
+    """Pairwise n-gram Jaccard via shingle equi-join:
     |A∩B| from the join, |A∪B| = |A|+|B|−|A∩B|.
 
     The join key is the shingle, so cost is Σ bucket² over shingle buckets,
     not corpus² — the distributable formulation of pairwise Jaccard.  When
     ``left`` is a distinct (usually filtered, small) frame, its shingle table
     is broadcast so the corpus-side shingles never shuffle; asymmetric
-    probe-vs-corpus comparison is the common shape at scale."""
+    probe-vs-corpus comparison is the common shape at scale.  Asymmetric
+    output is orientation-free: each (probe, corpus) match is emitted once as
+    (id_a, id_b) = (min, max) — comparing only ``probe.id < corpus.id`` would
+    silently skip corpus docs with smaller ids.  Asymmetric mode assumes an
+    id names the same document on both sides (the probe frame is a filter of
+    the corpus, the common case).
+
+    ``max_doc_freq`` is the anti-quadratic guard (the analogue of LSH's
+    ``max_bucket``): shingles appearing in more than that many corpus docs —
+    stop-phrases shared by millions of documents at 100 TB, whose bucket²
+    join cost is the one blowup this formulation has — are dropped from the
+    set representation entirely (both |A∩B| and |A|, so Jaccard stays
+    internally consistent).  The banned set is at most
+    (total shingle instances / max_doc_freq) rows, so it broadcasts, and the
+    filter is a broadcast anti-join — no extra shuffle on the corpus side."""
     asymmetric = right is not None and right is not left
     right = right if right is not None else left
     sa = doc_shingles(left, n, text_col, id_col)
     sb = doc_shingles(right, n, text_col, id_col)
+    if max_doc_freq is not None:
+        banned = (
+            sb.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_doc_freq)
+            .select("shingle")
+        )
+        sa = sa.join(F.broadcast(banned), "shingle", "left_anti")
+        sb = sb.join(F.broadcast(banned), "shingle", "left_anti")
     sizes_a = sa.groupBy("id").agg(F.count("*").alias("size_a"))
     sizes_b = sb.groupBy("id").agg(F.count("*").alias("size_b"))
-    probe = F.broadcast(sa) if asymmetric else sa
+    if asymmetric:
+        probe = F.broadcast(sa)
+        pair_cond = (F.col("a.shingle") == F.col("b.shingle")) & (
+            F.col("a.id") != F.col("b.id")
+        )
+        # probe-side sizes are broadcast-small; the corpus-side sizes table
+        # is one row per corpus doc and must shuffle-join
+        sz_a = F.broadcast(sizes_a)
+    else:
+        probe = sa
+        pair_cond = (F.col("a.shingle") == F.col("b.shingle")) & (
+            F.col("a.id") < F.col("b.id")
+        )
+        sz_a = sizes_a
     inter = (
         probe.alias("a")
-        .join(sb.alias("b"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .join(sb.alias("b"), pair_cond)
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("n_common"))
     )
-    return (
-        inter.join(F.broadcast(sizes_a).withColumnRenamed("id", "id_a"), "id_a")
+    sized = (
+        inter.join(sz_a.withColumnRenamed("id", "id_a"), "id_a")
         .join(sizes_b.withColumnRenamed("id", "id_b"), "id_b")
         .withColumn(
             "jaccard",
             F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "n_common", "size_a", "size_b", "jaccard")
     )
+    if not asymmetric:
+        return sized.select("id_a", "id_b", "n_common", "size_a", "size_b", "jaccard")
+    # reorder to (min, max) and drop the duplicate orientation that arises
+    # when both endpoints are probe docs present on the corpus side
+    lo = F.col("id_a") < F.col("id_b")
+    return sized.select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+        "n_common",
+        F.when(lo, F.col("size_a")).otherwise(F.col("size_b")).alias("size_a"),
+        F.when(lo, F.col("size_b")).otherwise(F.col("size_a")).alias("size_b"),
+        "jaccard",
+    ).dropDuplicates(["id_a", "id_b"])
 
 
 def minhash_signatures(
@@ -206,11 +255,30 @@ def embedding_neardup(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    strategy: str = "auto",
+    brute_max: int = 20_000,
+    **ivf_kwargs,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ τ).
 
-    Brute-force tier (all-pairs); at scale route through
-    operators.ann.ivf_self_join so only co-partitioned candidates are scored."""
+    ``strategy='brute'`` is the exact all-pairs tier — O(n²) scoring, only
+    sane for small frames (the oracle/verification path).  ``'ivf'`` routes
+    through ``operators.ann.ivf_self_join`` (assign each vector to its
+    n_probe nearest inverted lists once, self-join within list only), the
+    bucketed shape that survives 100 TB.  ``'auto'`` (default) picks brute
+    below ``brute_max`` rows via a cheap limit-probe and IVF above it, so the
+    all-pairs plan can never be reached at scale."""
+    if strategy == "auto":
+        head = df.select(id_col).limit(brute_max + 1).count()
+        strategy = "brute" if head <= brute_max else "ivf"
+    if strategy == "ivf":
+        from hnsw_spark.operators.ann import ivf_self_join
+
+        return ivf_self_join(
+            df, threshold, id_col=id_col, vec_col=vec_col, **ivf_kwargs
+        )
+    if strategy != "brute":
+        raise ValueError(f"unknown strategy: {strategy!r}")
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     return (

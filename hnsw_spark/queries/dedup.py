@@ -188,7 +188,36 @@ WHERE a.vec_id < 200 AND b.vec_id < 200
 )
 def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (vec_id < 200, cosine ≥ 0.3) —
-    brute-force tier; the ANN module provides the scale path."""
+    brute-force tier (the small-n fallback; ``embedding_neardup_ann`` is the
+    bucketed scale path, checked against this same oracle)."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
-    res = embedding_neardup(emb, threshold=0.3)
+    res = embedding_neardup(emb, threshold=0.3, strategy="brute")
+    return res.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+_NEARDUP_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+         / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+          * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.vec_id < b.vec_id
+WHERE a.vec_id < 200 AND b.vec_id < 200
+  AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.3
+"""
+
+
+@query("embedding_neardup_ann", _NEARDUP_SQL)
+def embedding_neardup_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketed scale path for embedding near-dup: ivf_self_join with
+    n_probe = n_lists, which provably degenerates to the exact all-pairs
+    result (every pair shares a list) — so the whole IVF-bucketed pipeline
+    (multi-probe assignment, within-list self-join, pair dedupe) is checked
+    against the same brute-force SQL oracle as ``embedding_neardup``."""
+    from hnsw_spark.operators.ann import ivf_self_join
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    res = ivf_self_join(emb, threshold=0.3, n_lists=8, n_probe=8)
     return res.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))

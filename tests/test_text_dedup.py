@@ -81,6 +81,107 @@ def test_embedding_neardup_threshold(spark):
     assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
 
 
+def test_ngram_jaccard_asymmetric_probe_with_larger_ids(spark):
+    """A probe doc whose id exceeds every corpus id must still match — the
+    old `a.id < b.id` predicate silently skipped these (ADVICE r1)."""
+    corpus = _docs(spark, ["a b c d e", "p q r s t", "x y z w v"])
+    probe = spark.createDataFrame([(10, "a b c d e")], "doc_id bigint, text string")
+    pairs = ngram_jaccard_pairs(probe, corpus, n=2).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(0, 10)]
+    assert pairs[0].jaccard == pytest.approx(1.0)
+    assert (pairs[0].size_a, pairs[0].size_b) == (4, 4)
+
+
+def test_ngram_jaccard_asymmetric_overlapping_frames_dedupe(spark):
+    """When the probe frame is a filter of the corpus, each pair appears
+    exactly once (orientation-free) and matches the symmetric result."""
+    d = _docs(spark, ["a b c d e", "a b c d e", "a b c x y", "q r s t u"])
+    sym = {
+        (p.id_a, p.id_b): p.jaccard
+        for p in ngram_jaccard_pairs(d, n=2).collect()
+    }
+    asym = {
+        (p.id_a, p.id_b): p.jaccard
+        for p in ngram_jaccard_pairs(d.filter(F.col("doc_id") < 3), d, n=2).collect()
+    }
+    assert asym == sym  # every pair involves a doc_id < 3 in this fixture
+
+
+def test_ngram_jaccard_max_doc_freq_caps_degenerate_shingles(spark):
+    """A stop-shingle shared by every doc reintroduces the quadratic blowup;
+    the doc-frequency cap removes it from the set representation, so docs
+    sharing ONLY boilerplate produce no candidate pairs at all."""
+    n_docs = 12
+    texts = [f"common stop phrase unique{i} tail{i}" for i in range(n_docs)]
+    d = _docs(spark, texts)
+    uncapped = ngram_jaccard_pairs(d, n=2, max_doc_freq=None).collect()
+    assert len(uncapped) == n_docs * (n_docs - 1) // 2  # full quadratic
+    capped = ngram_jaccard_pairs(d, n=2, max_doc_freq=n_docs - 1).collect()
+    assert capped == []  # boilerplate-only overlap generates nothing
+    # sizes stay internally consistent: a real near-dup pair keeps jaccard=1
+    # on the capped representation
+    d2 = _docs(spark, texts + [texts[0]])
+    hit = [
+        p
+        for p in ngram_jaccard_pairs(d2, n=2, max_doc_freq=n_docs - 1).collect()
+        if (p.id_a, p.id_b) == (0, n_docs)
+    ]
+    assert len(hit) == 1 and hit[0].jaccard == pytest.approx(1.0)
+
+
+def _rand_embeddings(spark, n=60, d=8, seed=7):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    m = rng.normal(size=(n, d))
+    # plant a few near-duplicates
+    for i in range(0, n, 10):
+        m[i + 1] = m[i] + rng.normal(scale=0.01, size=d)
+    return spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(m)],
+        "vec_id bigint, embedding array<float>",
+    )
+
+
+def test_ivf_self_join_full_probe_matches_brute(spark):
+    from hnsw_spark.operators.ann import ivf_self_join
+
+    df = _rand_embeddings(spark)
+    brute = {
+        (p.id_a, p.id_b, round(p.cosine, 6))
+        for p in embedding_neardup(df, threshold=0.5, strategy="brute").collect()
+    }
+    full = {
+        (p.id_a, p.id_b, round(p.cosine, 6))
+        for p in ivf_self_join(df, threshold=0.5, n_lists=4, n_probe=4).collect()
+    }
+    assert full == brute  # n_probe = n_lists degenerates to exact
+    partial = {
+        (p.id_a, p.id_b)
+        for p in ivf_self_join(df, threshold=0.5, n_lists=4, n_probe=2).collect()
+    }
+    assert partial <= {(a, b) for a, b, _ in brute}  # subset, never spurious
+    # planted near-identical pairs always co-bucket even at n_probe=1
+    planted = {
+        (p.id_a, p.id_b)
+        for p in ivf_self_join(df, threshold=0.99, n_lists=4, n_probe=1).collect()
+    }
+    assert {(i, i + 1) for i in range(0, 60, 10)} <= planted
+
+
+def test_embedding_neardup_auto_routes_large_to_ivf(spark):
+    df = _rand_embeddings(spark, n=30)
+    # force the auto threshold below the frame size: the IVF path must run
+    # and still find the planted near-dups
+    pairs = {
+        (p.id_a, p.id_b)
+        for p in embedding_neardup(
+            df, threshold=0.99, brute_max=5, n_lists=4, n_probe=2
+        ).collect()
+    }
+    assert {(i, i + 1) for i in range(0, 30, 10)} <= pairs
+
+
 def test_lang_id_lexicons(spark):
     d = _docs(
         spark,
