@@ -57,9 +57,25 @@ from hnsw_spark.operators.levels import select_level
 
 NODE_SCHEMA = (
     "list_id int, id long, level int, vector array<float>, "
-    "neighbors array<array<long>>"
+    "neighbors array<array<long>>, entry_id long"
 )
 RESULT_SCHEMA = "query_id long, id long, score double"
+
+
+def final_entry(levels: np.ndarray, n0: int = 0, prev_entry: int | None = None) -> int:
+    """Entry point (row index) after inserting rows ``n0..n-1`` in row order:
+    promotion happens only on a strictly greater level (src/main.ts:225-228),
+    so the entry is the FIRST row to reach the running maximum.  For a
+    continued insert the previous entry survives unless a new row exceeds the
+    old maximum.  Persisted per list (``entry_id``) because search cannot
+    re-derive insertion order once incremental inserts interleave ids."""
+    if n0 == 0 or prev_entry is None:
+        return int(np.argmax(levels == levels.max()))
+    old_max = int(levels[:n0].max())
+    new = levels[n0:]
+    if len(new) and int(new.max()) > old_max:
+        return n0 + int(np.argmax(new == new.max()))
+    return int(prev_entry)
 
 
 class _LocalSim:
@@ -239,6 +255,7 @@ def build_local_graph(
     ef_construction: int,
     metric: str,
     existing: list[list[list[int]]] | None = None,
+    entry: int | None = None,
 ) -> list[list[list[int]]]:
     """Sequential HNSW build over one partition's rows, in row order
     (src/main.ts:202-317).  Returns per-row per-level adjacency (row indices,
@@ -247,7 +264,9 @@ def build_local_graph(
     ``existing`` enables the incremental addPoint path (src/main.ts:234-248):
     rows ``0..len(existing)-1`` keep their wiring and rows beyond it are
     inserted into the live graph in row order, exactly as a continued
-    ``addPoint`` sequence would."""
+    ``addPoint`` sequence would.  ``entry`` is the existing graph's persisted
+    entry row; when omitted it falls back to the first max-level existing row
+    (exact only while row order equals original insertion order)."""
     n = len(levels)
     n0 = len(existing) if existing else 0
     nbrs: list[list[list[int]]] = (
@@ -260,7 +279,8 @@ def build_local_graph(
         entry, level_max, start = 0, int(levels[0]), 1
     else:
         level_max = int(levels[:n0].max())
-        entry = int(np.argmax(levels[:n0] == level_max))
+        if entry is None:
+            entry = int(np.argmax(levels[:n0] == level_max))
         start = n0
     for i in range(start, n):
         qprep = sim.prep_query(vecs[i])
@@ -375,7 +395,14 @@ class HNSWIndex:
             ]
             sim = _LocalSim(vecs, metric)
             level_max = int(levels.max())
-            entry = int(np.argmax(levels == level_max))
+            # the persisted build-time entry (final_entry): re-deriving it
+            # from id order breaks once incremental inserts interleave ids
+            eid = nodes["entry_id"].iloc[0] if "entry_id" in nodes else None
+            entry = (
+                pos[int(eid)]
+                if eid is not None and not pd.isna(eid) and int(eid) in pos
+                else int(np.argmax(levels == level_max))
+            )
             out_q, out_i, out_s = [], [], []
             for qid, qv in zip(qs["query_id"], qs["qvec"]):
                 qprep = sim.prep_query(np.asarray(qv, dtype=np.float64))
@@ -417,18 +444,24 @@ def add_points(
     m = int(index.params.get("m", 16))
     ef_construction = int(index.params.get("ef_construction", 100))
     seed = int(index.params.get("seed", 42))
+    max_level = index.params.get("max_level")
     metric = index.metric
+    lvl = select_level(F.col(id_col).cast("long"), m, seed)
+    if max_level is not None:
+        lvl = F.least(lvl, F.lit(int(max_level)))
     base = df.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).alias("vector"),
-        select_level(F.col(id_col).cast("long"), m, seed).alias("level"),
+        lvl.alias("level"),
     )
     assigned = assign_lists(base, index.centroids, metric, extra_cols=("level",))
-    new_nodes = assigned.withColumn(
-        "neighbors", F.lit(None).cast("array<array<long>>")
-    ).select("list_id", "id", "level", "vector", "neighbors")
+    new_nodes = (
+        assigned.withColumn("neighbors", F.lit(None).cast("array<array<long>>"))
+        .withColumn("entry_id", F.lit(None).cast("long"))
+        .select("list_id", "id", "level", "vector", "neighbors", "entry_id")
+    )
     unioned = index.index_df.select(
-        "list_id", "id", "level", "vector", "neighbors"
+        "list_id", "id", "level", "vector", "neighbors", "entry_id"
     ).unionByName(new_nodes)
 
     def rewire_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -443,15 +476,19 @@ def add_points(
         vecs = np.stack(ordered["vector"].to_numpy()).astype(np.float64)
         pos = {int(v): i for i, v in enumerate(ids)}
         if old.empty:
-            existing = None
+            existing, prev_entry = None, None
         else:
             existing = [
                 [[pos[int(x)] for x in lvl if int(x) in pos] for lvl in row]
                 for row in old["neighbors"]
             ]
+            eid = old["entry_id"].iloc[0]
+            prev_entry = pos[int(eid)] if not pd.isna(eid) else None
         nbrs = build_local_graph(
-            levels, vecs, m, ef_construction, metric, existing=existing
+            levels, vecs, m, ef_construction, metric,
+            existing=existing, entry=prev_entry,
         )
+        e = final_entry(levels, n0=len(old), prev_entry=prev_entry)
         return pd.DataFrame(
             {
                 "list_id": ordered["list_id"],
@@ -461,6 +498,7 @@ def add_points(
                 "neighbors": [
                     [[int(ids[x]) for x in lvl] for lvl in row] for row in nbrs
                 ],
+                "entry_id": np.full(len(ids), ids[e], dtype=np.int64),
             }
         )
 
@@ -479,15 +517,25 @@ def build_hnsw_index(
     seed: int = 42,
     ef_search: int | None = None,
     train_method: str = "sample",
+    max_level: int | None = None,
 ) -> HNSWIndex:
     """Build the partitioned index: coarse-quantize into ``n_lists``, assign
     levels (B1) Spark-side, then build each list's graph in parallel inside
-    ``applyInPandas``."""
+    ``applyInPandas``.
+
+    ``max_level`` caps the level draw (``max_level=0`` pins every node to
+    layer 0) — the reference's own test discipline for checking exact ids
+    (tests/HNSW.test.ts pins the level draw); combined with
+    n_probe = n_lists and ef ≥ list size this degenerates search to exact
+    kNN, which is how the oracle checks the whole HNSW pipeline."""
     get_metric(metric)  # validate early (src/main.ts:42-44)
+    lvl = select_level(F.col(id_col).cast("long"), m, seed)
+    if max_level is not None:
+        lvl = F.least(lvl, F.lit(int(max_level)))
     base = df.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).alias("vector"),
-        select_level(F.col(id_col).cast("long"), m, seed).alias("level"),
+        lvl.alias("level"),
     )
     centroids = train_centroids(
         base.select("id", "vector"), n_lists, metric, seed, train_method=train_method
@@ -500,6 +548,7 @@ def build_hnsw_index(
         vecs = np.stack(pdf["vector"].to_numpy()).astype(np.float64)
         ids = pdf["id"].to_numpy()
         nbrs = build_local_graph(levels, vecs, m, ef_construction, metric)
+        e = final_entry(levels)
         return pd.DataFrame(
             {
                 "list_id": pdf["list_id"],
@@ -509,6 +558,7 @@ def build_hnsw_index(
                 "neighbors": [
                     [[int(ids[x]) for x in lvl] for lvl in row] for row in nbrs
                 ],
+                "entry_id": np.full(len(ids), ids[e], dtype=np.int64),
             }
         )
 
@@ -524,5 +574,6 @@ def build_hnsw_index(
             "ef_search": ef_search,
             "seed": seed,
             "train_method": train_method,
+            "max_level": max_level,
         },
     )

@@ -139,6 +139,28 @@ def ann_ivf_full_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("query_id", "id", F.round("score", 6).alias("score"))
 
 
+@query(
+    "ann_hnsw_full_probe",
+    _KNN_ORACLE.format(nq=8, k=10, score_expr=_COSINE_EXPR),
+)
+def ann_hnsw_full_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HNSW tier's exact degeneration (the reference's own pinned-level
+    test discipline, tests/HNSW.test.ts): levels pinned to 0, every list
+    probed, ef ≥ list size ⇒ each per-list beam exhausts its (connected)
+    layer-0 graph and the global merge equals exact kNN — so graph build,
+    wiring, beam search, entry-point persistence, and the top-k merge are
+    all checked against the exact-kNN SQL oracle."""
+    from hnsw_spark.operators.hnsw_graph import build_hnsw_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 8)
+    index = build_hnsw_index(
+        emb, n_lists=8, m=8, ef_construction=48, metric="cosine", max_level=0
+    )
+    res = index.search(qs, k=10, n_probe=8, ef_search=1 << 20)
+    return res.select("query_id", "id", F.round("score", 6).alias("score"))
+
+
 @query("ann_hnsw_knn")  # no oracle: order-dependent graph build (SURVEY §7)
 def ann_hnsw_knn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B1-B7 + Q1-Q3: partition-local HNSW graphs over IVF lists, greedy

@@ -13,9 +13,37 @@ from hnsw_spark.operators.hnsw_graph import (
     _select_neighbors,
     build_hnsw_index,
     build_local_graph,
+    final_entry,
     search_local_graph,
 )
 from hnsw_spark.operators.knn import knn_exact
+
+
+def test_final_entry_promotion_rules():
+    # fresh build: the FIRST row to reach the global max (strictly-greater
+    # promotion, src/main.ts:225-228)
+    assert final_entry(np.array([0, 2, 1, 2, 0])) == 1
+    # continued insert, new rows don't exceed the old max: entry persists
+    assert final_entry(np.array([0, 2, 1, 0, 2]), n0=3, prev_entry=1) == 1
+    # a new row exceeds the old max: promoted to the first such new row
+    assert final_entry(np.array([0, 2, 1, 3, 3]), n0=3, prev_entry=1) == 3
+
+
+def test_flat_beam_exhaustive_across_seeds():
+    # levels pinned to 0 + ef >= n: the beam must visit the whole graph —
+    # the connectivity property the ann_hnsw_full_probe oracle relies on
+    for seed in range(6):
+        rng = np.random.default_rng(seed)
+        n = 80
+        vecs = rng.normal(size=(n, 6))
+        levels = np.zeros(n, dtype=np.int64)
+        nbrs = build_local_graph(
+            levels, vecs, m=8, ef_construction=48, metric="cosine"
+        )
+        got = search_local_graph(
+            levels, vecs, nbrs, rng.normal(size=6), k=n, ef=n, metric="cosine"
+        )
+        assert len(got) == n, f"seed {seed}: graph disconnected"
 
 
 def test_diversity_heuristic_geometry():
@@ -217,6 +245,60 @@ def test_add_points_index_searchable(spark, embeddings):
     exact = knn_exact(embeddings.filter(F.col("vec_id") < 340), q, k=5).toPandas()
     inter = set(got["id"]) & set(exact["id"])
     assert len(inter) >= 4
+
+
+def test_hnsw_full_probe_equals_exact(spark, embeddings):
+    # the registered ann_hnsw_full_probe degeneration: levels pinned to 0,
+    # all lists probed, ef >= list size -> identical id set to exact kNN
+    qs = embeddings.filter(F.col("vec_id") < 8)
+    index = build_hnsw_index(
+        embeddings, n_lists=8, m=8, ef_construction=48, metric="cosine",
+        max_level=0,
+    )
+    approx = {
+        (r.query_id, r.id)
+        for r in index.search(qs, k=10, n_probe=8, ef_search=1 << 20).collect()
+    }
+    exact = {
+        (r.query_id, r.id)
+        for r in knn_exact(embeddings, qs, k=10, metric="cosine").collect()
+    }
+    assert approx == exact
+    # every node really is pinned to layer 0 and entry_id is constant per list
+    nodes = index.index_df.select("list_id", "level", "entry_id").toPandas()
+    assert (nodes["level"] == 0).all()
+    assert (nodes.groupby("list_id")["entry_id"].nunique() == 1).all()
+
+
+def test_entry_id_survives_add_points(spark, embeddings):
+    # the persisted entry point obeys the promotion rule across incremental
+    # inserts: unchanged unless a new row strictly exceeds the old max level
+    from hnsw_spark.operators.hnsw_graph import add_points
+
+    base = embeddings.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 600))
+    extra = embeddings.filter(F.col("vec_id") < 40)  # ids BELOW every base id
+    index = build_hnsw_index(base, n_lists=2, m=8, ef_construction=32)
+    index.index_df = index.index_df.cache()
+    before = (
+        index.index_df.groupBy("list_id")
+        .agg(F.first("entry_id").alias("e"), F.max("level").alias("mx"))
+        .toPandas()
+        .set_index("list_id")
+    )
+    grown = add_points(index, extra)
+    after = grown.index_df.select("list_id", "id", "level", "entry_id").toPandas()
+    for lid, grp in after.groupby("list_id"):
+        assert grp["entry_id"].nunique() == 1
+        e = int(grp["entry_id"].iloc[0])
+        new_rows = grp[grp["id"] < 40]
+        old_max = int(before.loc[lid, "mx"])
+        if new_rows.empty or int(new_rows["level"].max()) <= old_max:
+            assert e == int(before.loc[lid, "e"])  # no promotion
+        else:
+            # promoted: first (lowest-id) NEW row at the new global max
+            gm = int(grp["level"].max())
+            assert e == int(new_rows[new_rows["level"] == gm]["id"].min())
+    index.index_df.unpersist()
 
 
 def test_recall_improves_with_m(spark):
