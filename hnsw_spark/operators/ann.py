@@ -40,19 +40,40 @@ def route_probes(
     n_probe: int,
     query_id: str = "vec_id",
     query_vec: str = "embedding",
+    max_driver_batch: int = 65536,
 ) -> DataFrame:
-    """Route each query to its ``n_probe`` nearest centroids, driver-side
-    (centroids are tiny; this replaces the reference's upper-layer descent,
-    src/main.ts:262-265).  Returns DataFrame[(query_id, list_id, qvec)] —
-    Q × n_probe rows, always broadcast-sized."""
+    """Route each query to its ``n_probe`` nearest centroids (the Spark
+    analogue of the reference's upper-layer descent, src/main.ts:262-265).
+    Returns DataFrame[(query_id, list_id, qvec)] — Q × n_probe rows.
+
+    Two physical paths behind one contract: batches up to
+    ``max_driver_batch`` rows route driver-side (one numpy argsort against
+    the tiny centroid matrix) and come back broadcast-hinted, so the probe
+    join never shuffles the corpus; anything larger routes distributed via
+    ``multi_probe_assign`` (broadcast centroids, vectorized mapInPandas), so
+    a 10M-query batch job never lands on the driver.  The split is decided
+    by a limit-probe — the small path pays no count job."""
     spark = queries.sparkSession
-    qpd = queries.select(
+    q = queries.select(
         F.col(query_id).cast("long").alias("query_id"),
         F.col(query_vec).alias("v"),
-    ).toPandas()
+    )
+    qpd = q.limit(max_driver_batch + 1).toPandas()
     if qpd.empty:
         return spark.createDataFrame(
             [], "query_id long, list_id int, qvec array<float>"
+        )
+    if len(qpd) > max_driver_batch:
+        assigned = multi_probe_assign(
+            q.select(F.col("query_id").alias("id"), F.col("v").alias("vector")),
+            centroids,
+            metric,
+            n_probe,
+        )
+        return assigned.select(
+            F.col("id").alias("query_id"),
+            "list_id",
+            F.col("vector").alias("qvec"),
         )
     qmat = np.stack(qpd["v"].to_numpy()).astype(np.float64)
     if metric == "cosine":
@@ -66,13 +87,17 @@ def route_probes(
             + (centroids * centroids).sum(1)
         )
     probe_lists = np.argsort(d, axis=1)[:, :n_probe]
-    return spark.createDataFrame(
-        [
-            (int(qid), [int(l) for l in lists], [float(x) for x in vec])
-            for qid, lists, vec in zip(qpd["query_id"], probe_lists, qmat)
-        ],
-        "query_id long, probe_lists array<int>, qvec array<float>",
-    ).select("query_id", F.explode("probe_lists").alias("list_id"), "qvec")
+    # broadcast-hinted: the small-batch probe table joins the corpus without
+    # shuffling it; the distributed path above returns un-hinted (AQE picks)
+    return F.broadcast(
+        spark.createDataFrame(
+            [
+                (int(qid), [int(l) for l in lists], [float(x) for x in vec])
+                for qid, lists, vec in zip(qpd["query_id"], probe_lists, qmat)
+            ],
+            "query_id long, probe_lists array<int>, qvec array<float>",
+        ).select("query_id", F.explode("probe_lists").alias("list_id"), "qvec")
+    )
 
 
 class IVFIndex:
@@ -108,7 +133,9 @@ class IVFIndex:
         probes = route_probes(
             queries, self.centroids, self.metric, n_probe, query_id, query_vec
         )
-        cand = self.index_df.join(F.broadcast(probes), "list_id")
+        # route_probes broadcast-hints the small-batch path itself; a
+        # distributed (large-batch) probe table must NOT be force-broadcast
+        cand = self.index_df.join(probes, "list_id")
         scored = cand.select(
             "query_id", "id", sim("qvec", "vector").alias("score")
         )

@@ -130,6 +130,8 @@ def _knn_local_merge(base, queries, k, metric, base_id, base_vec, query_id, quer
     qpd = queries.select(
         F.col(query_id).cast("long").alias("query_id"), F.col(query_vec).alias("v")
     ).toPandas()
+    if qpd.empty:  # np.stack rejects an empty batch; mirror the window path
+        return spark.createDataFrame([], _RESULT_SCHEMA)
     q_ids = qpd["query_id"].to_numpy()
     qmat = np.ascontiguousarray(np.stack(qpd["v"].to_numpy()), dtype=np.float64)
     bq = spark.sparkContext.broadcast((q_ids, qmat))

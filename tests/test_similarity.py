@@ -141,3 +141,15 @@ def test_knn_strategies_agree_at_scale(spark):
         ma = {(r.query_id, r.id, round(r.score, 9)) for r in m.collect()}
         assert wa == ma
     corpus.unpersist()
+
+
+def test_local_merge_empty_query_batch(spark, sequential5):
+    # an empty query batch returns an empty (query_id, id, score) frame in
+    # BOTH strategies (np.stack would otherwise raise on the collected batch)
+    from pyspark.sql import functions as F
+
+    empty_q = sequential5.filter(F.col("vec_id") < 0)
+    for strat in ("window", "local_merge"):
+        res = knn_exact(sequential5, empty_q, k=5, strategy=strat)
+        assert res.count() == 0
+        assert res.columns == ["query_id", "id", "score"]
