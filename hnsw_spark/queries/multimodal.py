@@ -57,9 +57,21 @@ def multimodal_audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_frame_sample")  # rows-only: no media table in fixtures
+_FS_COUNT, _FS_FRAMES, _FS_EVERY = 16, 100, 10
+
+
+@query(
+    "multimodal_frame_sample",
+    f"""
+SELECT m.media_id, f.frame_idx::INT AS frame_idx
+FROM (SELECT range::BIGINT AS media_id FROM range({_FS_COUNT})) m,
+     (SELECT unnest(generate_series(0, {_FS_FRAMES - 1}, {_FS_EVERY})) AS frame_idx) f
+""",
+)
 def multimodal_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame sampling: every-10th-frame expansion over synthetic
-    video rows — pure relational sequence/explode plumbing."""
-    media = synthetic_media(spark, count=16, kind="video")
-    return frame_sample(media, every_n=10)
+    """Video frame sampling: every-10th-frame expansion over synthetic video
+    rows.  Pure relational sequence/explode plumbing, so unlike the stubbed
+    decode stages it IS SQL-expressible: the DuckDB generate_series oracle
+    checks the expansion exactly (fixed n_frames=100 per fixture row)."""
+    media = synthetic_media(spark, count=_FS_COUNT, kind="video")
+    return frame_sample(media, every_n=_FS_EVERY)
