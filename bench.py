@@ -32,6 +32,7 @@ HEADLINE = [
     "dedup_exact",
     "text_quality",
     "ngram_jaccard_pairs",
+    "ngram_jaccard_capped",
     "minhash_signatures",
     "lsh_candidate_pairs",
     "simhash_fingerprints",
@@ -70,17 +71,24 @@ def main() -> None:
                 "overwrite"
             ).save()
 
+    # the registered ann_* queries are self-contained (they rebuild their
+    # index so the oracle harness stays hermetic); the bench must time
+    # SEARCH only, so round-over-round search regressions aren't masked by
+    # k-means/build jitter — build cost is reported in protocol.ann_*.build_ms
+    ann_search = _prebuilt_ann_searches(spark, sf_dir)
+
     # best-of-2 per query: the second run measures steady state (codegen
     # cached, JIT warm); reporting the min keeps round-over-round numbers
     # comparable instead of GC-noise lottery.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        if name not in qs:
+        fn = ann_search.get(name) or qs.get(name)
+        if fn is None:
             continue
         walls = []
         for _ in range(2):
             t0 = time.time()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             walls.append(time.time() - t0)
         timings[name] = round(min(walls), 3)
 
@@ -100,6 +108,34 @@ def main() -> None:
         )
     )
     spark.stop()
+
+
+def _prebuilt_ann_searches(spark, sf_dir: str) -> dict:
+    """Search-only headline callables over prebuilt, materialized indexes at
+    the registered query knobs (queries/index.py: n_lists=8, n_probe=6,
+    ef=96)."""
+    from pyspark.sql import functions as F
+
+    from hnsw_spark.operators.ann import build_ivf_index
+    from hnsw_spark.operators.hnsw_graph import build_hnsw_index
+    from hnsw_spark.queries.index import ANN_EF, ANN_N_LISTS, ANN_N_PROBE
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qbatch = emb.filter(F.col("vec_id") < 8)
+    ivf = build_ivf_index(emb, n_lists=ANN_N_LISTS, metric="cosine")
+    ivf.index_df = ivf.index_df.cache()
+    ivf.index_df.count()
+    hnsw = build_hnsw_index(
+        emb, n_lists=ANN_N_LISTS, m=8, ef_construction=48, metric="cosine"
+    )
+    hnsw.index_df = hnsw.index_df.cache()
+    hnsw.index_df.count()
+    return {
+        "ann_ivf_knn": lambda s, d: ivf.search(qbatch, k=10, n_probe=ANN_N_PROBE),
+        "ann_hnsw_knn": lambda s, d: hnsw.search(
+            qbatch, k=10, n_probe=ANN_N_PROBE, ef_search=ANN_EF
+        ),
+    }
 
 
 def _protocol_axes(spark, sf_dir: str, qs) -> dict:
@@ -129,12 +165,27 @@ def _protocol_axes(spark, sf_dir: str, qs) -> dict:
     p = lambda q: walls[int(q / 100 * (len(walls) - 1))]  # noqa: E731
     exact_avg = sum(walls) / len(walls)
 
-    # ANN tiers: one sweep cell each (build + probe + recall vs exact)
+    # ANN tiers: the recall-vs-n_probe curve (the reference's documented
+    # efSearch→recall expectation, bench/README.md:102-104) recorded per
+    # round; the headline cell is the registered default n_probe
+    from hnsw_spark.queries.index import ANN_N_PROBE
+
     cfg = SweepConfig(
-        tiers=("ivf", "hnsw"), n_lists=(8,), n_probe=(2,), ef_search=(48,),
-        k=10, m=8, ef_construction=48,
+        tiers=("ivf", "hnsw"), n_lists=(8,), n_probe=(2, 4, 6, 8),
+        ef_search=(96,), k=10, m=8, ef_construction=48,
     )
-    cells = {r["tier"]: r for r in run_sweep(spark, emb, queries, cfg)}
+    sweep_rows = run_sweep(spark, emb, queries, cfg)
+    cells = {
+        r["tier"]: r for r in sweep_rows if r["n_probe"] == ANN_N_PROBE
+    }
+    curves = {
+        tier: [
+            {"n_probe": r["n_probe"], "recall_at_10": r["recall_at_k"],
+             "search_ms": r["search_ms_total"]}
+            for r in sweep_rows if r["tier"] == tier
+        ]
+        for tier in ("ivf", "hnsw")
+    }
     emb.unpersist()
 
     # scale probe: the fixture embeddings are small at sf0.1 (2k rows), so
@@ -172,12 +223,37 @@ def _protocol_axes(spark, sf_dir: str, qs) -> dict:
     docs.unpersist()
     mh_best = min(walls_mh)
 
+    # embedding near-dup at scale: the bucketed ivf_self_join at its real
+    # knobs (n_probe=2, NOT the oracle's full-probe degeneration) over a 20k
+    # synthetic corpus — candidate generation is Σ list², never corpus²
+    from hnsw_spark.operators.ann import ivf_self_join
+
+    vecs = synthetic_vectors(spark, 20_000, 32, seed=29).cache()
+    vecs.count()
+    walls_nd = []
+    for _ in range(2):
+        t0 = time.time()
+        ivf_self_join(
+            vecs, threshold=0.95, n_lists=32, n_probe=2
+        ).write.format("noop").mode("overwrite").save()
+        walls_nd.append(time.time() - t0)
+    vecs.unpersist()
+    nd_best = min(walls_nd)
+
     out = {
         "minhash_50k_docs": {
             "n_docs": 50_000,
             "num_perm": 32,
             "batch_wall_best_s": round(mh_best, 3),
             "docs_per_s": round(50_000 / mh_best),
+        },
+        "neardup_20k_ivf_self_join": {
+            "n_vectors": 20_000,
+            "dim": 32,
+            "n_lists": 32,
+            "n_probe": 2,
+            "batch_wall_best_s": round(nd_best, 3),
+            "vectors_per_s": round(20_000 / nd_best),
         },
         "exact_knn": {
             "n_queries": n_q,
@@ -199,8 +275,11 @@ def _protocol_axes(spark, sf_dir: str, qs) -> dict:
         out[f"ann_{tier}"] = {
             "build_ms": r["build_ms"],
             "search_ms": r["search_ms_total"],
+            "n_probe": r["n_probe"],
+            "ef_search": r["ef_search"],
             "recall_at_10": r["recall_at_k"],
             "speedup_vs_exact": round(exact_avg * 1000.0 / max(r["search_ms_total"], 1e-9), 2),
+            "recall_curve": curves[tier],
         }
     return out
 

@@ -339,10 +339,17 @@ def ivf_self_join(
     boundary pairs; ``n_probe = n_lists`` degenerates to the exact all-pairs
     result (every pair co-buckets), which is how the oracle checks this
     operator end-to-end.  Cosine only (the near-dup metric).
+
+    Scoring runs per list as ONE BLAS gram matrix inside ``applyInPandas``
+    (normalize once, ``G = Vn @ Vnᵀ``, upper triangle ≥ τ) — a per-pair
+    Catalyst kernel re-derives both norms for every one of the Σ list²
+    candidates, ~30× slower at bench scale.  Zero-norm rows score NaN and
+    are dropped, matching the Catalyst/SQL brute path where the zero
+    denominator nulls the row out of the threshold filter.
     """
     if metric != "cosine":
         raise ValueError(f"ivf_self_join supports cosine only, got {metric!r}")
-    from hnsw_spark.functions.similarity import cosine_similarity
+    import pandas as pd
 
     base = df.select(
         F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vector")
@@ -351,17 +358,33 @@ def ivf_self_join(
         base, n_lists, metric, seed, train_method=train_method
     )
     assigned = multi_probe_assign(base, centroids, metric, n_probe)
-    a = assigned.select(
-        "list_id", F.col("id").alias("id_a"), F.col("vector").alias("_va")
-    )
-    b = assigned.select(
-        "list_id", F.col("id").alias("id_b"), F.col("vector").alias("_vb")
-    )
-    pairs = a.join(b, "list_id").filter(F.col("id_a") < F.col("id_b"))
-    scored = (
-        pairs.withColumn("cosine", cosine_similarity("_va", "_vb"))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+
+    def pairs_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"),
+                 "id_b": pd.Series(dtype="int64"),
+                 "cosine": pd.Series(dtype="float64")}
+            )
+        ids = pdf["id"].to_numpy()
+        m = np.stack(pdf["vector"].to_numpy()).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        g = mn @ mn.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        sc = g[iu, ju]
+        keep = sc >= threshold  # NaN (zero norm) compares False
+        ia, ib = ids[iu[keep]], ids[ju[keep]]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ia, ib),
+                "id_b": np.maximum(ia, ib),
+                "cosine": sc[keep],
+            }
+        )
+
+    scored = assigned.groupBy("list_id").applyInPandas(
+        pairs_group, "id_a long, id_b long, cosine double"
     )
     # a pair co-bucketed in up to n_probe shared lists scores identically in
     # each; dedupe after the threshold filter so the shuffle input is only

@@ -72,11 +72,57 @@ WHERE n_common / (size_a + size_b - n_common) >= 0.02
 @query("ngram_jaccard_pairs", _JACCARD_SQL)
 def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-2-gram Jaccard pairs (left subset doc_id < 100 vs whole corpus)
-    via the distributable shingle equi-join formulation."""
+    via the distributable shingle equi-join formulation.  Cap disabled here
+    so the bench cell stays comparable round-over-round: the fixture's max
+    shingle doc-frequency is far below the default cap, so results are
+    identical either way; ``ngram_jaccard_capped`` exercises the cap with a
+    value that actually bites."""
     docs = load_table(spark, sf_dir, "documents")
     res = ngram_jaccard_pairs(
-        docs.filter(F.col("doc_id") < 100), docs, n=2, threshold=0.02
+        docs.filter(F.col("doc_id") < 100), docs, n=2, threshold=0.02,
+        max_doc_freq=None,
     )
+    return res.withColumn("jaccard", F.round("jaccard", 6))
+
+
+_CAP_N_DOCS, _CAP = 150, 20
+
+_JACCARD_CAPPED_SQL = f"""
+WITH docs AS (SELECT doc_id, {_W} AS w FROM documents WHERE doc_id < {_CAP_N_DOCS}),
+sh_all AS (
+  SELECT DISTINCT doc_id AS id, shingle FROM (
+    SELECT doc_id, unnest({_shingle_sql(2)}) AS shingle FROM docs)
+),
+freq AS (SELECT shingle, count(*) AS df FROM sh_all GROUP BY shingle),
+sh AS (SELECT sh_all.id, sh_all.shingle FROM sh_all
+       JOIN freq ON sh_all.shingle = freq.shingle WHERE freq.df <= {_CAP}),
+sizes AS (SELECT id, count(*)::BIGINT AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b, n_common, sa.sz AS size_a, sb.sz AS size_b,
+       round(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON id_a = sa.id
+JOIN sizes sb ON id_b = sb.id
+WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.05
+"""
+
+
+@query("ngram_jaccard_capped", _JACCARD_CAPPED_SQL)
+def ngram_jaccard_capped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The anti-quadratic guard exercised for real: shingles in more than 20
+    of the first 150 docs are dropped from the set representation (the
+    100 TB stop-phrase mitigation, mirroring LSH's max_bucket), and the
+    oracle applies the identical doc-frequency filter — so the capped
+    semantics themselves are value-hash-checked, not just the uncapped
+    fast path."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _CAP_N_DOCS
+    )
+    res = ngram_jaccard_pairs(docs, n=2, threshold=0.05, max_doc_freq=_CAP)
     return res.withColumn("jaccard", F.round("jaccard", 6))
 
 
