@@ -284,6 +284,11 @@ def embedding_neardup(
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", cosine_similarity("_va", "_vb"))
-        .filter(F.col("cosine") >= threshold)
+        # Spark orders NaN above every double, so `cosine >= τ` alone would
+        # KEEP zero-norm pairs (cosine = NaN per the reference's 0/0) that the
+        # IVF BLAS path and the SQL oracle (0/0 → NULL) both drop.  A
+        # zero-norm vector is a near-duplicate of nothing: exclude NaN so all
+        # three paths agree.
+        .filter(~F.isnan("cosine") & (F.col("cosine") >= threshold))
         .select("id_a", "id_b", "cosine")
     )

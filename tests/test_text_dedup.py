@@ -81,6 +81,30 @@ def test_embedding_neardup_threshold(spark):
     assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
 
 
+def test_embedding_neardup_zero_norm_never_pairs(spark):
+    """Spark orders NaN above every double, so an unguarded `cosine >= τ`
+    would keep zero-norm pairs the IVF BLAS path and the SQL oracle (0/0 →
+    NULL) drop.  All paths must agree: a zero vector pairs with nothing."""
+    from hnsw_spark.operators.ann import ivf_self_join
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),
+        (3, [0.0, 0.0, 0.0]),  # zero norm: cosine undefined vs everything
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    brute = {
+        (p.id_a, p.id_b)
+        for p in embedding_neardup(df, threshold=0.9, strategy="brute").collect()
+    }
+    assert brute == {(1, 2)}
+    full = {
+        (p.id_a, p.id_b)
+        for p in ivf_self_join(df, threshold=0.9, n_lists=2, n_probe=2).collect()
+    }
+    assert full == brute
+
+
 def test_ngram_jaccard_asymmetric_probe_with_larger_ids(spark):
     """A probe doc whose id exceeds every corpus id must still match — the
     old `a.id < b.id` predicate silently skipped these (ADVICE r1)."""
