@@ -250,6 +250,79 @@ def simhash(
     return summed.select("id", sim.alias("simhash"))
 
 
+def simhash_neardup_pairs(
+    df: DataFrame,
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """SimHash near-dup pairs (id_a < id_b, hamming ≤ ``max_hamming``) via
+    hamming-distance banding.
+
+    The fingerprint is split into ``bands`` contiguous bit chunks; by
+    pigeonhole, any pair within hamming distance < ``bands`` shares at least
+    one chunk verbatim, so candidate generation is a bucketed equi-join on
+    (band_idx, chunk value) — Σ bucket² cost, never corpus² — and, unlike
+    probabilistic LSH, it is EXACT for ``max_hamming < bands`` (every
+    qualifying pair is guaranteed a shared band).  The exact hamming filter
+    (``bit_count(a ⊕ b)``) then prunes candidates.  ``max_bucket`` drops
+    degenerate chunk buckets, the same anti-quadratic guard as the LSH tier;
+    at the default 16-bit/4-band geometry a band has only 16 distinct values,
+    so real corpora need a wider ``bits`` or a cap that reflects the expected
+    corpus/2⁴ occupancy."""
+    if not 0 < bands <= bits:
+        raise ValueError(f"bands must be in 1..{bits}, got {bands}")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"exactness requires max_hamming < bands, got {max_hamming} >= {bands}"
+        )
+    width = bits // bands
+    fp = simhash(df, bits, text_col, id_col)
+    chunks = []
+    for bi in range(bands):
+        lo = bi * width
+        w = bits - lo if bi == bands - 1 else width  # last band takes remainder
+        chunks.append(
+            F.struct(
+                F.lit(bi).alias("band_idx"),
+                F.shiftright(F.col("simhash"), lo)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("band_key"),
+            )
+        )
+    buckets = fp.select(
+        "id", "simhash", F.explode(F.array(*chunks)).alias("b")
+    ).select("id", "simhash", "b.band_idx", "b.band_key")
+    if max_bucket is not None:
+        counts = buckets.groupBy("band_idx", "band_key").agg(F.count("*").alias("_n"))
+        buckets = buckets.join(
+            counts.filter(F.col("_n") <= max_bucket), ["band_idx", "band_key"]
+        ).drop("_n")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        # a pair sharing several bands appears once per shared band with the
+        # same hamming; dedupe the (small) post-filter survivor set
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def embedding_neardup(
     df: DataFrame,
     threshold: float = 0.9,

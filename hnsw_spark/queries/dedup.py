@@ -15,6 +15,7 @@ from hnsw_spark.operators.dedup import (
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash,
+    simhash_neardup_pairs,
 )
 from hnsw_spark.registry import query
 from hnsw_spark.sources.tables import load_table
@@ -215,6 +216,37 @@ SELECT id, ({val})::BIGINT AS simhash FROM sums
 def simhash_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash fingerprints over the word multiset."""
     return simhash(load_table(spark, sf_dir, "documents"), bits=SIM_BITS)
+
+
+def _simhash_pairs_sql(max_hamming: int) -> str:
+    """All-pairs hamming oracle over the fingerprint CTE.  The Spark side
+    generates candidates by hamming-banding (exact for hamming < bands, by
+    pigeonhole), so the bucketed plan must reproduce this plain quadratic
+    join verbatim."""
+    fps = _simhash_sql().strip().rstrip()
+    return f"""
+WITH fps AS ({fps})
+SELECT a.id AS id_a, b.id AS id_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM fps a JOIN fps b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+@query("simhash_neardup_pairs", _simhash_pairs_sql(3))
+def simhash_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at hamming ≤ 3 over 16-bit/4-band fingerprints.
+    Banding makes candidate generation bucketed (Σ band-bucket², the LSH
+    shape) while staying provably exact at this geometry — the oracle is the
+    brute-force all-pairs hamming join.  Cap lifted for the oracle run: 500
+    docs over 16 four-bit band values makes ~31-doc buckets legitimate."""
+    return simhash_neardup_pairs(
+        load_table(spark, sf_dir, "documents"),
+        bits=SIM_BITS,
+        bands=4,
+        max_hamming=3,
+        max_bucket=None,
+    )
 
 
 @query(

@@ -13,6 +13,7 @@ from hnsw_spark.operators.dedup import (
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash,
+    simhash_neardup_pairs,
 )
 
 
@@ -79,6 +80,48 @@ def test_embedding_neardup_threshold(spark):
     df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
     pairs = embedding_neardup(df, threshold=0.9).collect()
     assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+
+
+def test_simhash_neardup_banding_is_exact(spark):
+    """For max_hamming < bands the banded candidate join must reproduce the
+    brute-force all-pairs hamming result exactly (pigeonhole guarantee)."""
+    texts = [
+        "alpha beta gamma delta epsilon zeta",
+        "alpha beta gamma delta epsilon eta",      # near-dup of 0
+        "alpha beta gamma delta epsilon zeta",     # exact dup of 0
+        "totally different words appear here now",
+        "some other unrelated document text body",
+    ]
+    d = _docs(spark, texts)
+    got = {
+        (p.id_a, p.id_b): p.hamming
+        for p in simhash_neardup_pairs(
+            d, bits=16, bands=4, max_hamming=3, max_bucket=None
+        ).collect()
+    }
+    fps = {r.id: r.simhash for r in simhash(d, bits=16).collect()}
+    want = {
+        (i, j): bin(fps[i] ^ fps[j]).count("1")
+        for i in fps
+        for j in fps
+        if i < j and bin(fps[i] ^ fps[j]).count("1") <= 3
+    }
+    assert got == want
+    assert got[(0, 2)] == 0  # exact dup
+
+    with pytest.raises(ValueError):
+        simhash_neardup_pairs(d, bits=16, bands=4, max_hamming=4)
+
+
+def test_simhash_neardup_max_bucket_guard(spark):
+    """Identical docs all land in the same band buckets; a cap of 1 removes
+    those buckets entirely, so no pairs survive — the anti-quadratic guard."""
+    d = _docs(spark, ["same words here"] * 6)
+    assert (
+        simhash_neardup_pairs(d, max_bucket=1).collect() == []
+    )
+    full = simhash_neardup_pairs(d, max_bucket=None).collect()
+    assert len(full) == 15 and all(p.hamming == 0 for p in full)
 
 
 def test_embedding_neardup_zero_norm_never_pairs(spark):
