@@ -1,0 +1,144 @@
+"""Training-data curation operators: keep/drop decisions, deterministic
+stratified sampling, and corpus vocabulary statistics.
+
+These extend the reference's surface (which stops at vector search) with the
+operations a large-scale training-data pipeline needs around the dedup ladder
+(operators/dedup.py) and text analysis (functions/text.py).  Everything here
+is pure Catalyst — no Python UDFs — and every output is deterministic, so each
+query is DuckDB-oracle-checkable and safe to re-run incrementally at 100 TB.
+
+Scale notes:
+- ``curation_flags`` costs ONE shuffle (the window over the fingerprint for
+  canonical-copy election); every other signal is a per-row expression that
+  pipelines inside the same whole-stage-codegen span.
+- ``stratified_sample`` is shuffle-FREE: the keep decision is a pure hash of
+  the row id, so it pushes into the scan stage, needs no sampling state, and
+  is reproducible across runs/engines (unlike Bernoulli ``sampleBy`` whose
+  RNG stream is partitioning-dependent).
+- ``vocab_stats`` is the canonical explode → groupBy shape: one shuffle on
+  the token, with map-side partial aggregation doing most of the work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hnsw_spark.functions.text import (
+    fingerprint,
+    lang_id_w,
+    quality_score_w,
+    words,
+)
+
+# md5-prefix hash mapped to [0, 1): deterministic, engine-portable sampling
+_HASH_SPACE = float(1 << 32)  # 8 hex chars
+
+
+def _unit_hash(col, salt: str) -> F.Column:
+    """Uniform [0,1) hash of a column value — identical in Spark
+    (``conv(hex,16,10)``) and DuckDB (``('0x'||hex)::BIGINT``)."""
+    h = F.md5(F.concat(col.cast("string"), F.lit(salt)))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(_HASH_SPACE)
+
+
+def curation_flags(
+    df: DataFrame,
+    min_words: int = 5,
+    min_quality: float = 0.5,
+    allowed_langs: tuple[str, ...] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document keep/drop decision composing the pipeline's signals:
+    exact-dup canonical election, length floor, quality floor, language gate.
+
+    ``drop_reason`` reports the FIRST failing rule in a fixed priority order
+    (duplicate → too_short → low_quality → lang), so downstream attrition
+    dashboards are stable; ``keep`` is its null-ness.  Duplicate election
+    keeps the lowest id per normalized-text fingerprint (the exact_dedup
+    convention, operators/dedup.py)."""
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        words(text_col).alias("w"),
+    )
+    scored = base.select(
+        "doc_id",
+        fingerprint("text").alias("_fp"),
+        F.size("w").alias("n_words"),
+        quality_score_w(F.col("text"), F.col("w")).alias("quality"),
+        lang_id_w(F.col("w")).alias("lang_pred"),
+    )
+    canonical = F.min("doc_id").over(Window.partitionBy("_fp"))
+    lang_ok = (
+        F.col("lang_pred").isin(*allowed_langs)
+        if allowed_langs
+        else F.col("lang_pred") != "und"
+    )
+    reason = (
+        F.when(F.col("doc_id") != canonical, F.lit("duplicate"))
+        .when(F.col("n_words") < min_words, F.lit("too_short"))
+        .when(F.col("quality") < min_quality, F.lit("low_quality"))
+        .when(~lang_ok, F.lit("lang"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return scored.select(
+        "doc_id",
+        "n_words",
+        "quality",
+        "lang_pred",
+        reason.alias("drop_reason"),
+        reason.isNull().alias("keep"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+    salt: str = "v1",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: a row survives iff the unit
+    hash of its id falls below its stratum's fraction.
+
+    This is the curation rebalance step (e.g. cap boilerplate-heavy domains,
+    upweight rare languages) in a form that is exactly reproducible: the
+    decision depends only on (id, salt), never on partitioning or an RNG
+    stream, so re-runs, retries, and other engines (the SQL oracle) agree
+    row-for-row.  Changing ``salt`` draws an independent sample."""
+    frac = F.lit(float(default_fraction))
+    for key, p in sorted(fractions.items()):
+        frac = F.when(F.col(strata_col) == key, F.lit(float(p))).otherwise(frac)
+    return df.filter(_unit_hash(F.col(id_col), salt) < frac)
+
+
+def vocab_stats(
+    df: DataFrame,
+    top_n: int | None = 100,
+    min_doc_freq: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus vocabulary: per token, total occurrences (``tf``) and the
+    number of documents containing it (``df``), ordered by (tf desc, token)
+    with a deterministic tie-break, optionally truncated to ``top_n``.
+
+    One explode + one shuffle on the token; ``df`` comes from
+    ``count_distinct(doc_id)`` inside the same aggregation rather than a
+    second pass.  The top-N cut is a TakeOrdered, not a full sort."""
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(words(text_col)).alias("token")
+    ).filter(F.col("token") != "")
+    agg = (
+        tok.groupBy("token")
+        .agg(
+            F.count("*").alias("tf"),
+            F.count_distinct("id").alias("df"),
+        )
+        .filter(F.col("df") >= min_doc_freq)
+    )
+    ordered = agg.orderBy(F.col("tf").desc(), F.col("token"))
+    return ordered.limit(top_n) if top_n is not None else ordered

@@ -21,13 +21,34 @@ from hnsw_spark.functions.text import (
 from hnsw_spark.registry import query
 from hnsw_spark.sources.tables import load_table
 
-# shared DuckDB snippets (mirror the Catalyst builders in functions.text)
+# shared DuckDB snippets (mirror the Catalyst builders in functions.text);
+# reused by queries.curation for the composed pipeline oracle
 _W = r"string_split_regex(trim(lower(text)), '\s+')"
 _NORM = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
 _PUNCT = r"(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))) / length(text)"
 _AWL = f"list_sum(list_transform({_W}, x -> length(x)))::DOUBLE / len({_W})"
 _SW_LIST = ", ".join(f"'{s}'" for s in STOPWORDS)
 _SWR = f"len(list_filter({_W}, x -> x IN ({_SW_LIST}))) / len({_W})"
+QUALITY_SQL = (
+    f"round(0.4 * least(length(text) / 500.0, 1.0)"
+    f" + 0.3 * (CASE WHEN {_AWL} >= 3 AND {_AWL} <= 10 THEN 1.0 ELSE 0.5 END)"
+    f" + 0.2 * least(({_SWR}) * 5.0, 1.0)"
+    f" + 0.1 * (1.0 - ({_PUNCT})), 6)"
+)
+
+
+def lang_case_sql() -> str:
+    """The lexicon-argmax language-ID CASE expression (mirrors lang_id_w)."""
+    hits = {
+        lang: f"len(list_filter({_W}, x -> x IN ({', '.join(repr(w) for w in lex)})))"
+        for lang, lex in LANG_LEXICON.items()
+    }
+    best = "greatest(" + ", ".join(hits.values()) + ")"
+    whens = " ".join(
+        f"WHEN {best} > 0 AND {hits[lang]} = {best} THEN '{lang}'"
+        for lang in sorted(hits)
+    )
+    return f"CASE {whens} ELSE 'und' END"
 
 
 @query(
@@ -72,10 +93,7 @@ SELECT doc_id,
        len({_W})::INT AS n_words,
        round({_AWL}, 6) AS avg_word_len,
        round({_SWR}, 6) AS stopword_ratio,
-       round(0.4 * least(length(text) / 500.0, 1.0)
-           + 0.3 * (CASE WHEN {_AWL} >= 3 AND {_AWL} <= 10 THEN 1.0 ELSE 0.5 END)
-           + 0.2 * least(({_SWR}) * 5.0, 1.0)
-           + 0.1 * (1.0 - ({_PUNCT})), 6) AS quality
+       {QUALITY_SQL} AS quality
 FROM documents
 """,
 )
@@ -97,17 +115,8 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lang_sql() -> str:
-    hits = {
-        lang: f"len(list_filter({_W}, x -> x IN ({', '.join(repr(w) for w in lex)})))"
-        for lang, lex in LANG_LEXICON.items()
-    }
-    best = "greatest(" + ", ".join(hits.values()) + ")"
-    case = " ".join(
-        f"WHEN {best} > 0 AND {hits[lang]} = {best} THEN '{lang}'"
-        for lang in sorted(hits)
-    )
     return f"""
-SELECT doc_id, lang, CASE {case} ELSE 'und' END AS lang_pred
+SELECT doc_id, lang, {lang_case_sql()} AS lang_pred
 FROM documents
 """
 

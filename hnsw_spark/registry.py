@@ -36,6 +36,7 @@ def load_all_queries() -> None:
         "hnsw_spark.queries.evaluation",
         "hnsw_spark.queries.text",
         "hnsw_spark.queries.dedup",
+        "hnsw_spark.queries.curation",
         "hnsw_spark.queries.relational",
         "hnsw_spark.queries.index",
         "hnsw_spark.queries.multimodal",

@@ -1,0 +1,94 @@
+"""Unit tests for curation operators on planted fixtures."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hnsw_spark.operators.curation import (
+    curation_flags,
+    stratified_sample,
+    vocab_stats,
+)
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and runs on with the pack "
+    "for a while is good"
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_curation_flags_reasons_and_priority(spark):
+    rows = [
+        (0, GOOD),                          # keeps
+        (1, GOOD),                          # exact dup of 0 -> duplicate
+        (2, "too short"),                   # -> too_short
+        (3, "!!! ??? *** !!! ??? *** !!!"), # punct soup, no stopwords
+        (4, "palabras sin lexicon aqui presentes hoy ahora mismo claro bien"),
+    ]
+    res = {r.doc_id: r for r in curation_flags(_docs(spark, rows)).collect()}
+    assert res[0].keep and res[0].drop_reason is None
+    assert res[1].drop_reason == "duplicate"  # dup wins over any later rule
+    assert res[2].drop_reason == "too_short"
+    assert res[3].drop_reason in ("low_quality", "lang")
+    assert not res[4].keep  # no lexicon hits in any language -> und
+    assert res[4].drop_reason in ("low_quality", "lang")
+
+
+def test_curation_flags_allowed_langs_gate(spark):
+    es = "el coche que va con la de siempre por aqui cada dia sale bien y todo"
+    rows = [(0, GOOD), (1, es)]
+    # min_quality lowered: the quality heuristic's stopword list is English,
+    # so the es doc scores ~0.45 — this test isolates the language gate
+    default = {
+        r.doc_id: r
+        for r in curation_flags(_docs(spark, rows), min_quality=0.4).collect()
+    }
+    assert default[0].keep and default[1].keep  # both languages identified
+    only_en = {
+        r.doc_id: r
+        for r in curation_flags(
+            _docs(spark, rows), min_quality=0.4, allowed_langs=("en",)
+        ).collect()
+    }
+    assert only_en[0].keep
+    assert only_en[1].drop_reason == "lang"
+
+
+def test_stratified_sample_deterministic_and_salted(spark):
+    rows = [(i, "en" if i % 2 == 0 else "xx") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    kept1 = {r.doc_id for r in stratified_sample(df, "lang", {"en": 0.5}).collect()}
+    kept2 = {r.doc_id for r in stratified_sample(df, "lang", {"en": 0.5}).collect()}
+    assert kept1 == kept2  # pure function of (id, salt): re-runs agree exactly
+    assert all(i % 2 == 0 for i in kept1)  # default fraction 0 drops 'xx'
+    assert 60 <= len(kept1) <= 140  # ~100 of 200 'en' rows
+    salted = {
+        r.doc_id
+        for r in stratified_sample(df, "lang", {"en": 0.5}, salt="v2").collect()
+    }
+    assert salted != kept1  # a new salt draws an independent sample
+    everything = stratified_sample(
+        df, "lang", {"en": 1.0}, default_fraction=1.0
+    ).count()
+    assert everything == 400  # fraction 1.0 keeps all
+
+
+def test_vocab_stats_counts_and_tiebreak(spark):
+    d = _docs(
+        spark,
+        [(0, "b b a c"), (1, "b a"), (2, "zzz")],
+    )
+    rows = vocab_stats(d, top_n=None).collect()
+    assert [(r.token, r.tf, r.df) for r in rows] == [
+        ("b", 3, 2),
+        ("a", 2, 2),  # tf ties broken by token ascending
+        ("c", 1, 1),
+        ("zzz", 1, 1),
+    ]
+    top = vocab_stats(d, top_n=2).collect()
+    assert [r.token for r in top] == ["b", "a"]
+    frequent = vocab_stats(d, top_n=None, min_doc_freq=2).collect()
+    assert {r.token for r in frequent} == {"a", "b"}
