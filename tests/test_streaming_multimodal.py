@@ -59,6 +59,67 @@ def test_windowed_stream_counts(spark, event_files):
     assert by_type == {"click": 15, "view": 15}
 
 
+def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
+    """Late-data semantics: a row arriving for a window already finalized by
+    the watermark is DROPPED — the bounded-state guarantee that makes the
+    streaming rollup safe at scale.  Arrival order is controlled by copying
+    one parquet file per micro-batch into the watched dir."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+
+    def land(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        table = pa.Table.from_pandas(pdf, preserve_index=False).cast(
+            pa.schema(
+                [
+                    ("event_id", pa.int64()),
+                    ("ts", pa.timestamp("us")),
+                    ("user_id", pa.int64()),
+                    ("event_type", pa.string()),
+                    ("value", pa.float64()),
+                    ("props", pa.string()),
+                ]
+            )
+        )
+        pq.write_table(table, src / name)
+
+    stream = stream_events(spark, str(src))
+    agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_test")
+        .start()
+    )
+    try:
+        # batch 1: two on-time rows in the [00:00, 01:00) window
+        land("a.parquet", [(0, "2024-01-01 00:10:00", 1, "click", 1.0, "{}"),
+                           (1, "2024-01-01 00:20:00", 1, "click", 1.0, "{}")])
+        q.processAllAvailable()
+        # batch 2: hour-10 row advances the watermark to 08:00
+        land("b.parquet", [(2, "2024-01-01 10:00:00", 1, "click", 1.0, "{}")])
+        q.processAllAvailable()
+        # batch 3: a LATE row for the long-closed [00:00, 01:00) window
+        land("c.parquet", [(3, "2024-01-01 00:30:00", 1, "click", 9.0, "{}")])
+        q.processAllAvailable()
+        out = {
+            (r.win_start.isoformat(), r.event_type): r
+            for r in spark.sql("select * from late_test").collect()
+        }
+    finally:
+        q.stop()
+    early = out[("2024-01-01T00:00:00", "click")]
+    assert early.n == 2  # the late event_id=3 row was dropped, not merged
+    assert early.total_value == 2.0
+
+
 def test_streaming_vector_ingest_appends_and_flags_rebuild(spark, tmp_path):
     from hnsw_spark.sources.synthetic import synthetic_vectors
 
