@@ -1,0 +1,94 @@
+"""Temporal join operators: as-of (backward) join.
+
+Not in the reference (whose only temporal notion is bench wall-clock); this
+is the standard time-series enrichment primitive a training-data pipeline
+needs — "attach the most recent signal known at time t" — expressed in the
+one shape that survives 100 TB.
+
+Scale design: the naive formulation is a per-key range join
+(``l.ts >= r.ts`` then argmax), which Spark executes as a join explosion —
+every left row matches ALL earlier right rows before the top-1 prune, so a
+key with n lefts and m rights costs n·m.  Instead we UNION the two sides and
+take one window pass per key ordered by (ts, side): a running
+``last(right_payload, ignorenulls)`` carries the latest right row forward
+into each left row.  Cost: ONE shuffle on the key (the window), zero join
+blowup, and AQE-compatible skew handling.  The right payload travels as a
+single struct so the carried values always come from ONE right row —
+per-column ``last(ignorenulls)`` would stitch different rows together when a
+right column is legitimately NULL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str | list[str] | None = None,
+    value_cols: list[str] | None = None,
+    suffix: str = "_r",
+    tolerance: Column | None = None,
+) -> DataFrame:
+    """Backward as-of join: each left row gains the payload of the LATEST
+    right row with ``right.on <= left.on`` (within the same ``by`` keys),
+    NULLs when no right row precedes it.
+
+    Ties at equal ``on``: the right row matches (<=, DuckDB ASOF JOIN's
+    convention); among several right rows sharing the same (keys, on) the
+    winner is undefined — pre-aggregate the right side to one row per
+    (keys, on) for deterministic output (the oracle query does).
+
+    ``tolerance``: optional max staleness as a Column over
+    (left_on, right_on) -> boolean, e.g.
+    ``lambda l, r: l - r <= F.expr("INTERVAL 1 HOUR")`` applied post-match;
+    stale matches null out rather than falling back to older rows (matching
+    pandas ``merge_asof(tolerance=...)``).
+    """
+    by = [by] if isinstance(by, str) else list(by or [])
+    value_cols = value_cols or [
+        c for c in right.columns if c != on and c not in by
+    ]
+    overlap = set(left.columns) & set(value_cols)
+    out_names = {c: f"{c}{suffix}" if c in overlap else c for c in value_cols}
+
+    payload = F.struct(
+        F.col(on).alias("_r_on"), *[F.col(c) for c in value_cols]
+    )
+    r = right.select(
+        *by,
+        F.col(on).alias("_on"),
+        F.lit(0).alias("_side"),
+        payload.alias("_rval"),
+        *[F.lit(None).alias(f"_l_{c}") for c in left.columns],
+    )
+    l = left.select(
+        *[F.col(c).alias(c) for c in by],
+        F.col(on).alias("_on"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_rval"].dataType).alias("_rval"),
+        *[F.col(c).alias(f"_l_{c}") for c in left.columns],
+    )
+    # rights sort before lefts at equal ts (side 0 < 1) => <= match semantics
+    w = (
+        Window.partitionBy(*by)
+        .orderBy("_on", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        r.unionByName(l)
+        .withColumn("_match", F.last("_rval", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    if tolerance is not None:
+        ok = tolerance(F.col("_on"), F.col("_match._r_on"))
+        carried = carried.withColumn(
+            "_match", F.when(ok, F.col("_match"))
+        )
+    return carried.select(
+        *[F.col(f"_l_{c}").alias(c) for c in left.columns],
+        *[F.col(f"_match.{c}").alias(out_names[c]) for c in value_cols],
+    )

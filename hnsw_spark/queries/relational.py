@@ -292,3 +292,49 @@ def order_priority_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rolling_sum"),
         F.lag("o_totalprice").over(w).alias("prev_price"),
     )
+
+
+@query(
+    "asof_latest_view",
+    """
+WITH clicks AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+),
+views AS (
+  SELECT user_id, ts, max(value) AS view_value
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id,
+       round(c.value, 6) AS value, round(v.view_value, 6) AS view_value
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+""",
+)
+def asof_latest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click enriched with the value of the latest view the
+    same user made at-or-before the click (NULL when none) — the temporal
+    enrichment primitive, checked against DuckDB's native ASOF LEFT JOIN.
+
+    The right side is pre-aggregated to one row per (user_id, ts) so the
+    as-of winner is well-defined; the union+window implementation
+    (operators/temporal.py::asof_join) costs one shuffle on user_id, with no
+    per-key range-join explosion."""
+    from hnsw_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    res = asof_join(clicks, views, on="ts", by="user_id",
+                    value_cols=["view_value"])
+    return res.select(
+        "event_id",
+        "user_id",
+        F.round("value", 6).alias("value"),
+        F.round("view_value", 6).alias("view_value"),
+    )
