@@ -39,6 +39,9 @@ HEADLINE = [
     "embedding_neardup",
     "synthetic_vectors",
     "level_histogram",
+    "curation_filter",
+    "stratified_sample",
+    "vocab_stats",
 ]
 
 

@@ -115,6 +115,47 @@ def stratified_sample(
     return df.filter(_unit_hash(F.col(id_col), salt) < frac)
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    top_k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``top_k`` TF-IDF terms per document: weight = tf · (ln((N+1)/(df+1)) + 1)
+    (smoothed idf, always > 0 so ubiquitous terms still rank), with a
+    (weight desc, token asc) total order for a deterministic cut.
+
+    Shape: explode → (doc, token) count → token-keyed join against the
+    document-frequency table → per-doc window top-k.  The df table is one row
+    per vocabulary term — it shuffles on token alongside the tf table (a
+    sort-merge join on the same key Catalyst already partitioned for the df
+    aggregation), never a broadcast of something vocabulary-sized.  N is a
+    scalar count, not a collected table."""
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(words(text_col)).alias("token")
+    ).filter(F.col("token") != "")
+    tf = tok.groupBy("id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tok.groupBy("token").agg(F.count_distinct("id").alias("df"))
+    n_docs = df.select(F.col(id_col)).distinct().count()
+    weighted = tf.join(dfreq, "token").select(
+        "id",
+        "token",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf")
+            * (F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0),
+            6,
+        ).alias("weight"),
+    )
+    w = Window.partitionBy("id").orderBy(F.col("weight").desc(), F.col("token"))
+    return (
+        weighted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("id", "rank", "token", "tf", "df", "weight")
+    )
+
+
 def vocab_stats(
     df: DataFrame,
     top_n: int | None = 100,

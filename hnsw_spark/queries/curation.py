@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from hnsw_spark.operators.curation import (
     curation_flags,
     stratified_sample,
+    tfidf_top_terms,
     vocab_stats,
 )
 from hnsw_spark.queries.text import _NORM, _W, QUALITY_SQL, lang_case_sql
@@ -84,6 +85,37 @@ GROUP BY token
 ORDER BY tf DESC, token
 LIMIT 100
 """
+
+
+_TFIDF_SQL = f"""
+WITH tok AS (
+  SELECT doc_id AS id, unnest({_W}) AS token FROM documents
+),
+tok2 AS (SELECT * FROM tok WHERE token != ''),
+tf AS (SELECT id, token, count(*)::BIGINT AS tf FROM tok2 GROUP BY id, token),
+dfreq AS (SELECT token, count(DISTINCT id)::BIGINT AS df FROM tok2 GROUP BY token),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+weighted AS (
+  SELECT tf.id, tf.token, tf.tf, dfreq.df,
+         round(tf.tf * (ln((n.n_docs + 1)::DOUBLE / (dfreq.df + 1)) + 1.0), 6) AS weight
+  FROM tf JOIN dfreq USING (token) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY id ORDER BY weight DESC, token) AS rank
+  FROM weighted
+)
+SELECT id, rank::INT AS rank, token, tf, df, weight
+FROM ranked WHERE rank <= 5
+"""
+
+
+@query("tfidf_top_terms", _TFIDF_SQL)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document with smoothed idf and a deterministic
+    (weight desc, token) tie-break — the retrieval-style text scoring layer
+    over the vocab statistics."""
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"), top_k=5)
 
 
 @query("vocab_stats", _VOCAB_SQL)

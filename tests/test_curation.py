@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 from hnsw_spark.operators.curation import (
     curation_flags,
     stratified_sample,
+    tfidf_top_terms,
     vocab_stats,
 )
 
@@ -74,6 +75,25 @@ def test_stratified_sample_deterministic_and_salted(spark):
         df, "lang", {"en": 1.0}, default_fraction=1.0
     ).count()
     assert everything == 400  # fraction 1.0 keeps all
+
+
+def test_tfidf_rare_term_outweighs_common(spark):
+    import math
+
+    d = _docs(
+        spark,
+        [(0, "common rare common"), (1, "common"), (2, "common")],
+    )
+    rows = {(r.id, r.token): r for r in tfidf_top_terms(d, top_k=2).collect()}
+    r_rare, r_common = rows[(0, "rare")], rows[(0, "common")]
+    assert (r_rare.tf, r_rare.df) == (1, 1)
+    assert (r_common.tf, r_common.df) == (2, 3)
+    assert r_rare.weight == round(math.log(4 / 2) + 1, 6)
+    assert r_common.weight == round(2 * (math.log(4 / 4) + 1), 6)
+    # rare (≈1.69) ranks above common-with-tf-2 (=2.0)? No: 2.0 > 1.69
+    assert r_common.rank == 1 and r_rare.rank == 2
+    # doc 1: single term still gets a positive weight (smoothed idf)
+    assert rows[(1, "common")].weight > 0
 
 
 def test_vocab_stats_counts_and_tiebreak(spark):
