@@ -114,3 +114,70 @@ def similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("euclidean_dist", 6).alias("euclidean_dist"),
         F.round("euclidean_sim", 6).alias("euclidean_sim"),
     )
+
+
+_QUANT_SQL = """
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 500
+),
+s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM base
+),
+q AS (
+  SELECT vec_id, v, scale,
+         CASE WHEN scale = 0
+              THEN list_transform(v, x -> 0)
+              ELSE list_transform(v, x -> round(x / scale)::INT)
+         END AS qvec
+  FROM s
+)
+SELECT vec_id,
+       round(scale, 6) AS scale,
+       qvec[1] AS q0,
+       qvec[2] AS q1,
+       list_sum(qvec)::BIGINT AS q_sum,
+       list_max(qvec) AS q_max,
+       round(list_max(list_transform(generate_series(1, len(v)),
+                                     i -> abs(v[i] - qvec[i] * scale))), 6)
+         AS max_err
+FROM q
+"""
+
+
+@query("embedding_quantize", _QUANT_SQL)
+def embedding_quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 symmetric quantization of the embedding corpus with per-vector
+    scale and max reconstruction error -- the 4x memory/IO compression step
+    for the ANN tiers, entirely in Catalyst higher-order functions (zero
+    Python).  The code vector is pinned through scalar projections (first
+    codes, exact integer sum, max code, reconstruction error) because the
+    value-hash harness compares scalar columns."""
+    from hnsw_spark.functions.quantize import (
+        quant_scale,
+        quantize,
+        reconstruction_error,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    base = emb.select("vec_id", F.col("embedding").alias("v"))
+    withs = base.withColumn("scale", quant_scale("v"))
+    withq = withs.withColumn("qvec", quantize("v", F.col("scale")))
+    # max_err is computed BEFORE the projection that aliases a rounded
+    # column as "scale": inside the final select, Spark's lateral column
+    # alias resolution would bind the lambda's scale reference to the
+    # rounded sibling alias, silently inflating the error by ~q·5e-7
+    withe = withq.withColumn(
+        "max_err",
+        F.round(reconstruction_error("v", F.col("qvec"), F.col("scale")), 6),
+    )
+    return withe.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.element_at("qvec", 1).alias("q0"),
+        F.element_at("qvec", 2).alias("q1"),
+        F.aggregate("qvec", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.array_max("qvec").alias("q_max"),
+        "max_err",
+    )
