@@ -352,16 +352,27 @@ def embedding_neardup(
         )
     if strategy != "brute":
         raise ValueError(f"unknown strategy: {strategy!r}")
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    # Spark orders NaN above every double, so `cosine >= τ` alone would KEEP
+    # zero-norm pairs (cosine = NaN per the reference's 0/0) that the IVF
+    # BLAS path and the SQL oracle (0/0 → NULL) both drop.  A zero-norm
+    # vector is a near-duplicate of nothing: drop those ROWS before the join
+    # (n row-norms, not a post-join NaN re-check — Catalyst has no CSE, so
+    # `isnan(cosine) & cosine >= τ` would evaluate the full kernel twice per
+    # n² pair, measured 2× on the bench cell).
+    nonzero = (
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+        > 0.0
+    )
+    nz = df.filter(nonzero)
+    a = nz.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = nz.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", cosine_similarity("_va", "_vb"))
-        # Spark orders NaN above every double, so `cosine >= τ` alone would
-        # KEEP zero-norm pairs (cosine = NaN per the reference's 0/0) that the
-        # IVF BLAS path and the SQL oracle (0/0 → NULL) both drop.  A
-        # zero-norm vector is a near-duplicate of nothing: exclude NaN so all
-        # three paths agree.
-        .filter(~F.isnan("cosine") & (F.col("cosine") >= threshold))
+        .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
