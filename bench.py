@@ -42,6 +42,9 @@ HEADLINE = [
     "curation_filter",
     "stratified_sample",
     "vocab_stats",
+    "tfidf_top_terms",
+    "asof_latest_view",
+    "embedding_quantize",
 ]
 
 
