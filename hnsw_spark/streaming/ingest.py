@@ -120,8 +120,19 @@ class StreamingVectorIngest:
         )
 
     def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
-        assigned = self.assign(batch)
-        assigned.write.mode("append").partitionBy("list_id").parquet(self.nodes_path)
+        # exactly-once under retries: foreachBatch may replay an epoch after
+        # a failure, and a blind append would double-insert the whole batch.
+        # Writing into an epoch_id partition with DYNAMIC partition overwrite
+        # makes the replay overwrite its own previous (possibly partial)
+        # output instead of duplicating it — epochs already committed are
+        # untouched because only partitions present in the batch are replaced.
+        assigned = self.assign(batch).withColumn("epoch_id", F.lit(int(epoch_id)))
+        (
+            assigned.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id", "list_id")
+            .parquet(self.nodes_path)
+        )
         self.appended += batch.count()
 
     def start(self, stream: DataFrame, checkpoint: str):

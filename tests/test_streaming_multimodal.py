@@ -133,9 +133,13 @@ def test_streaming_vector_ingest_appends_and_flags_rebuild(spark, tmp_path):
     ingest.process_batch(batch2, 1)
     nodes = spark.read.parquet(str(tmp_path / "nodes"))
     assert nodes.count() == 80
-    assert set(nodes.columns) == {"list_id", "id", "vector"}
+    assert set(nodes.columns) == {"list_id", "id", "vector", "epoch_id"}
     assert nodes.select("list_id").distinct().count() <= 2
     assert ingest.appended == 80
+    # exactly-once: replaying an epoch (foreachBatch retry after failure)
+    # overwrites its own partition instead of double-appending
+    ingest.process_batch(batch2, 1)
+    assert spark.read.parquet(str(tmp_path / "nodes")).count() == 80
 
 
 def test_image_features_shape_and_determinism(spark):
