@@ -156,6 +156,54 @@ def tfidf_top_terms(
     )
 
 
+def feature_hash_embeddings(
+    df: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Feature-hashing text embeddings (the HashingTF / hashing-trick
+    recipe): token t adds ±1 (sign = a second hash bit) into bucket
+    h31(t) mod dim; bucket sums are L2-normalized (zero vector for empty
+    docs) → (id, embedding array<double>).
+
+    Bridges the text pipeline into the vector tiers with NO model: hashed
+    embeddings feed kNN / near-dup / IVF directly, deterministically, so the
+    SQL oracle reproduces them bit-for-bit.  Shape: one explode + one
+    groupBy (the simhash pattern) — the token hash is computed ONCE per
+    token instance; a per-row nested-loop formulation would re-evaluate it
+    dim× per token (Catalyst has no CSE inside higher-order lambdas)."""
+    from hnsw_spark.functions.hashing import h31
+
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(words(text_col)).alias("tok")
+    ).filter(F.col("tok") != "")
+    hashed = tok.withColumn("h", h31("tok")).select(
+        "id",
+        (F.col("h") % dim).alias("bucket"),
+        F.when((F.col("h") % (2 * dim)) >= dim, F.lit(-1.0))
+        .otherwise(F.lit(1.0))
+        .alias("sign"),
+    )
+    sums = [
+        F.sum(F.when(F.col("bucket") == i, F.col("sign")).otherwise(0.0)).alias(
+            f"b{i}"
+        )
+        for i in range(dim)
+    ]
+    agg = hashed.groupBy("id").agg(*sums)
+    raw = F.array(*[F.col(f"b{i}") for i in range(dim)])
+    agg2 = agg.select("id", raw.alias("_raw"))
+    norm = F.sqrt(
+        F.aggregate("_raw", F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    agg3 = agg2.withColumn("_norm", norm)
+    emb = F.when(F.col("_norm") == 0.0, F.col("_raw")).otherwise(
+        F.transform("_raw", lambda x: x / F.col("_norm"))
+    )
+    return agg3.select("id", emb.alias("embedding"))
+
+
 def vocab_stats(
     df: DataFrame,
     top_n: int | None = 100,

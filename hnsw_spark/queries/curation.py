@@ -6,9 +6,12 @@ text-analysis oracles, so every rule fires identically in both engines."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from hnsw_spark.functions.hashing import P31, md5_bigint_sql
 from hnsw_spark.operators.curation import (
     curation_flags,
+    feature_hash_embeddings,
     stratified_sample,
     tfidf_top_terms,
     vocab_stats,
@@ -73,6 +76,64 @@ def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "lang", {"en": 0.5, "es": 0.3}, default_fraction=0.1, salt="v1"
     )
     return res.select("doc_id", "lang")
+
+
+_FH_DIM = 64
+
+
+def _feature_hash_sql(dim: int) -> str:
+    sums = ",\n         ".join(
+        f"sum(CASE WHEN bucket = {i} THEN sign ELSE 0.0 END) AS b{i}"
+        for i in range(dim)
+    )
+    arr = "[" + ", ".join(f"b{i}" for i in range(dim)) + "]"
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, {md5_bigint_sql("tok")} % {P31} AS h FROM (
+    SELECT doc_id, unnest({_W}) AS tok FROM documents) WHERE tok != ''
+),
+b AS (
+  SELECT id, h % {dim} AS bucket,
+         CASE WHEN h % {2 * dim} >= {dim} THEN -1.0 ELSE 1.0 END AS sign
+  FROM toks
+),
+sums AS (SELECT id, {sums} FROM b GROUP BY id),
+vec AS (
+  SELECT id, {arr} AS raw,
+         sqrt(list_sum(list_transform({arr}, x -> x * x))) AS nrm
+  FROM sums
+)
+SELECT id,
+       round(CASE WHEN nrm = 0 THEN raw[1] ELSE raw[1] / nrm END, 6) AS e0,
+       round(CASE WHEN nrm = 0 THEN raw[2] ELSE raw[2] / nrm END, 6) AS e1,
+       round(CASE WHEN nrm = 0 THEN list_sum(raw)
+             ELSE list_sum(raw) / nrm END, 6) AS e_sum,
+       round(CASE WHEN nrm = 0 THEN list_sum(list_transform(raw, x -> abs(x)))
+             ELSE list_sum(list_transform(raw, x -> abs(x))) / nrm END, 6)
+         AS e_abs_sum
+FROM vec
+"""
+
+
+@query("text_hash_embeddings", _feature_hash_sql(_FH_DIM))
+def text_hash_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing text embeddings (HashingTF recipe, 64-dim, signed,
+    L2-normalized) — the model-free bridge from documents into the vector
+    tiers; vector pinned through scalar projections (first components, sum,
+    L1 mass) for the value-hash harness."""
+    emb = feature_hash_embeddings(
+        load_table(spark, sf_dir, "documents"), dim=_FH_DIM
+    )
+    e = F.col("embedding")
+    return emb.select(
+        "id",
+        F.round(F.element_at(e, 1), 6).alias("e0"),
+        F.round(F.element_at(e, 2), 6).alias("e1"),
+        F.round(F.aggregate(e, F.lit(0.0), lambda a, x: a + x), 6).alias("e_sum"),
+        F.round(
+            F.aggregate(e, F.lit(0.0), lambda a, x: a + F.abs(x)), 6
+        ).alias("e_abs_sum"),
+    )
 
 
 _VOCAB_SQL = f"""

@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 
 from hnsw_spark.operators.curation import (
     curation_flags,
+    feature_hash_embeddings,
     stratified_sample,
     tfidf_top_terms,
     vocab_stats,
@@ -94,6 +95,34 @@ def test_tfidf_rare_term_outweighs_common(spark):
     assert r_common.rank == 1 and r_rare.rank == 2
     # doc 1: single term still gets a positive weight (smoothed idf)
     assert rows[(1, "common")].weight > 0
+
+
+def test_feature_hash_embeddings_feed_knn(spark):
+    """Model-free text→vector bridge: identical docs embed identically
+    (cosine 1), near-identical docs are each other's nearest neighbors, and
+    vectors are unit-norm."""
+    import numpy as np
+
+    from hnsw_spark.operators.knn import knn_exact
+
+    d = _docs(
+        spark,
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta"),
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),
+            (3, "totally different words appear in this other document"),
+        ],
+    )
+    emb = feature_hash_embeddings(d, dim=32)
+    rows = {r.id: np.array(r.embedding) for r in emb.collect()}
+    assert all(abs(np.linalg.norm(v) - 1.0) < 1e-9 for v in rows.values())
+    assert np.allclose(rows[0], rows[1])
+    vec_df = emb.select(F.col("id").alias("vec_id"), "embedding")
+    res = knn_exact(vec_df, vec_df.filter(F.col("vec_id") == 0), k=3)
+    ordered = [r.id for r in res.orderBy(F.desc("score"), "id").collect()]
+    assert set(ordered[:2]) == {0, 1}  # the exact duplicate ties at cosine 1
+    assert ordered[2] == 2  # near-identical doc beats the unrelated one
 
 
 def test_vocab_stats_counts_and_tiebreak(spark):
