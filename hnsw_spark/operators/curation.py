@@ -135,7 +135,11 @@ def tfidf_top_terms(
         F.col(id_col).alias("id"), F.explode(words(text_col)).alias("token")
     ).filter(F.col("token") != "")
     tf = tok.groupBy("id", "token").agg(F.count("*").alias("tf"))
-    dfreq = tok.groupBy("token").agg(F.count_distinct("id").alias("df"))
+    # df is derived FROM tf — one (id, token) row per doc-term means
+    # count(*) per token IS the distinct-doc count, so the second (and
+    # bigger) pass over the raw exploded tokens with a count_distinct is
+    # unnecessary
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
     n_docs = df.select(F.col(id_col)).distinct().count()
     weighted = tf.join(dfreq, "token").select(
         "id",
