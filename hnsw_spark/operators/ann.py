@@ -135,7 +135,21 @@ class IVFIndex:
         )
         # route_probes broadcast-hints the small-batch path itself; a
         # distributed (large-batch) probe table must NOT be force-broadcast
-        cand = self.index_df.join(probes, "list_id")
+        index_df = self.index_df
+        if "vector" not in index_df.columns:
+            # int8-stored index (store='int8'): reconstruct vectors inline —
+            # a Catalyst transform that fuses into the same codegen span as
+            # the scoring kernel, so the 4x smaller parquet is the only
+            # difference the plan sees
+            from hnsw_spark.functions.quantize import dequantize
+
+            # the codes column is also named qvec on the PROBE side (query
+            # vector) — drop the index-side codes after reconstruction so the
+            # post-join scoring reference is unambiguous
+            index_df = index_df.withColumn(
+                "vector", dequantize("qvec", "scale")
+            ).drop("qvec", "scale")
+        cand = index_df.join(probes, "list_id")
         scored = cand.select(
             "query_id", "id", sim("qvec", "vector").alias("score")
         )
@@ -402,12 +416,22 @@ def build_ivf_index(
     max_iter: int = 10,
     train_method: str = "sample",
     sample_size: int = 65536,
+    store: str = "float32",
 ) -> IVFIndex:
     """Cluster the corpus into ``n_lists`` inverted lists — one scan to
     sample/train, one to assign, no per-iteration Spark jobs (see
     ``train_centroids``).  Cosine uses spherical k-means; stored vectors stay
-    un-normalized so search scores match the reference formulas exactly."""
+    un-normalized so search scores match the reference formulas exactly.
+
+    ``store='int8'`` persists symmetric per-vector quantized codes
+    (functions/quantize.py) instead of float32 — 4× less parquet IO/memory
+    at 100 TB, the FAISS ScalarQuantizer recipe; search reconstructs inline
+    and costs one extra multiply per element.  Scores then differ from exact
+    by ≤ the quantization error (recall impact <1% at 8 bits; pinned in
+    tests), so keep the default for oracle-exact workloads."""
     get_metric(metric)  # validate early (reference src/main.ts:42-44)
+    if store not in ("float32", "int8"):
+        raise ValueError(f"unknown store: {store!r}")
     base = df.select(
         F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vector")
     )
@@ -415,6 +439,14 @@ def build_ivf_index(
         base, n_lists, metric, seed, max_iter, train_method, sample_size
     )
     assigned = assign_lists(base, centroids, metric)
+    if store == "int8":
+        from hnsw_spark.functions.quantize import quant_scale, quantize
+
+        assigned = (
+            assigned.withColumn("scale", quant_scale("vector"))
+            .withColumn("qvec", quantize("vector", F.col("scale")))
+            .drop("vector")
+        )
     return IVFIndex(
         assigned,
         centroids,
@@ -424,5 +456,6 @@ def build_ivf_index(
             "seed": seed,
             "max_iter": max_iter,
             "train_method": train_method,
+            "store": store,
         },
     )

@@ -125,3 +125,34 @@ def test_search_with_distributed_routing_equals_driver_routing(spark, corpus, qu
     assert {(r.query_id, r.id) for r in a.collect()} == {
         (r.query_id, r.id) for r in b.collect()
     }
+
+
+def test_int8_store_search_and_persistence(spark, corpus, queries, tmp_path):
+    """int8-stored index: full probe recall vs exact stays ~1.0 (8-bit
+    quantization error is far below the neighbor margin on this corpus), the
+    node table carries codes not floats, and the persisted form round-trips
+    through the schema-agnostic save/load."""
+    idx8 = build_ivf_index(corpus, n_lists=8, metric="cosine", store="int8")
+    assert set(idx8.index_df.columns) == {"list_id", "id", "scale", "qvec"}
+    r = _recall(spark, corpus, queries, idx8, n_probe=8)
+    assert r >= 0.99
+    path = str(tmp_path / "int8_idx")
+    save_index(idx8, path)
+    loaded = load_index(spark, path)
+    assert loaded.params["store"] == "int8"
+    assert "vector" not in loaded.index_df.columns
+    a = {(x.query_id, x.id) for x in idx8.search(queries, k=5, n_probe=8).collect()}
+    b = {(x.query_id, x.id) for x in loaded.search(queries, k=5, n_probe=8).collect()}
+    assert a == b
+    delete_index(path)
+
+
+def test_int8_store_matches_float_topk_mostly(spark, corpus, queries):
+    f32 = build_ivf_index(corpus, n_lists=8, metric="cosine", seed=5)
+    i8 = build_ivf_index(corpus, n_lists=8, metric="cosine", seed=5, store="int8")
+    a = f32.search(queries, k=10, n_probe=8)
+    b = i8.search(queries, k=10, n_probe=8)
+    from hnsw_spark.operators.evaluation import mean_recall, recall_table
+
+    overlap = mean_recall(recall_table(b, a)).first().mean_recall
+    assert overlap >= 0.95  # <1% top-k churn expected from 8-bit error
