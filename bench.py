@@ -246,7 +246,53 @@ def _protocol_axes(spark, sf_dir: str, qs) -> dict:
     vecs.unpersist()
     nd_best = min(walls_nd)
 
+    # int8-stored IVF vs float32: same knobs/seed, full-probe search walls,
+    # top-k agreement, and the on-disk node-table sizes (the 4x IO claim,
+    # measured not asserted)
+    import shutil
+
+    from hnsw_spark.operators.ann import build_ivf_index
+    from hnsw_spark.queries.index import ANN_N_LISTS, ANN_N_PROBE
+
+    emb2 = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q2 = emb2.filter(F.col("vec_id") < 8)
+    sizes, search_walls, results = {}, {}, {}
+    for store in ("float32", "int8"):
+        idx = build_ivf_index(
+            emb2, n_lists=ANN_N_LISTS, metric="cosine", store=store
+        )
+        tmp = os.path.join(".tmp", f"bench_ivf_{store}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        idx.index_df.write.mode("overwrite").parquet(tmp)
+        sizes[store] = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(tmp)
+            for f in fs
+        )
+        idx.index_df = spark.read.parquet(tmp).cache()
+        idx.index_df.count()
+        t0 = time.time()
+        res = idx.search(q2, k=10, n_probe=ANN_N_PROBE)
+        res.write.format("noop").mode("overwrite").save()
+        search_walls[store] = time.time() - t0
+        results[store] = {(r.query_id, r.id) for r in res.collect()}
+        idx.index_df.unpersist()
+        shutil.rmtree(tmp, ignore_errors=True)
+    agree = len(results["int8"] & results["float32"]) / max(
+        len(results["float32"]), 1
+    )
+
     out = {
+        "ivf_int8_store": {
+            "n_lists": ANN_N_LISTS,
+            "n_probe": ANN_N_PROBE,
+            "bytes_float32": sizes["float32"],
+            "bytes_int8": sizes["int8"],
+            "compression_ratio": round(sizes["float32"] / max(sizes["int8"], 1), 2),
+            "search_ms_float32": round(search_walls["float32"] * 1000, 1),
+            "search_ms_int8": round(search_walls["int8"] * 1000, 1),
+            "topk_agreement": round(agree, 4),
+        },
         "minhash_50k_docs": {
             "n_docs": 50_000,
             "num_perm": 32,
