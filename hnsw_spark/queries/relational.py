@@ -338,3 +338,91 @@ def asof_latest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 6).alias("value"),
         F.round("view_value", 6).alias("view_value"),
     )
+
+
+@query(
+    "promo_revenue_by_type",
+    """
+SELECT p.p_type,
+       (sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(27,8)))::DOUBLE
+         AS revenue,
+       count(*)::BIGINT AS n_lines,
+       (sum(l.l_quantity::DECIMAL(27,8)))::DOUBLE AS sum_qty
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+GROUP BY p.p_type
+""",
+)
+def promo_revenue_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: fact-to-dimension join (lineitem ⋈ part) with
+    discounted-revenue aggregation per part type.  The part dimension is
+    explicitly broadcast — at 100 TB the fact table never shuffles for a
+    dimension join; decimal accumulation keeps the float sums
+    order-independent."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= "1995-01-01"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return joined.groupBy("p_type").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count("*").alias("n_lines"),
+        dsum("l_quantity").alias("sum_qty"),
+    )
+
+
+@query(
+    "top_suppliers_per_nation",
+    """
+WITH srev AS (
+  SELECT s.s_nationkey, s.s_suppkey, s.s_name,
+         (sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(27,8)))::DOUBLE
+           AS revenue
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY s.s_nationkey, s.s_suppkey, s.s_name
+),
+ranked AS (
+  SELECT n.n_name AS nation, srev.s_name, round(revenue, 4) AS revenue,
+         row_number() OVER (
+           PARTITION BY srev.s_nationkey
+           ORDER BY revenue DESC, srev.s_suppkey) AS rank
+  FROM srev JOIN nation n ON srev.s_nationkey = n.n_nationkey
+)
+SELECT nation, s_name, revenue, rank::INT AS rank
+FROM ranked WHERE rank <= 3
+""",
+)
+def top_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 suppliers by discounted revenue within each nation: fact ⋈
+    broadcast supplier dim → partial-aggregated revenue per supplier (the
+    shuffle carries one row per supplier, not per lineitem) → broadcast
+    nation dim → per-nation window top-k with a deterministic
+    (revenue desc, suppkey) tie-break."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    srev = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("s_nationkey", "s_suppkey", "s_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("revenue").desc(), F.col("s_suppkey")
+    )
+    ranked = (
+        srev.join(F.broadcast(nat), srev.s_nationkey == nat.n_nationkey)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )
+    return ranked.select(
+        F.col("n_name").alias("nation"),
+        "s_name",
+        F.round("revenue", 4).alias("revenue"),
+        "rank",
+    )
