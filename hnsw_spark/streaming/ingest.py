@@ -79,6 +79,37 @@ def windowed_event_counts(
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "r_ts",
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each left event pairs with
+    the right events of the same key whose timestamp falls in
+    ``[left_ts − max_delay, left_ts]`` — the streaming form of the temporal
+    enrichment ``operators/temporal.py::asof_join`` does in batch (all
+    qualifying right rows, not just the latest: streams can't know a later
+    row won't arrive until the watermark passes).
+
+    Both sides carry watermarks and the join condition bounds the time range
+    in BOTH directions, which is what lets Spark expire buffered state — an
+    unbounded-interval stream join would hold every past row forever.  The
+    caller gives the sides disjoint column names (``right_ts`` etc.); state
+    size is O(events within the watermark horizon) per key."""
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l[by] == r[f"r_{by}"])
+        & (r[right_ts] >= l[left_ts] - F.expr(f"INTERVAL {max_delay}"))
+        & (r[right_ts] <= l[left_ts])
+    )
+    return l.join(r, cond)
+
+
 class StreamingVectorIngest:
     """Incremental index maintenance (the addPoint path, B2).
 

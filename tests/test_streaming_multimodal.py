@@ -17,6 +17,7 @@ from hnsw_spark.operators.multimodal import (
 from hnsw_spark.streaming.ingest import (
     StreamingVectorIngest,
     stream_events,
+    stream_interval_join,
     windowed_event_counts,
 )
 
@@ -118,6 +119,54 @@ def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
     early = out[("2024-01-01T00:00:00", "click")]
     assert early.n == 2  # the late event_id=3 row was dropped, not merged
     assert early.total_value == 2.0
+
+
+def test_stream_interval_join_bounds_matches(spark, tmp_path):
+    """Stream-stream interval join: a click pairs with the same user's views
+    from the past hour only — outside-window and other-user views are
+    excluded; both sides are watermarked so state is bounded."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def land(dirname, name, cols, rows):
+        d = tmp_path / dirname
+        d.mkdir(exist_ok=True)
+        pdf = pd.DataFrame(rows, columns=list(cols))
+        fields = []
+        for c in cols:
+            if c.endswith("ts"):
+                pdf[c] = pd.to_datetime(pdf[c])
+                fields.append((c, pa.timestamp("us")))  # Spark can't read ns
+            else:
+                fields.append((c, pa.int64()))
+        table = pa.Table.from_pandas(pdf, preserve_index=False).cast(
+            pa.schema(fields)
+        )
+        pq.write_table(table, d / name)
+
+    clicks_schema = "click_id long, ts timestamp, user_id long"
+    views_schema = "view_id long, r_ts timestamp, r_user_id long"
+    land("clicks", "a.parquet", ["click_id", "ts", "user_id"],
+         [(1, "2024-01-01 10:00:00", 7)])
+    land("views", "a.parquet", ["view_id", "r_ts", "r_user_id"],
+         [(100, "2024-01-01 09:30:00", 7),   # in window
+          (101, "2024-01-01 08:30:00", 7),   # too old
+          (102, "2024-01-01 10:30:00", 7),   # after the click
+          (103, "2024-01-01 09:45:00", 8)])  # other user
+    clicks = (spark.readStream.format("parquet").schema(clicks_schema)
+              .load(str(tmp_path / "clicks")))
+    views = (spark.readStream.format("parquet").schema(views_schema)
+             .load(str(tmp_path / "views")))
+    joined = stream_interval_join(clicks, views, max_delay="1 hour")
+    q = (joined.writeStream.outputMode("append").format("memory")
+         .queryName("sjoin").start())
+    try:
+        q.processAllAvailable()
+        out = spark.sql("select click_id, view_id from sjoin").collect()
+    finally:
+        q.stop()
+    assert {(r.click_id, r.view_id) for r in out} == {(1, 100)}
 
 
 def test_streaming_vector_ingest_appends_and_flags_rebuild(spark, tmp_path):
