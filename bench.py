@@ -45,6 +45,9 @@ HEADLINE = [
     "tfidf_top_terms",
     "asof_latest_view",
     "embedding_quantize",
+    "text_hash_embeddings",
+    "promo_revenue_by_type",
+    "top_suppliers_per_nation",
 ]
 
 

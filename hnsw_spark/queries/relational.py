@@ -426,3 +426,24 @@ def top_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("revenue", 4).alias("revenue"),
         "rank",
     )
+
+
+@query(
+    "returns_cube",
+    """
+SELECT l_returnflag, l_linestatus,
+       count(*)::BIGINT AS n_lines,
+       (sum(l_quantity::DECIMAL(27,8)))::DOUBLE AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def returns_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over (returnflag, linestatus): all four
+    granularities (full, each single axis, grand total) in ONE pass — Spark
+    expands the grouping sets before the hash aggregate, so the fact table
+    is scanned once, not four times."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_lines"), dsum("l_quantity").alias("sum_qty")
+    )
