@@ -191,6 +191,87 @@ def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
     )
 
 
+def _fake_decode_frame(
+    payload: bytes, width: int, height: int, frame_idx: int, scene_len: int = 40
+) -> np.ndarray:
+    """DETERMINISTIC FAKE frame decode (no video codec in container): frames
+    share a scene base image for ``scene_len`` consecutive frames (small
+    per-frame jitter), and the base changes at each scene boundary — so the
+    scene-cut DETECTOR downstream has realistic structure to find."""
+    scene = int(frame_idx) // scene_len
+    seed = int.from_bytes(
+        hashlib.md5(payload + scene.to_bytes(4, "little")).digest()[:8], "little"
+    )
+    base = np.random.default_rng(seed).integers(
+        0, 256, size=(height, width, 3), dtype=np.int16
+    )
+    jitter = np.random.default_rng(seed ^ (int(frame_idx) + 1)).integers(
+        -3, 4, size=base.shape, dtype=np.int16
+    )
+    return np.clip(base + jitter, 0, 255).astype(np.uint8)
+
+
+def frame_features(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Sampled video frames → per-frame feature vectors:
+    (media_id, frame_idx, embedding).  The frame expansion is the exact
+    ``frame_sample`` plumbing; decode is the stubbed codec; feature
+    extraction reuses the image path so frame embeddings feed the same
+    ANN/dedup/scene operators."""
+    frames = frame_sample(df, every_n).join(
+        df.select("media_id", "payload", "width", "height"), "media_id"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            feats = [
+                _image_feature(
+                    _fake_decode_frame(
+                        row.payload, int(row.width), int(row.height),
+                        int(row.frame_idx),
+                    )
+                )
+                for row in pdf.itertuples()
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "frame_idx": pdf["frame_idx"].to_numpy(),
+                    "embedding": feats,
+                }
+            )
+
+    return frames.select("media_id", "frame_idx", "payload", "width", "height").mapInPandas(
+        run, schema="media_id long, frame_idx int, embedding array<float>"
+    )
+
+
+def scene_cuts(frame_feats: DataFrame, threshold: float = 0.05) -> DataFrame:
+    """Scene-change detection over per-frame features: a cut is a sampled
+    frame whose feature distance to the PREVIOUS sampled frame exceeds
+    ``threshold`` → (media_id, frame_idx, dist).
+
+    This layer is entirely real Spark (no codec): one window per media
+    ordered by frame_idx, a lag, and a Catalyst euclidean kernel — the same
+    shuffle-once-per-key shape as the sessionization and as-of operators, so
+    it scales to any frame count per video."""
+    from pyspark.sql import Window
+
+    from hnsw_spark.functions.similarity import euclidean_distance
+
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    with_prev = frame_feats.withColumn(
+        "_prev", F.lag("embedding").over(w)
+    ).filter(F.col("_prev").isNotNull())
+    scored = with_prev.withColumn(
+        "dist", euclidean_distance("embedding", "_prev")
+    )
+    return scored.filter(F.col("dist") > threshold).select(
+        "media_id", "frame_idx", F.round("dist", 6).alias("dist")
+    )
+
+
 def synthetic_media(spark, count: int = 20, kind: str = "image") -> DataFrame:
     """Deterministic fixture media table (payload = md5-derived bytes)."""
     rows = []

@@ -75,3 +75,17 @@ def multimodal_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks the expansion exactly (fixed n_frames=100 per fixture row)."""
     media = synthetic_media(spark, count=_FS_COUNT, kind="video")
     return frame_sample(media, every_n=_FS_EVERY)
+
+
+@query("multimodal_scene_cuts")  # rows-only: frame decode is the stubbed codec
+def multimodal_scene_cuts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-change detection: sampled frames → per-frame features (stubbed
+    decode, scene-structured fake) → window-lag euclidean distance per media
+    → cut rows.  The detection layer (window + Catalyst kernel) is entirely
+    real Spark; the fake decoder plants scene boundaries every 40 frames, so
+    cuts land at sampled frames 40 and 80 for each of the 8 videos."""
+    from hnsw_spark.operators.multimodal import frame_features, scene_cuts
+
+    media = synthetic_media(spark, count=8, kind="video")
+    feats = frame_features(media, every_n=10)
+    return scene_cuts(feats, threshold=0.05)

@@ -302,6 +302,22 @@ def test_streaming_graph_ingest_grows_searchable_index(spark, tmp_path):
     assert got.iloc[0]["id"] == 1105
 
 
+def test_scene_cuts_land_on_planted_boundaries(spark):
+    """The fake decoder changes scene every 40 frames; sampling every 10th
+    frame, the detector must flag exactly frames 40 and 80 per video — and
+    nothing within a scene (jitter stays under the threshold)."""
+    from hnsw_spark.operators.multimodal import frame_features, scene_cuts
+
+    media = synthetic_media(spark, count=4, kind="video")
+    feats = frame_features(media, every_n=10)
+    cuts = scene_cuts(feats, threshold=0.05).collect()
+    by_media = {}
+    for r in cuts:
+        by_media.setdefault(r.media_id, []).append(r.frame_idx)
+    assert by_media == {m: [40, 80] for m in range(4)}
+    assert all(r.dist > 0.05 for r in cuts)
+
+
 def test_audio_features_shape_determinism_and_feed_knn(spark):
     from hnsw_spark.operators.knn import knn_exact
     from hnsw_spark.operators.multimodal import (
