@@ -24,8 +24,12 @@ DataFrame programs:
 - ``operators.evaluation``  — recall@k, micro-averaged mean recall, floor-index
   percentiles, latency summaries, A/B diff reports (src/bench/metrics.ts,
   src/bench/report.ts).
-- ``operators.dedup`` / ``operators.text`` — large-scale training-data pipeline
+- ``operators.dedup`` / ``functions.text`` — large-scale training-data pipeline
   operators (exact/MinHash/SimHash/n-gram dedup, language id, quality scores).
+- ``operators.curation``    — keep/drop curation pipeline, deterministic
+  stratified sampling, vocab/TF-IDF statistics, feature-hashing embeddings.
+- ``operators.temporal``    — as-of (backward) join via union+window.
+- ``functions.quantize``    — int8 symmetric embedding quantization.
 - ``sources``               — fvecs/ivecs decoders, seeded synthetic vectors,
   fixture table loaders (src/bench/dataset.ts).
 - ``plans.persistence``     — index save/load with overwrite + load-if-exists
@@ -49,8 +53,30 @@ from hnsw_spark.operators.hnsw_graph import (  # noqa: E402
     HNSWIndex,
     build_hnsw_index,
 )
+from hnsw_spark.operators.curation import (  # noqa: E402
+    curation_flags,
+    feature_hash_embeddings,
+    stratified_sample,
+    tfidf_top_terms,
+    vocab_stats,
+)
+from hnsw_spark.operators.dedup import (  # noqa: E402
+    embedding_neardup,
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_neardup_pairs,
+)
 from hnsw_spark.operators.knn import knn_exact  # noqa: E402
+from hnsw_spark.operators.temporal import asof_join  # noqa: E402
 from hnsw_spark.operators.validate import validate_vectors  # noqa: E402
+from hnsw_spark.functions.quantize import (  # noqa: E402
+    dequantize,
+    quant_scale,
+    quantize,
+)
 from hnsw_spark.plans.persistence import (  # noqa: E402
     delete_index,
     load_index,
@@ -73,4 +99,20 @@ __all__ = [
     "save_index",
     "load_index",
     "delete_index",
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "simhash",
+    "simhash_neardup_pairs",
+    "embedding_neardup",
+    "curation_flags",
+    "stratified_sample",
+    "vocab_stats",
+    "tfidf_top_terms",
+    "feature_hash_embeddings",
+    "asof_join",
+    "quant_scale",
+    "quantize",
+    "dequantize",
 ]
