@@ -12,10 +12,15 @@ Parity targets:
   join (report.ts ``--strict``).
 
 Determinism: cross-engine (and cross-partitioning) reproducible float
-aggregates use exact decimal accumulation (``dsum``) — double sums are
-order-dependent, decimal sums are not, so results hash-match a single-threaded
-oracle regardless of the shuffle layout.  Percentiles use a per-group window
-(shuffle by group key — scales with group count, no global sort).
+aggregates use FIXED-POINT accumulation (``dsum``): each row is quantized
+with ``floor(x·10ˢ + 0.5)`` — pure IEEE double ops, bit-identical in every
+engine — then summed as exact BIGINTs (order-independent).  The earlier
+decimal-cast formulation was order-independent but NOT engine-invariant: a
+``double → DECIMAL`` cast rounds HALF_UP in Spark but differently in other
+engines at exact .5·10⁻ˢ boundaries, and at sf0.1 row counts a handful of
+boundary rows flipped, shifting money sums by ~1e-6 vs the DuckDB oracle.
+Percentiles use a per-group window (shuffle by group key — scales with group
+count, no global sort).
 """
 
 from __future__ import annotations
@@ -26,13 +31,23 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def dsum(col: Column | str, scale: int = 8) -> Column:
-    """Order-independent sum of doubles via exact decimal accumulation."""
+def dquant(col: Column | str, scale: int = 4) -> Column:
+    """Engine-invariant fixed-point quantization: floor(x·10ˢ + 0.5) as a
+    BIGINT.  floor, multiply, and add are IEEE-exact on the same input
+    double in every engine, unlike decimal-cast rounding modes."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(f"decimal(27,{scale})")).cast("double")
+    return F.floor(c.cast("double") * F.lit(float(10**scale)) + F.lit(0.5)).cast(
+        "long"
+    )
 
 
-def davg(col: Column | str, scale: int = 8) -> Column:
+def dsum(col: Column | str, scale: int = 4) -> Column:
+    """Order-independent, engine-invariant sum of doubles: exact BIGINT sum
+    of per-row fixed-point quantizations (inputs quantized at 10⁻ˢ)."""
+    return F.sum(dquant(col, scale)).cast("double") / F.lit(float(10**scale))
+
+
+def davg(col: Column | str, scale: int = 4) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return dsum(c, scale) / F.count(c)
 

@@ -98,7 +98,7 @@ def _summary_sql(pred: str, pcols: tuple[int, ...] = (50, 90, 95, 99)) -> str:
     return f"""
   SELECT event_type,
        count(*)::BIGINT AS "count",
-       (sum(value::DECIMAL(27,8)))::DOUBLE / count(value) AS "avg",
+       ((sum(floor((value) * 10000.0 + 0.5)::BIGINT))::DOUBLE / 10000.0) / count(value) AS "avg",
        {pct}
   FROM (SELECT event_type, value,
                row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
@@ -173,11 +173,11 @@ def ab_compare_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ab_delta_summary",
     f"""
 WITH diff AS ({_AB_SQL})
-SELECT (sum(count_delta::DECIMAL(27,8)))::DOUBLE / count(count_delta) AS count_delta_avg,
+SELECT ((sum(floor((count_delta) * 10000.0 + 0.5)::BIGINT))::DOUBLE / 10000.0) / count(count_delta) AS count_delta_avg,
        min(count_delta) AS count_delta_min, max(count_delta) AS count_delta_max,
-       (sum(avg_delta::DECIMAL(27,8)))::DOUBLE / count(avg_delta) AS avg_delta_avg,
+       ((sum(floor((avg_delta) * 10000.0 + 0.5)::BIGINT))::DOUBLE / 10000.0) / count(avg_delta) AS avg_delta_avg,
        min(avg_delta) AS avg_delta_min, max(avg_delta) AS avg_delta_max,
-       (sum(p95_delta::DECIMAL(27,8)))::DOUBLE / count(p95_delta) AS p95_delta_avg,
+       ((sum(floor((p95_delta) * 10000.0 + 0.5)::BIGINT))::DOUBLE / 10000.0) / count(p95_delta) AS p95_delta_avg,
        min(p95_delta) AS p95_delta_min, max(p95_delta) AS p95_delta_max
 FROM diff
 """,

@@ -22,13 +22,13 @@ from hnsw_spark.sources.tables import load_table
     "tpch_q1_pricing_summary",
     """
 SELECT l_returnflag, l_linestatus,
-       (sum(l_quantity::DECIMAL(27,8)))::DOUBLE AS sum_qty,
-       (sum(l_extendedprice::DECIMAL(27,8)))::DOUBLE AS sum_base_price,
-       (sum((l_extendedprice * (1 - l_discount))::DECIMAL(27,8)))::DOUBLE AS sum_disc_price,
-       (sum((l_extendedprice * (1 - l_discount) * (1 + l_tax))::DECIMAL(27,8)))::DOUBLE AS sum_charge,
-       (sum(l_quantity::DECIMAL(27,8)))::DOUBLE / count(l_quantity) AS avg_qty,
-       (sum(l_extendedprice::DECIMAL(27,8)))::DOUBLE / count(l_extendedprice) AS avg_price,
-       (sum(l_discount::DECIMAL(27,8)))::DOUBLE / count(l_discount) AS avg_disc,
+       (sum(floor((l_quantity) * 10000.0 + 0.5)::BIGINT))::DOUBLE / 10000.0 AS sum_qty,
+       (sum(floor((l_extendedprice) * 10000.0 + 0.5)::BIGINT))::DOUBLE / 10000.0 AS sum_base_price,
+       (sum(floor(((l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5)::BIGINT))::DOUBLE / 10000.0 AS sum_disc_price,
+       (sum(floor(((l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 10000.0 + 0.5)::BIGINT))::DOUBLE / 10000.0 AS sum_charge,
+       ((sum(floor((l_quantity) * 10000.0 + 0.5)::BIGINT))::DOUBLE / 10000.0) / count(l_quantity) AS avg_qty,
+       ((sum(floor((l_extendedprice) * 10000.0 + 0.5)::BIGINT))::DOUBLE / 10000.0) / count(l_extendedprice) AS avg_price,
+       ((sum(floor((l_discount) * 10000.0 + 0.5)::BIGINT))::DOUBLE / 10000.0) / count(l_discount) AS avg_disc,
        count(*)::BIGINT AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -61,7 +61,7 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT r_name AS region, n_name AS nation,
        count(*)::BIGINT AS n_orders,
-       (sum(o_totalprice::DECIMAL(27,8)))::DOUBLE AS revenue
+       (sum(floor((o_totalprice) * 10000.0 + 0.5)::BIGINT))::DOUBLE / 10000.0 AS revenue
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
@@ -120,7 +120,7 @@ def top_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*)::BIGINT AS n,
-       (sum(value::DECIMAL(27,8)))::DOUBLE AS total_value
+       (sum(floor((value) * 10000.0 + 0.5)::BIGINT))::DOUBLE / 10000.0 AS total_value
 FROM events
 GROUP BY date_trunc('hour', ts), event_type
 """,
@@ -170,7 +170,7 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT r_name AS region, n_name AS nation,
        count(*)::BIGINT AS n_orders,
-       (sum(o_totalprice::DECIMAL(27,8)))::DOUBLE AS revenue
+       (sum(floor((o_totalprice) * 10000.0 + 0.5)::BIGINT))::DOUBLE / 10000.0 AS revenue
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
@@ -268,9 +268,9 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "order_priority_rolling",
     """
 SELECT o_orderpriority, o_orderkey, o_totalprice,
-       (sum(o_totalprice::DECIMAL(27,8)) OVER (
+       (sum(floor(o_totalprice * 10000.0 + 0.5)::BIGINT) OVER (
           PARTITION BY o_orderpriority ORDER BY o_orderkey
-          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))::DOUBLE AS rolling_sum,
+          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))::DOUBLE / 10000.0 AS rolling_sum,
        lag(o_totalprice) OVER (
           PARTITION BY o_orderpriority ORDER BY o_orderkey) AS prev_price
 FROM orders
@@ -278,18 +278,20 @@ WHERE o_orderkey < 1000
 """,
 )
 def order_priority_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Analytic windows: bounded rolling sum + lag (decimal accumulation keeps
-    the running sum engine-invariant)."""
+    """Analytic windows: bounded rolling sum + lag (fixed-point accumulation
+    keeps the running sum engine-invariant; see operators.evaluation.dsum)."""
+    from hnsw_spark.operators.evaluation import dquant
+
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
     w = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
     return o.select(
         "o_orderpriority",
         "o_orderkey",
         "o_totalprice",
-        F.sum(F.col("o_totalprice").cast("decimal(27,8)"))
-        .over(w.rowsBetween(-3, 0))
-        .cast("double")
-        .alias("rolling_sum"),
+        (
+            F.sum(dquant("o_totalprice")).over(w.rowsBetween(-3, 0)).cast("double")
+            / F.lit(10000.0)
+        ).alias("rolling_sum"),
         F.lag("o_totalprice").over(w).alias("prev_price"),
     )
 
@@ -344,10 +346,10 @@ def asof_latest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     "promo_revenue_by_type",
     """
 SELECT p.p_type,
-       (sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(27,8)))::DOUBLE
+       (sum(floor(((l.l_extendedprice * (1 - l.l_discount))) * 10000.0 + 0.5)::BIGINT))::DOUBLE / 10000.0
          AS revenue,
        count(*)::BIGINT AS n_lines,
-       (sum(l.l_quantity::DECIMAL(27,8)))::DOUBLE AS sum_qty
+       (sum(floor((l.l_quantity) * 10000.0 + 0.5)::BIGINT))::DOUBLE / 10000.0 AS sum_qty
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
 GROUP BY p.p_type
@@ -376,7 +378,7 @@ def promo_revenue_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH srev AS (
   SELECT s.s_nationkey, s.s_suppkey, s.s_name,
-         (sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(27,8)))::DOUBLE
+         (sum(floor(((l.l_extendedprice * (1 - l.l_discount))) * 10000.0 + 0.5)::BIGINT))::DOUBLE / 10000.0
            AS revenue
   FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
   GROUP BY s.s_nationkey, s.s_suppkey, s.s_name
@@ -433,7 +435,7 @@ def top_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT l_returnflag, l_linestatus,
        count(*)::BIGINT AS n_lines,
-       (sum(l_quantity::DECIMAL(27,8)))::DOUBLE AS sum_qty
+       (sum(floor((l_quantity) * 10000.0 + 0.5)::BIGINT))::DOUBLE / 10000.0 AS sum_qty
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 """,
