@@ -1,0 +1,110 @@
+"""Hybrid retrieval query surface: RRF fusion of a vector arm and a text arm.
+
+Rank determinism across engines: each arm orders by its score ROUNDED to six
+decimals (with the id as tie-break) — raw float ordering would let last-bit
+summation-order differences between Spark's fold and DuckDB's
+list_dot_product reorder near-ties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hnsw_spark.functions.similarity import cosine_similarity
+from hnsw_spark.functions.text import words
+from hnsw_spark.operators.retrieval import rrf_fuse
+from hnsw_spark.queries.text import _W
+from hnsw_spark.registry import query
+from hnsw_spark.sources.tables import load_table
+
+_ARM_N = 50
+_TOP_N = 20
+_RRF_K = 60
+
+_COS = (
+    "list_dot_product(e.embedding::DOUBLE[], pv.v)"
+    " / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))"
+    " * sqrt(list_dot_product(pv.v, pv.v)))"
+)
+
+_HYBRID_SQL = f"""
+WITH pv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+arm_v AS (
+  SELECT id, rank FROM (
+    SELECT e.vec_id AS id,
+           row_number() OVER (ORDER BY round({_COS}, 6) DESC, e.vec_id) AS rank
+    FROM embeddings e, pv
+  ) WHERE rank <= {_ARM_N}
+),
+dw AS (SELECT doc_id, list_distinct({_W}) AS w FROM documents),
+pw AS (SELECT w FROM dw WHERE doc_id = 0),
+arm_t AS (
+  SELECT id, rank FROM (
+    SELECT dw.doc_id AS id,
+           row_number() OVER (ORDER BY
+             round(len(list_intersect(dw.w, pw.w))::DOUBLE
+                   / len(list_distinct(dw.w || pw.w)), 6) DESC, dw.doc_id) AS rank
+    FROM dw, pw
+  ) WHERE rank <= {_ARM_N}
+),
+fused AS (
+  SELECT coalesce(arm_v.id, arm_t.id) AS id,
+         coalesce(1.0 / ({_RRF_K} + arm_v.rank), 0.0)
+           + coalesce(1.0 / ({_RRF_K} + arm_t.rank), 0.0) AS rrf
+  FROM arm_v FULL OUTER JOIN arm_t ON arm_v.id = arm_t.id
+)
+SELECT id, round(rrf, 6) AS rrf FROM (
+  SELECT *, row_number() OVER (ORDER BY rrf DESC, id) AS rn FROM fused
+) WHERE rn <= {_TOP_N}
+"""
+
+
+@query("hybrid_rrf_search", _HYBRID_SQL)
+def hybrid_rrf_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search for document/vector 0: reciprocal-rank fusion of a
+    vector arm (embedding cosine vs vec 0, top-50) and a text arm (distinct
+    word-set Jaccard vs doc 0, top-50), top-20 fused — the standard
+    no-calibration hybrid retrieval stack (RRF), fully distributed: each arm
+    is a broadcast-probe scoring pass + one window, fusion is one id join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe_v = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("_pv")
+    )
+    scored_v = emb.crossJoin(F.broadcast(probe_v)).select(
+        F.col("vec_id").alias("id"),
+        F.round(cosine_similarity("embedding", "_pv"), 6).alias("_c"),
+    )
+    wv = Window.orderBy(F.col("_c").desc(), F.col("id"))
+    arm_v = (
+        scored_v.withColumn("rank", F.row_number().over(wv))
+        .filter(F.col("rank") <= _ARM_N)
+        .select("id", "rank")
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), F.array_distinct(words("text")).alias("w")
+    )
+    probe_t = docs.filter(F.col("id") == 0).select(F.col("w").alias("_pw"))
+    scored_t = docs.crossJoin(F.broadcast(probe_t)).select(
+        "id",
+        F.round(
+            F.size(F.array_intersect("w", "_pw")).cast("double")
+            / F.size(F.array_union("w", "_pw")),
+            6,
+        ).alias("_j"),
+    )
+    wt = Window.orderBy(F.col("_j").desc(), F.col("id"))
+    arm_t = (
+        scored_t.withColumn("rank", F.row_number().over(wt))
+        .filter(F.col("rank") <= _ARM_N)
+        .select("id", "rank")
+    )
+
+    fused = rrf_fuse([arm_v, arm_t], k=_RRF_K)
+    wf = Window.orderBy(F.col("rrf").desc(), F.col("id"))
+    return (
+        fused.withColumn("_rn", F.row_number().over(wf))
+        .filter(F.col("_rn") <= _TOP_N)
+        .select("id", F.round("rrf", 6).alias("rrf"))
+    )

@@ -37,6 +37,7 @@ def load_all_queries() -> None:
         "hnsw_spark.queries.text",
         "hnsw_spark.queries.dedup",
         "hnsw_spark.queries.curation",
+        "hnsw_spark.queries.retrieval",
         "hnsw_spark.queries.relational",
         "hnsw_spark.queries.index",
         "hnsw_spark.queries.multimodal",
