@@ -75,10 +75,14 @@ def hybrid_rrf_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("id"),
         F.round(cosine_similarity("embedding", "_pv"), 6).alias("_c"),
     )
+    # distributed TakeOrdered cuts to the arm size FIRST; the ranking window
+    # then runs over ≤50 rows, so no global single-partition sort ever sees
+    # the corpus (Window.orderBy without partitionBy would)
     wv = Window.orderBy(F.col("_c").desc(), F.col("id"))
     arm_v = (
-        scored_v.withColumn("rank", F.row_number().over(wv))
-        .filter(F.col("rank") <= _ARM_N)
+        scored_v.orderBy(F.col("_c").desc(), F.col("id"))
+        .limit(_ARM_N)
+        .withColumn("rank", F.row_number().over(wv))
         .select("id", "rank")
     )
 
@@ -96,15 +100,16 @@ def hybrid_rrf_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wt = Window.orderBy(F.col("_j").desc(), F.col("id"))
     arm_t = (
-        scored_t.withColumn("rank", F.row_number().over(wt))
-        .filter(F.col("rank") <= _ARM_N)
+        scored_t.orderBy(F.col("_j").desc(), F.col("id"))
+        .limit(_ARM_N)
+        .withColumn("rank", F.row_number().over(wt))
         .select("id", "rank")
     )
 
     fused = rrf_fuse([arm_v, arm_t], k=_RRF_K)
-    wf = Window.orderBy(F.col("rrf").desc(), F.col("id"))
+    # fused is ≤ 2·ARM_N rows — the final cut is trivially small
     return (
-        fused.withColumn("_rn", F.row_number().over(wf))
-        .filter(F.col("_rn") <= _TOP_N)
+        fused.orderBy(F.col("rrf").desc(), F.col("id"))
+        .limit(_TOP_N)
         .select("id", F.round("rrf", 6).alias("rrf"))
     )
