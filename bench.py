@@ -48,6 +48,7 @@ HEADLINE = [
     "text_hash_embeddings",
     "promo_revenue_by_type",
     "top_suppliers_per_nation",
+    "hybrid_rrf_search",
 ]
 
 
