@@ -113,3 +113,53 @@ def hybrid_rrf_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_TOP_N)
         .select("id", F.round("rrf", 6).alias("rrf"))
     )
+
+
+_BM25_SQL = f"""
+WITH tok AS (
+  SELECT doc_id AS id, unnest({_W}) AS token FROM documents
+),
+tok2 AS (SELECT * FROM tok WHERE token != ''),
+dlen AS (SELECT id, count(*)::BIGINT AS dl FROM tok2 GROUP BY id),
+stats AS (
+  SELECT count(*) AS n_docs, sum(dl)::DOUBLE / count(*) AS avgdl FROM dlen
+),
+qtok AS (
+  SELECT DISTINCT unnest(list_slice({_W}, 1, 4)) AS token
+  FROM documents WHERE doc_id = 0
+),
+qtf AS (
+  SELECT id, token, count(*)::BIGINT AS tf
+  FROM tok2 JOIN qtok USING (token) GROUP BY id, token
+),
+qdf AS (SELECT token, count(*)::BIGINT AS df FROM qtf GROUP BY token),
+per AS (
+  SELECT qtf.id,
+         floor((ln((stats.n_docs - qdf.df + 0.5) / (qdf.df + 0.5) + 1.0)
+                * (qtf.tf * 2.2))
+               / (qtf.tf + 1.2 * (0.25 + 0.75 * dlen.dl / stats.avgdl))
+               * 1000000.0 + 0.5)::BIGINT AS q
+  FROM qtf JOIN qdf USING (token)
+  JOIN dlen ON qtf.id = dlen.id
+  CROSS JOIN stats
+)
+SELECT id, (sum(q))::DOUBLE / 1000000.0 AS bm25 FROM per GROUP BY id
+"""
+
+
+@query("bm25_search", _BM25_SQL)
+def bm25_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 scores for the query built from doc 0's first four words,
+    over every matching document.  Candidate generation broadcasts the tiny
+    query token set into the exploded corpus (non-query terms drop before
+    any shuffle); per-doc scores accumulate fixed-point so the result is
+    engine-invariant and oracle-exact at any scale."""
+    from hnsw_spark.operators.retrieval import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    qtok = (
+        docs.filter(F.col("doc_id") == 0)
+        .select(F.explode(F.slice(words("text"), 1, 4)).alias("token"))
+        .distinct()
+    )
+    return bm25_scores(docs, qtok)

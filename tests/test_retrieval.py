@@ -5,7 +5,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from hnsw_spark.operators.retrieval import rrf_fuse
+from hnsw_spark.operators.retrieval import bm25_scores, rrf_fuse
 
 
 def _ranked(spark, pairs):
@@ -22,6 +22,26 @@ def test_rrf_scores_and_missing_arm_handling(spark):
     assert got[4] == pytest.approx(1 / 62)  # only arm b
     # the doc both arms agree on wins
     assert max(got, key=got.get) == 2
+
+
+def test_bm25_ranks_matching_docs_sanely(spark):
+    """BM25 basics: a doc containing the query term twice outranks one with
+    a single hit, a long padded doc scores below a short one with the same
+    tf, and docs without any query term are absent."""
+    docs = spark.createDataFrame(
+        [
+            (0, "spark spark engine"),
+            (1, "spark engine"),
+            (2, "spark " + "filler " * 30),
+            (3, "unrelated words entirely"),
+        ],
+        "doc_id bigint, text string",
+    )
+    q = spark.createDataFrame([("spark",)], "token string")
+    got = {r.id: r.bm25 for r in bm25_scores(docs, q).collect()}
+    assert set(got) == {0, 1, 2}  # doc 3 never scored
+    assert got[0] > got[1] > got[2]
+    assert all(v > 0 for v in got.values())
 
 
 def test_rrf_single_arm_and_empty_guard(spark):
