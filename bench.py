@@ -49,6 +49,7 @@ HEADLINE = [
     "promo_revenue_by_type",
     "top_suppliers_per_nation",
     "hybrid_rrf_search",
+    "bm25_search",
 ]
 
 
