@@ -181,3 +181,40 @@ def embedding_quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("qvec").alias("q_max"),
         "max_err",
     )
+
+
+_FILTERED_KNN_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), b AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS bv
+  FROM embeddings WHERE vec_id % 2 = 0
+), s AS (
+  SELECT q.query_id, b.id, {_COSINE_EXPR} AS sc
+  FROM q CROSS JOIN b
+), r AS (
+  SELECT query_id, id, sc,
+         row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, id ASC) AS rn
+  FROM s
+)
+SELECT query_id, id, round(sc, 6) AS score
+FROM r WHERE rn <= {K}
+"""
+
+
+@query("knn_filtered", _FILTERED_KNN_SQL)
+def knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search: top-k cosine restricted to corpus rows
+    passing a metadata predicate (even ids here) — pre-filtering composes
+    with the exact tier for free because the corpus is a DataFrame: the
+    predicate pushes into the parquet scan BEFORE any scoring, the
+    cheapest correct plan (post-filtering an ANN result can return < k
+    rows; pre-filter + exact can't)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    queries_df = emb.filter(F.col("vec_id") < N_QUERIES)
+    res = knn_exact(corpus, queries_df, k=K, metric="cosine")
+    return res.select(
+        "query_id", "id", F.round("score", 6).alias("score")
+    )
