@@ -17,6 +17,43 @@ from pyspark.sql import DataFrame, SparkSession
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+# The driver sweeps queries in registration order and records a bounded
+# prefix (CORRECTNESS_r02 stopped at exactly the first 50 of 58), so order is
+# evidence policy: queries that have never had a driver-green row run FIRST,
+# rows-only checks (the weakest evidence) run LAST, and the middle keeps the
+# r2-verified oracle block whose rows already exist in CORRECTNESS_r02.json.
+_RUN_FIRST = (
+    "synthetic_documents",
+    "ann_ivf_full_probe",
+    "ann_hnsw_full_probe",
+    "multimodal_frame_sample",
+    "index_persist_roundtrip",
+    "ann_ivf_recall",
+    "ann_hnsw_recall",
+)
+_RUN_LAST = (
+    "ann_ivf_knn",
+    "ann_hnsw_knn",
+    "multimodal_image_features",
+    "multimodal_audio_features",
+    "multimodal_scene_cuts",
+)
+
+
+def _apply_run_order() -> None:
+    ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name in _RUN_FIRST:
+        if name in QUERIES:
+            ordered[name] = QUERIES[name]
+    for name, fn in QUERIES.items():
+        if name not in ordered and name not in _RUN_LAST:
+            ordered[name] = fn
+    for name in _RUN_LAST:
+        if name in QUERIES:
+            ordered[name] = QUERIES[name]
+    QUERIES.clear()
+    QUERIES.update(ordered)
+
 
 def query(name: str, oracle: str | None = None):
     def deco(fn):
@@ -46,3 +83,4 @@ def load_all_queries() -> None:
             __import__(mod)
         except ImportError:
             pass
+    _apply_run_order()
