@@ -86,7 +86,7 @@ def main() -> None:
     # index so the oracle harness stays hermetic); the bench must time
     # SEARCH only, so round-over-round search regressions aren't masked by
     # k-means/build jitter — build cost is reported in protocol.ann_*.build_ms
-    ann_search = _prebuilt_ann_searches(spark, sf_dir)
+    ann_search, ann_cleanup = _prebuilt_ann_searches(spark, sf_dir)
 
     # best-of-2 per query: the second run measures steady state (codegen
     # cached, JIT warm); reporting the min keeps round-over-round numbers
@@ -103,50 +103,69 @@ def main() -> None:
             walls.append(time.time() - t0)
         timings[name] = round(min(walls), 3)
 
+    ann_cleanup()  # free the prebuilt node tables before the protocol probes
     protocol = _protocol_axes(spark, sf_dir, qs)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "protocol": protocol,
-            }
-        )
+    # The driver captures only a bounded tail of stdout (BENCH_r02's full
+    # protocol outgrew it and the headline line became unparseable), so the
+    # printed line stays compact — headline cells + the two recall knees —
+    # and the full protocol goes to a sidecar committed with the repo.
+    line = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "recall10": {
+            t: protocol.get(f"ann_{t}", {}).get("recall_at_10")
+            for t in ("ivf", "hnsw")
+        },
+        "protocol_file": "BENCH_PROTOCOL.json",
+    }
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_PROTOCOL.json"
     )
+    with open(sidecar, "w") as f:
+        json.dump({"line": line, "protocol": protocol}, f, indent=1)
+    print(json.dumps(line))
     spark.stop()
 
 
-def _prebuilt_ann_searches(spark, sf_dir: str) -> dict:
+def _prebuilt_ann_searches(spark, sf_dir: str) -> tuple[dict, callable]:
     """Search-only headline callables over prebuilt, materialized indexes at
     the registered query knobs (queries/index.py: n_lists=8, n_probe=6,
-    ef=96)."""
+    ef=96).  Returns (callables, cleanup) — cleanup unpersists the cached
+    node tables once the headline loop is done (ADVICE r2: they used to stay
+    pinned for the rest of the run)."""
     from pyspark.sql import functions as F
 
-    from hnsw_spark.operators.ann import build_ivf_index
-    from hnsw_spark.operators.hnsw_graph import build_hnsw_index
-    from hnsw_spark.queries.index import ANN_EF, ANN_N_LISTS, ANN_N_PROBE
+    from hnsw_spark.queries.index import (
+        ANN_EF,
+        ANN_N_LISTS,
+        ANN_N_PROBE,
+        _INDEX_CACHE,
+        cached_index,
+    )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qbatch = emb.filter(F.col("vec_id") < 8)
-    ivf = build_ivf_index(emb, n_lists=ANN_N_LISTS, metric="cosine")
-    ivf.index_df = ivf.index_df.cache()
-    ivf.index_df.count()
-    hnsw = build_hnsw_index(
-        emb, n_lists=ANN_N_LISTS, m=8, ef_construction=48, metric="cosine"
+    ivf = cached_index(spark, sf_dir, "ivf", n_lists=ANN_N_LISTS)
+    hnsw = cached_index(
+        spark, sf_dir, "hnsw", n_lists=ANN_N_LISTS, m=8, ef_construction=48
     )
-    hnsw.index_df = hnsw.index_df.cache()
-    hnsw.index_df.count()
+
+    def cleanup() -> None:
+        for idx in _INDEX_CACHE.values():
+            idx.index_df.unpersist()
+        _INDEX_CACHE.clear()
+
     return {
         "ann_ivf_knn": lambda s, d: ivf.search(qbatch, k=10, n_probe=ANN_N_PROBE),
         "ann_hnsw_knn": lambda s, d: hnsw.search(
             qbatch, k=10, n_probe=ANN_N_PROBE, ef_search=ANN_EF
         ),
-    }
+    }, cleanup
 
 
 def _protocol_axes(spark, sf_dir: str, qs) -> dict:
