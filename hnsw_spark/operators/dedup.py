@@ -61,7 +61,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.0,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_doc_freq: int | None = 10_000,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Pairwise n-gram Jaccard via shingle equi-join:
     |A∩B| from the join, |A∪B| = |A|+|B|−|A∩B|.
@@ -82,7 +82,10 @@ def ngram_jaccard_pairs(
     stop-phrases shared by millions of documents at 100 TB, whose bucket²
     join cost is the one blowup this formulation has — are dropped from the
     set representation entirely (both |A∩B| and |A|, so Jaccard stays
-    internally consistent).  The banned set is at most
+    internally consistent).  The default is None (exact Jaccard): the cap
+    changes reported values, so scale callers must opt IN to the
+    approximation at the call site rather than getting it silently
+    (ADVICE r2).  The banned set is at most
     (total shingle instances / max_doc_freq) rows, so it broadcasts, and the
     filter is a broadcast anti-join — no extra shuffle on the corpus side."""
     asymmetric = right is not None and right is not left

@@ -42,9 +42,19 @@ def dquant(col: Column | str, scale: int = 4) -> Column:
 
 
 def dsum(col: Column | str, scale: int = 4) -> Column:
-    """Order-independent, engine-invariant sum of doubles: exact BIGINT sum
-    of per-row fixed-point quantizations (inputs quantized at 10⁻ˢ)."""
-    return F.sum(dquant(col, scale)).cast("double") / F.lit(float(10**scale))
+    """Order-independent, engine-invariant sum of doubles: exact sum of
+    per-row fixed-point BIGINT quantizations (inputs quantized at 10⁻ˢ).
+
+    The accumulator is decimal(38,0), not BIGINT: a BIGINT sum caps at
+    ~9.2e18 and wraps SILENTLY in Spark non-ANSI mode — money-scale values
+    quantize to ~1e9 per row, so a 100 TB-regime group (~1e10 rows, or a
+    cube's grand-total cell) would overflow.  decimal(38,0) holds 10²⁹ of
+    headroom and nulls (loudly) rather than wraps beyond that; DuckDB's
+    BIGINT sum widens to HUGEINT, so the oracle side was never at risk —
+    this keeps the Spark side equivalent instead of silently diverging."""
+    return F.sum(dquant(col, scale).cast("decimal(38,0)")).cast(
+        "double"
+    ) / F.lit(float(10**scale))
 
 
 def davg(col: Column | str, scale: int = 4) -> Column:

@@ -460,7 +460,13 @@ def add_points(
         .withColumn("entry_id", F.lit(None).cast("long"))
         .select("list_id", "id", "level", "vector", "neighbors", "entry_id")
     )
-    unioned = index.index_df.select(
+    # an index persisted before entry_id existed loads (and searches, via
+    # the same fallback) fine — backfill the column here so incremental
+    # insert works on old node tables too instead of failing analysis
+    old_df = index.index_df
+    if "entry_id" not in old_df.columns:
+        old_df = old_df.withColumn("entry_id", F.lit(None).cast("long"))
+    unioned = old_df.select(
         "list_id", "id", "level", "vector", "neighbors", "entry_id"
     ).unionByName(new_nodes)
 

@@ -87,6 +87,7 @@ def stream_interval_join(
     right_ts: str = "r_ts",
     max_delay: str = "1 hour",
     watermark: str = "2 hours",
+    right_by: str | None = None,
 ) -> DataFrame:
     """Watermarked stream-stream interval join: each left event pairs with
     the right events of the same key whose timestamp falls in
@@ -98,12 +99,15 @@ def stream_interval_join(
     Both sides carry watermarks and the join condition bounds the time range
     in BOTH directions, which is what lets Spark expire buffered state — an
     unbounded-interval stream join would hold every past row forever.  The
-    caller gives the sides disjoint column names (``right_ts`` etc.); state
-    size is O(events within the watermark horizon) per key."""
+    caller gives the sides disjoint column names: ``right_ts`` for the
+    timestamp and ``right_by`` for the key (default ``r_<by>``, the naming
+    convention the batch helpers use); state size is O(events within the
+    watermark horizon) per key."""
+    right_by = right_by if right_by is not None else f"r_{by}"
     l = left.withWatermark(left_ts, watermark)
     r = right.withWatermark(right_ts, watermark)
     cond = (
-        (l[by] == r[f"r_{by}"])
+        (l[by] == r[right_by])
         & (r[right_ts] >= l[left_ts] - F.expr(f"INTERVAL {max_delay}"))
         & (r[right_ts] <= l[left_ts])
     )

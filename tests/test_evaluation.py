@@ -75,3 +75,14 @@ def test_percentile_empty_and_clamp(spark):
     row = percentile_floor(one, "v", (-5, 200)).first()
     # p clamped to [0,100] (src/bench/metrics.ts:53) → both hit the only value
     assert row["p-5"] == 42.0 and row.p200 == 42.0
+
+
+def test_dsum_survives_bigint_overflow(spark):
+    """100 rows of 1e14 quantize to 1e18 each; a BIGINT accumulator wraps
+    silently at ~9.2e18 in non-ANSI mode — the decimal(38,0) accumulator
+    must return the exact sum (ADVICE r2, the 100 TB money-sum regime)."""
+    from hnsw_spark.operators.evaluation import dsum
+
+    df = spark.range(100).select(F.lit(1.0e14).alias("v"))
+    got = df.agg(dsum("v").alias("s")).collect()[0]["s"]
+    assert got == pytest.approx(1.0e16, rel=1e-12)

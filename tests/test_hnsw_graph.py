@@ -321,3 +321,19 @@ def test_recall_improves_with_m(spark):
     assert recalls[16] >= recalls[4] + 0.1
     exact.unpersist()
     corpus.unpersist()
+
+
+def test_add_points_on_pre_entry_id_index(spark, embeddings):
+    """An index persisted before the entry_id column existed must still
+    accept incremental inserts (the column is backfilled, ADVICE r2)."""
+    from hnsw_spark.operators.hnsw_graph import add_points
+
+    base = embeddings.filter(F.col("vec_id") < 100)
+    extra = embeddings.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 120))
+    index = build_hnsw_index(base, n_lists=2, m=8, ef_construction=32)
+    index.index_df = index.index_df.drop("entry_id")  # pre-entry_id layout
+    grown = add_points(index, extra)
+    assert grown.index_df.count() == 120
+    q = embeddings.filter(F.col("vec_id") == 110)
+    got = grown.search(q, k=3, n_probe=2, ef_search=64).toPandas()
+    assert got.iloc[0]["id"] == 110

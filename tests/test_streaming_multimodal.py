@@ -345,3 +345,27 @@ def test_audio_features_shape_determinism_and_feed_knn(spark):
     # self-similarity ranks first per query
     first = top.sort_values(["query_id", "score"], ascending=[True, False]).groupby("query_id").first()
     assert (first["id"] == first.index).all()
+
+
+def test_stream_interval_join_custom_right_key(spark):
+    """The right-side key name is a real parameter (ADVICE r2): a right
+    frame keyed by anything other than r_<by> must analyze and join.  Batch
+    frames execute the same join condition the streaming plan uses."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    clicks = spark.createDataFrame(
+        [(1, t0, 7)], "click_id long, ts timestamp, user_id long"
+    )
+    views = spark.createDataFrame(
+        [
+            (100, t0 - dt.timedelta(minutes=30), 7),  # in window
+            (101, t0 - dt.timedelta(minutes=90), 7),  # too old
+            (102, t0 - dt.timedelta(minutes=30), 8),  # other user
+        ],
+        "view_id long, vts timestamp, vuser long",
+    )
+    out = stream_interval_join(
+        clicks, views, right_ts="vts", right_by="vuser", max_delay="1 hour"
+    )
+    assert {(r.click_id, r.view_id) for r in out.collect()} == {(1, 100)}
