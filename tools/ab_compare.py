@@ -41,8 +41,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 INJECT_FILES = ("bench.py", "__spark_entry__.py")
 
 
-def run(cmd: list[str], cwd: str = REPO, env: dict | None = None,
+def run(cmd: list[str], cwd: str | None = None, env: dict | None = None,
         timeout: int | None = None) -> str:
+    cwd = cwd if cwd is not None else REPO  # late-bound so tests can repoint
     res = subprocess.run(
         cmd, cwd=cwd, env=env, timeout=timeout,
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
@@ -94,6 +95,14 @@ def run_bench(wt: str, sf_dir: str, out_path: str, timeout: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
     out = run([sys.executable, "bench.py"], cwd=wt, env=env, timeout=timeout)
     record = json.loads(out.strip().splitlines()[-1])  # bench prints ONE JSON line last
+    if "protocol" not in record:
+        # bench.py keeps its stdout line compact and sidecars the full
+        # protocol next to itself; fold it back in so the report's composite
+        # ANN-cell comparison still sees the sweep axes
+        sidecar = os.path.join(wt, "BENCH_PROTOCOL.json")
+        if os.path.exists(sidecar):
+            with open(sidecar) as f:
+                record["protocol"] = json.load(f).get("protocol")
     with open(out_path, "w") as f:
         json.dump(record, f, indent=2)
     return record
