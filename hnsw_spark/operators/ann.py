@@ -332,6 +332,63 @@ def multi_probe_assign(
     )
 
 
+def _salt_oversized_lists(assigned: DataFrame, max_list: int) -> DataFrame:
+    """Split lists over ``max_list`` rows into hash chunks and replicate each
+    row into one task per chunk pair it participates in.
+
+    Returns DataFrame[(list_id, ca, cb, chunk, id, vector)] where (ca, cb),
+    ca ≤ cb, keys an independent scoring task: the same-chunk task (c, c)
+    owns the chunk's upper triangle; the cross task (a, b) owns the a×b
+    bipartite block.  Together the tasks cover every within-list pair exactly
+    once, so downstream results are identical to the unsplit grouping while
+    no task exceeds ~2·max_list rows (up to hash imbalance).  Lists at or
+    under the cap emit the single task (0, 0) with no replication.
+    """
+    # per-list sizes → chunk counts; n_lists rows, broadcast back onto
+    # the assignment so chunking is decided in-plan (no driver collect)
+    chunks = F.broadcast(
+        assigned.groupBy("list_id").agg(
+            F.ceil(F.count(F.lit(1)) / F.lit(max_list))
+            .cast("int")
+            .alias("n_chunks")
+        )
+    )
+    return (
+        assigned.join(chunks, "list_id")
+        .withColumn(
+            "chunk",
+            F.when(F.col("n_chunks") <= 1, F.lit(0)).otherwise(
+                F.pmod(F.xxhash64("id"), F.col("n_chunks")).cast("int")
+            ),
+        )
+        # every chunk pair this row participates in: (chunk, o) for all
+        # o — deduped so (c, c) appears once; rows in un-split lists emit
+        # the single task (0, 0)
+        .withColumn(
+            "task",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), F.col("n_chunks") - 1),
+                        lambda o: F.struct(
+                            F.least(F.col("chunk"), o).alias("ca"),
+                            F.greatest(F.col("chunk"), o).alias("cb"),
+                        ),
+                    )
+                )
+            ),
+        )
+        .select(
+            "list_id",
+            F.col("task.ca").alias("ca"),
+            F.col("task.cb").alias("cb"),
+            "chunk",
+            "id",
+            "vector",
+        )
+    )
+
+
 def ivf_self_join(
     df: DataFrame,
     threshold: float = 0.9,
@@ -342,6 +399,7 @@ def ivf_self_join(
     vec_col: str = "embedding",
     seed: int = 42,
     train_method: str = "sample",
+    max_list: int | None = 8192,
 ) -> DataFrame:
     """Bucketed self-similarity join: (id_a, id_b, cosine) pairs with
     ``id_a < id_b`` and cosine ≥ ``threshold``, scoring only pairs that share
@@ -360,6 +418,20 @@ def ivf_self_join(
     candidates, ~30× slower at bench scale.  Zero-norm rows score NaN and
     are dropped, matching the Catalyst/SQL brute path where the zero
     denominator nulls the row out of the threshold filter.
+
+    Skew guard (``max_list``): a skewed centroid can collect a mega-list
+    whose single ``applyInPandas`` group is quadratic in one task — the IVF
+    twin of the text tiers' degenerate-shingle problem (their ``max_bucket``
+    cap).  Lists larger than ``max_list`` are hash-salted into
+    ``ceil(n/max_list)`` chunks and every chunk pair (aᵢ, aⱼ), i ≤ j, becomes
+    its own task: same-chunk tasks score their upper triangle, cross-chunk
+    tasks score the bipartite block, so the pair set is IDENTICAL to the
+    unsplit plan but per-task work is bounded by ~(2·max_list)² and the
+    mega-list parallelizes across the cluster instead of serializing on one
+    executor.  Costs one extra linear pass (per-list counts, map-side
+    combined, broadcast back — n_lists rows); lists at or under the cap take
+    the single-task path unchanged.  ``max_list=None`` disables the guard
+    and the extra pass.
     """
     if metric != "cosine":
         raise ValueError(f"ivf_self_join supports cosine only, got {metric!r}")
@@ -373,15 +445,15 @@ def ivf_self_join(
     )
     assigned = multi_probe_assign(base, centroids, metric, n_probe)
 
-    def pairs_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return pd.DataFrame(
-                {"id_a": pd.Series(dtype="int64"),
-                 "id_b": pd.Series(dtype="int64"),
-                 "cosine": pd.Series(dtype="float64")}
-            )
-        ids = pdf["id"].to_numpy()
-        m = np.stack(pdf["vector"].to_numpy()).astype(np.float64)
+    empty = pd.DataFrame(
+        {
+            "id_a": pd.Series(dtype="int64"),
+            "id_b": pd.Series(dtype="int64"),
+            "cosine": pd.Series(dtype="float64"),
+        }
+    )
+
+    def _pairs(ids, m):
         with np.errstate(divide="ignore", invalid="ignore"):
             mn = m / np.linalg.norm(m, axis=1, keepdims=True)
         g = mn @ mn.T
@@ -397,9 +469,54 @@ def ivf_self_join(
             }
         )
 
-    scored = assigned.groupBy("list_id").applyInPandas(
-        pairs_group, "id_a long, id_b long, cosine double"
-    )
+    def _bipartite(ids_a, m_a, ids_b, m_b):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            an = m_a / np.linalg.norm(m_a, axis=1, keepdims=True)
+            bn = m_b / np.linalg.norm(m_b, axis=1, keepdims=True)
+        g = an @ bn.T
+        ii, jj = np.nonzero(g >= threshold)
+        ia, ib = ids_a[ii], ids_b[jj]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ia, ib),
+                "id_b": np.maximum(ia, ib),
+                "cosine": g[ii, jj],
+            }
+        )
+
+    if max_list is None:
+
+        def pairs_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(pdf) < 2:
+                return empty
+            ids = pdf["id"].to_numpy()
+            m = np.stack(pdf["vector"].to_numpy()).astype(np.float64)
+            return _pairs(ids, m)
+
+        scored = assigned.groupBy("list_id").applyInPandas(
+            pairs_group, "id_a long, id_b long, cosine double"
+        )
+    else:
+        salted = _salt_oversized_lists(assigned, max_list)
+
+        def pairs_task(key, pdf):
+            _, ca, cb = key
+            if len(pdf) < 2:
+                return empty
+            ids = pdf["id"].to_numpy()
+            m = np.stack(pdf["vector"].to_numpy()).astype(np.float64)
+            if ca == cb:
+                return _pairs(ids, m)
+            side_a = pdf["chunk"].to_numpy() == ca
+            if not side_a.any() or side_a.all():
+                return empty
+            return _bipartite(
+                ids[side_a], m[side_a], ids[~side_a], m[~side_a]
+            )
+
+        scored = salted.groupBy("list_id", "ca", "cb").applyInPandas(
+            pairs_task, "id_a long, id_b long, cosine double"
+        )
     # a pair co-bucketed in up to n_probe shared lists scores identically in
     # each; dedupe after the threshold filter so the shuffle input is only
     # the (small) surviving pair set

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from hnsw_spark.functions.text import lang_id, shingles, words
@@ -234,6 +235,54 @@ def test_ivf_self_join_full_probe_matches_brute(spark):
         for p in ivf_self_join(df, threshold=0.99, n_lists=4, n_probe=1).collect()
     }
     assert {(i, i + 1) for i in range(0, 60, 10)} <= planted
+
+
+def test_ivf_self_join_skew_guard_bounds_tasks_and_preserves_pairs(spark):
+    """A skewed centroid's mega-list must not serialize one quadratic
+    applyInPandas task: the max_list salt splits it into bounded chunk-pair
+    tasks whose union scores exactly the same pair set (VERDICT r2 #7)."""
+    from hnsw_spark.operators.ann import (
+        _salt_oversized_lists,
+        ivf_self_join,
+        multi_probe_assign,
+        train_centroids,
+    )
+
+    df = _rand_embeddings(spark)  # 60 rows
+    # n_probe = n_lists plants the skew: every list holds the full corpus
+    unsplit = {
+        (p.id_a, p.id_b, round(p.cosine, 6))
+        for p in ivf_self_join(
+            df, threshold=0.5, n_lists=2, n_probe=2, max_list=None
+        ).collect()
+    }
+    split = {
+        (p.id_a, p.id_b, round(p.cosine, 6))
+        for p in ivf_self_join(
+            df, threshold=0.5, n_lists=2, n_probe=2, max_list=8
+        ).collect()
+    }
+    assert split == unsplit and len(split) > 0
+    # the salted task layout: every 60-row mega-list fans out into chunk-pair
+    # tasks, none of which approaches the unsplit 60-row group
+    base = df.select(
+        F.col("vec_id").cast("long").alias("id"),
+        F.col("embedding").alias("vector"),
+    )
+    cents = train_centroids(base, 2, "cosine", 42)
+    assigned = multi_probe_assign(base, cents, "cosine", 2)
+    sizes = (
+        _salt_oversized_lists(assigned, 8)
+        .groupBy("list_id", "ca", "cb")
+        .count()
+        .collect()
+    )
+    assert max(r["count"] for r in sizes) < 60  # strictly smaller than unsplit
+    assert max(r["count"] for r in sizes) <= 4 * 8  # bounded by ~2·max_list
+    assert len({(r.list_id, r.ca, r.cb) for r in sizes}) > 2  # fan-out happened
+    # un-oversized lists stay single-task: same fixture, cap above list size
+    lazy = _salt_oversized_lists(assigned, 128)
+    assert lazy.select("ca", "cb").distinct().collect() == [Row(ca=0, cb=0)]
 
 
 def test_embedding_neardup_auto_routes_large_to_ivf(spark):
