@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from hnsw_spark.functions.hashing import P31, h31, md5_bigint, minhash_perms, perm_hash
-from hnsw_spark.functions.similarity import cosine_similarity
+from hnsw_spark.functions.similarity import dot_product, l2_norm
 from hnsw_spark.functions.text import fingerprint, shingles
 
 
@@ -370,12 +370,32 @@ def embedding_neardup(
         )
         > 0.0
     )
+    # Norms are precomputed per ROW (n sqrt-of-dot kernels), not per pair:
+    # the pair kernel is then one dot + one divide, 3× less higher-order-
+    # function work across the n² stage.  Bitwise-identical to the per-pair
+    # form — sqrt(dot(a,a)) is the same double either way, so oracle parity
+    # is unaffected.  The left side is repartitioned (a filtered small frame
+    # otherwise collapses to one input split → one nested-loop task) and the
+    # right side broadcast, so the quadratic stage fans out across the
+    # cluster instead of serializing.
     nz = df.filter(nonzero)
-    a = nz.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    b = nz.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    a = nz.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        l2_norm(vec_col).alias("_na"),
+    ).repartition(F.col("id_a"))
+    b = F.broadcast(
+        nz.select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("_vb"),
+            l2_norm(vec_col).alias("_nb"),
+        )
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine_similarity("_va", "_vb"))
+        .withColumn(
+            "cosine", dot_product("_va", "_vb") / (F.col("_na") * F.col("_nb"))
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
