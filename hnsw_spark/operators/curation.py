@@ -208,6 +208,106 @@ def feature_hash_embeddings(
     return agg3.select("id", emb.alias("embedding"))
 
 
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram language model — the classic fluency/quality proxy (documents of
+    rare-token soup score low, ordinary prose scores high).
+
+    Per token occurrence, q = floor(ln(count(token)/total) · 10⁶ + 0.5) is an
+    engine-invariant fixed-point BIGINT; per-doc score = Σ tf·q / Σ tf (exact
+    integer arithmetic until the final division), so the oracle hash-matches
+    at any partitioning.  Headroom: |q| ≤ ~5·10⁷ even at 10¹⁵ total tokens,
+    so Σ tf·q stays far under the 9.2·10¹⁸ BIGINT cap for any real document.
+
+    Shape: explode → (doc, token) tf → token-keyed count table derived FROM
+    tf (never a second pass over raw occurrences) → join tf⋈counts on token
+    (doc-vocab rows, not occurrences — the skew of 'the' is bounded by
+    distinct docs, and AQE skew-join splits what remains) → one groupBy(doc).
+    The corpus total is a 1-row aggregate cross-joined as a broadcast, never
+    a driver collect.  Docs with no tokens keep a row (n_tokens=0, NULL
+    logprob)."""
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(words(text_col)).alias("token")
+    ).filter(F.col("token") != "")
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    cnt = tf.groupBy("token").agg(F.sum("tf").alias("c"))
+    tot = cnt.agg(F.sum("c").alias("t"))
+    q = F.floor(
+        F.log(F.col("c").cast("double") / F.col("t").cast("double")) * 1000000.0
+        + 0.5
+    )
+    per = (
+        tf.join(cnt, "token")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", "tf", (F.col("tf") * q).alias("tfq"))
+    )
+    agg = per.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"), F.sum("tfq").alias("sq")
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.round(
+                F.col("sq").cast("double") / (F.col("n_tokens") * F.lit(1000000.0)),
+                6,
+            ).alias("logprob"),
+        )
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-line fraction,
+    duplicate-word fraction, and the fraction of word 2-grams taken by the
+    single most frequent 2-gram (boilerplate and degenerate loops spike all
+    three; each is a standard drop rule in training-data curation).
+
+    The line/word fractions are pure per-row expressions (pipelined in the
+    scan's codegen span, zero shuffle).  The top-2-gram mode can't be a
+    per-row expression without O(grams²) lambda work, so it takes the
+    explode → groupBy(doc, gram) → groupBy(doc) max/sum shape: two shuffles
+    with map-side partial aggregation, then one doc-keyed join back — the
+    same scale discipline as vocab_stats.  Docs with <2 words have no grams
+    and report 0.0."""
+    from hnsw_spark.functions.text import shingles_w
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), "\n").alias("lines"),
+        words(text_col).alias("w"),
+    )
+    grams = base.select(
+        "doc_id", F.explode(shingles_w(F.col("w"), 2)).alias("g")
+    )
+    gc = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    ga = gc.groupBy("doc_id").agg(
+        (F.max("c").cast("double") / F.sum("c").cast("double")).alias("_tf")
+    )
+    dup = lambda a: F.when(  # noqa: E731
+        F.size(a) == 0, F.lit(0.0)
+    ).otherwise(1.0 - F.size(F.array_distinct(a)).cast("double") / F.size(a))
+    return (
+        base.join(ga, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("lines").alias("n_lines"),
+            F.round(dup(F.col("lines")), 6).alias("dup_line_frac"),
+            F.round(dup(F.col("w")), 6).alias("dup_word_frac"),
+            F.round(F.coalesce("_tf", F.lit(0.0)), 6).alias("top_2gram_frac"),
+        )
+    )
+
+
 def vocab_stats(
     df: DataFrame,
     top_n: int | None = 100,

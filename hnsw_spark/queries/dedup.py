@@ -249,6 +249,62 @@ def simhash_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CLUSTER_THRESHOLD = 0.4
+
+_CLUSTERS_SQL = f"""
+WITH RECURSIVE docs AS (SELECT doc_id, {_W} AS w FROM documents),
+sh_all AS (
+  SELECT DISTINCT doc_id AS id, shingle FROM (
+    SELECT doc_id, unnest({_shingle_sql(2)}) AS shingle FROM docs)
+),
+sizes AS (SELECT id, count(*)::BIGINT AS sz FROM sh_all GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS n_common
+  FROM sh_all a JOIN sh_all b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+  WHERE n_common / (sa.sz + sb.sz - n_common) >= {_CLUSTER_THRESHOLD}
+),
+edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(id, lbl) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id
+),
+comp AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+SELECT d.doc_id,
+       coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+       (coalesce(c.cluster_id, d.doc_id) = d.doc_id)::INT AS is_canonical
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+"""
+
+
+@query("dedup_clusters", _CLUSTERS_SQL)
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The closure step of the dedup ladder: 2-gram Jaccard pairs at ≥ 0.4
+    become an undirected graph, distributed min-label propagation with
+    pointer jumping (operators/components.py) resolves components, and each
+    document gets (cluster_id, is_canonical) — ``is_canonical = 1`` IS the
+    deduplicated corpus.  The oracle recomputes the same pairs in SQL and
+    closes them with a recursive CTE, so the iterative Spark algorithm is
+    value-hash-checked end-to-end, not just unit-tested."""
+    from hnsw_spark.operators.components import dedup_clusters
+    from hnsw_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(
+        docs, n=2, threshold=_CLUSTER_THRESHOLD, max_doc_freq=None
+    )
+    # pair-endpoint state is ~tens of rows at fixture scale; 4-wide shuffles
+    # keep the per-iteration fixed cost flat (a 100 TB caller sizes this to
+    # its pair count or leaves the session default)
+    return dedup_clusters(docs, edges, shuffle_partitions=4)
+
+
 @query(
     "embedding_neardup",
     """

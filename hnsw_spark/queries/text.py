@@ -114,6 +114,77 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LOGPROB_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest({_W}) AS token FROM documents),
+tok2 AS (SELECT * FROM tok WHERE token != ''),
+tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM tok2 GROUP BY doc_id, token),
+cnt AS (SELECT token, sum(tf)::BIGINT AS c FROM tf GROUP BY token),
+tot AS (SELECT sum(c)::BIGINT AS t FROM cnt),
+per AS (
+  SELECT doc_id, tf,
+         tf * floor(ln(c::DOUBLE / t::DOUBLE) * 1000000.0 + 0.5)::BIGINT AS tfq
+  FROM tf JOIN cnt USING (token) CROSS JOIN tot
+),
+agg AS (
+  SELECT doc_id, sum(tf)::BIGINT AS n_tokens, sum(tfq)::BIGINT AS sq
+  FROM per GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+       round(a.sq::DOUBLE / (a.n_tokens * 1000000.0), 6) AS logprob
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@query("unigram_logprob", _LOGPROB_SQL)
+def unigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram-LM fluency score per document (curation signal);
+    fixed-point ln accumulation makes the score engine-invariant, so the
+    oracle is exact (see operators/curation.py:unigram_logprob)."""
+    from hnsw_spark.operators.curation import unigram_logprob
+
+    return unigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+# DuckDB word-2-gram list (mirror of queries/dedup.py::_shingle_sql(2) and
+# functions/text.py::shingles_w)
+_GRAM2_SQL = (
+    "CASE WHEN len(w) >= 2 THEN "
+    "list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1]) "
+    "ELSE [] END"
+)
+
+_REPETITION_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, string_split(text, chr(10)) AS lines, {_W} AS w FROM documents
+),
+grams AS (SELECT doc_id, unnest({_GRAM2_SQL}) AS g FROM docs),
+gc AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM grams GROUP BY doc_id, g),
+ga AS (
+  SELECT doc_id, max(c)::DOUBLE / sum(c)::DOUBLE AS tf FROM gc GROUP BY doc_id
+)
+SELECT d.doc_id,
+       len(lines)::INT AS n_lines,
+       round(CASE WHEN len(lines) = 0 THEN 0.0
+             ELSE 1.0 - len(list_distinct(lines))::DOUBLE / len(lines) END,
+             6) AS dup_line_frac,
+       round(CASE WHEN len(w) = 0 THEN 0.0
+             ELSE 1.0 - len(list_distinct(w))::DOUBLE / len(w) END,
+             6) AS dup_word_frac,
+       round(coalesce(ga.tf, 0.0), 6) AS top_2gram_frac
+FROM docs d LEFT JOIN ga USING (doc_id)
+"""
+
+
+@query("repetition_stats", _REPETITION_SQL)
+def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition drop signals (duplicate lines/words, dominant
+    2-gram share) — see operators/curation.py:repetition_stats."""
+    from hnsw_spark.operators.curation import repetition_stats
+
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
 def _lang_sql() -> str:
     return f"""
 SELECT doc_id, lang, {lang_case_sql()} AS lang_pred

@@ -30,6 +30,10 @@ _RUN_FIRST = (
     "index_persist_roundtrip",
     "ann_ivf_recall",
     "ann_hnsw_recall",
+    # round-3 additions — no driver row exists yet
+    "dedup_clusters",
+    "unigram_logprob",
+    "repetition_stats",
 )
 _RUN_LAST = (
     "ann_ivf_knn",

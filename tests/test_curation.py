@@ -7,8 +7,10 @@ from pyspark.sql import functions as F
 from hnsw_spark.operators.curation import (
     curation_flags,
     feature_hash_embeddings,
+    repetition_stats,
     stratified_sample,
     tfidf_top_terms,
+    unigram_logprob,
     vocab_stats,
 )
 
@@ -141,3 +143,33 @@ def test_vocab_stats_counts_and_tiebreak(spark):
     assert [r.token for r in top] == ["b", "a"]
     frequent = vocab_stats(d, top_n=None, min_doc_freq=2).collect()
     assert {r.token for r in frequent} == {"a", "b"}
+
+
+def test_unigram_logprob_scores_and_empty_doc(spark):
+    # corpus counts: a=3, b=1, c=1, total=5
+    # q(a) = floor(ln(0.6)*1e6 + 0.5) = -510826; q(b)=q(c) = -1609438
+    d = _docs(spark, [(0, "a a b"), (1, "a c"), (2, "")])
+    rows = {r.doc_id: (r.n_tokens, r.logprob) for r in unigram_logprob(d).collect()}
+    assert rows[0] == (3, round((2 * -510826 - 1609438) / 3e6, 6))
+    assert rows[1] == (2, round((-510826 - 1609438) / 2e6, 6))
+    assert rows[2] == (0, None)
+    # rare-token soup scores strictly below common-token prose
+    assert rows[1][1] < rows[0][1]
+
+
+def test_repetition_stats_planted_fractions(spark):
+    d = _docs(
+        spark,
+        [
+            (0, "x y x y x y"),   # grams: "x y"×3 "y x"×2 -> top 3/5
+            (1, "a b\na b\nc"),   # duplicate line; grams "a b"×2 of 4
+            (2, "hello"),         # 1 word: no grams
+        ],
+    )
+    rows = {
+        r.doc_id: (r.n_lines, r.dup_line_frac, r.dup_word_frac, r.top_2gram_frac)
+        for r in repetition_stats(d).collect()
+    }
+    assert rows[0] == (1, 0.0, round(1 - 2 / 6, 6), 0.6)
+    assert rows[1] == (3, round(1 - 2 / 3, 6), round(1 - 3 / 5, 6), 0.5)
+    assert rows[2] == (1, 0.0, 0.0, 0.0)
