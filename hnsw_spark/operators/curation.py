@@ -308,6 +308,62 @@ def repetition_stats(
     )
 
 
+def pipeline_attrition(
+    df: DataFrame,
+    max_top_2gram: float = 0.10,
+    max_dup_word: float = 0.70,
+    min_logprob: float = -3.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **flag_kwargs,
+) -> DataFrame:
+    """The whole curation pipeline end-to-end, reported as an attrition
+    table: every document flows through canonical-copy election, length,
+    quality, and language gates (curation_flags), then the repetition gates
+    (repetition_stats) and the corpus-LM fluency floor (unigram_logprob),
+    and the FIRST failing rule in that fixed priority order is its
+    drop_reason ('kept' for survivors).  Output: one row per reason with
+    n_docs and corpus share — the dashboard a training-data run publishes.
+
+    Shape at scale: three independent corpus aggregations (each already
+    scale-audited in its own operator) joined on the document id — doc-keyed
+    sort-merge joins over co-partitioned aggregation outputs, then one
+    final tiny groupBy on the reason.  The corpus total rides along as a
+    broadcast 1-row aggregate, never a driver collect."""
+    flags = curation_flags(df, text_col=text_col, id_col=id_col, **flag_kwargs)
+    rep = repetition_stats(df, text_col=text_col, id_col=id_col)
+    lp = unigram_logprob(df, text_col=text_col, id_col=id_col)
+    joined = (
+        flags.select("doc_id", "drop_reason")
+        .join(rep.select("doc_id", "dup_word_frac", "top_2gram_frac"), "doc_id")
+        .join(lp.select("doc_id", "logprob"), "doc_id")
+    )
+    reason = F.coalesce(
+        F.col("drop_reason"),
+        F.when(
+            (F.col("top_2gram_frac") > max_top_2gram)
+            | (F.col("dup_word_frac") > max_dup_word),
+            F.lit("repetitive"),
+        ),
+        F.when(F.col("logprob") < min_logprob, F.lit("incoherent")),
+        F.lit("kept"),
+    )
+    total = joined.agg(F.count("*").alias("_total"))
+    return (
+        joined.select(reason.alias("drop_reason"))
+        .groupBy("drop_reason")
+        .agg(F.count("*").alias("n_docs"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "drop_reason",
+            "n_docs",
+            F.round(F.col("n_docs").cast("double") / F.col("_total"), 6).alias(
+                "share"
+            ),
+        )
+    )
+
+
 def vocab_stats(
     df: DataFrame,
     top_n: int | None = 100,

@@ -57,6 +57,45 @@ def curation_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_flags(load_table(spark, sf_dir, "documents"))
 
 
+_ATTRITION_SQL = f"""
+WITH cur AS ({_CURATION_SQL}),
+rep AS ({{REP}}),
+lp AS ({{LP}}),
+j AS (
+  SELECT cur.doc_id,
+         coalesce(cur.drop_reason,
+                  CASE WHEN rep.top_2gram_frac > 0.10
+                         OR rep.dup_word_frac > 0.70 THEN 'repetitive' END,
+                  CASE WHEN lp.logprob < -3.5 THEN 'incoherent' END,
+                  'kept') AS drop_reason
+  FROM cur JOIN rep USING (doc_id) JOIN lp USING (doc_id)
+)
+SELECT drop_reason, count(*)::BIGINT AS n_docs,
+       round(count(*)::DOUBLE / (SELECT count(*) FROM j), 6) AS share
+FROM j GROUP BY drop_reason
+"""
+
+
+def _attrition_sql() -> str:
+    from hnsw_spark.queries.text import _LOGPROB_SQL, _REPETITION_SQL
+
+    return _ATTRITION_SQL.replace("{REP}", _REPETITION_SQL).replace(
+        "{LP}", _LOGPROB_SQL
+    )
+
+
+@query("corpus_attrition", _attrition_sql())
+def corpus_attrition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline attrition: dedup election + length +
+    quality + language + repetition + corpus-LM fluency gates in fixed
+    priority, aggregated to one row per drop reason with corpus share —
+    the whole training-data pipeline value-hash-checked as one query
+    (see operators/curation.py:pipeline_attrition)."""
+    from hnsw_spark.operators.curation import pipeline_attrition
+
+    return pipeline_attrition(load_table(spark, sf_dir, "documents"))
+
+
 _SAMPLE_SQL = """
 SELECT doc_id, lang FROM documents
 WHERE ('0x' || substr(md5(doc_id::VARCHAR || 'v1'), 1, 8))::BIGINT

@@ -34,6 +34,7 @@ _RUN_FIRST = (
     "dedup_clusters",
     "unigram_logprob",
     "repetition_stats",
+    "corpus_attrition",
 )
 _RUN_LAST = (
     "ann_ivf_knn",

@@ -173,3 +173,30 @@ def test_repetition_stats_planted_fractions(spark):
     assert rows[0] == (1, 0.0, round(1 - 2 / 6, 6), 0.6)
     assert rows[1] == (3, round(1 - 2 / 3, 6), round(1 - 3 / 5, 6), 0.5)
     assert rows[2] == (1, 0.0, 0.0, 0.0)
+
+
+def test_pipeline_attrition_each_gate_fires(spark):
+    from hnsw_spark.operators.curation import pipeline_attrition
+
+    rows = [
+        (0, GOOD),                            # kept
+        (1, GOOD),                            # duplicate of 0
+        (2, "too short"),                     # too_short
+        (3, "the the the the the the the the the the the the"),  # repetitive
+    ]
+    res = {
+        r.drop_reason: r.n_docs
+        for r in pipeline_attrition(
+            spark.createDataFrame(rows, "doc_id bigint, text string"),
+            # planted corpus is tiny: loosen the flag gates so only the
+            # pipeline-specific tiers decide docs 2/3
+            min_quality=0.0,
+        ).collect()
+    }
+    assert res["kept"] == 1
+    assert res["duplicate"] == 1
+    assert res["too_short"] == 1
+    assert res["repetitive"] == 1
+    # shares sum to 1
+    total = sum(res.values())
+    assert total == 4
