@@ -53,6 +53,42 @@ HEADLINE = [
 ]
 
 
+def _calibration(spark) -> dict:
+    """Host-speed reference points so cross-round comparisons can separate
+    code regressions from host/noisy-neighbor drift (the headline cells at
+    sf0.1 are overhead-dominated, so they scale with host speed, not data):
+    a BLAS matmul (native FLOPS), a pure-Python loop (interpreter speed),
+    and a trivial Spark job (JVM + scheduler + gateway overhead).  Each
+    best-of-3."""
+    import numpy as np
+
+    x = np.random.RandomState(0).rand(1024, 1024)
+    mat = min(_timed(lambda: x @ x) for _ in range(3))
+
+    def loop():
+        s = 0
+        for i in range(2_000_000):
+            s += i
+        return s
+
+    py = min(_timed(loop) for _ in range(3))
+    spk = min(
+        _timed(lambda: spark.range(1_000_000).selectExpr("sum(id)").collect())
+        for _ in range(3)
+    )
+    return {
+        "matmul_1024_ms": round(mat * 1000, 1),
+        "pyloop_2m_ms": round(py * 1000, 1),
+        "spark_sum_1m_ms": round(spk * 1000, 1),
+    }
+
+
+def _timed(fn) -> float:
+    t0 = time.time()
+    fn()
+    return time.time() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
@@ -121,6 +157,7 @@ def main() -> None:
             t: protocol.get(f"ann_{t}", {}).get("recall_at_10")
             for t in ("ivf", "hnsw")
         },
+        "calib": _calibration(spark),
         "protocol_file": "BENCH_PROTOCOL.json",
     }
     sidecar = os.path.join(
@@ -281,9 +318,9 @@ def _protocol_axes(spark, sf_dir: str, qs) -> dict:
     emb2 = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q2 = emb2.filter(F.col("vec_id") < 8)
     sizes, search_walls, results = {}, {}, {}
-    for store in ("float32", "int8"):
+    for store in ("float32", "int8", "pq"):
         idx = build_ivf_index(
-            emb2, n_lists=ANN_N_LISTS, metric="cosine", store=store
+            emb2, n_lists=ANN_N_LISTS, metric="cosine", store=store, pq_m=16
         )
         tmp = os.path.join(".tmp", f"bench_ivf_{store}")
         shutil.rmtree(tmp, ignore_errors=True)
@@ -301,6 +338,21 @@ def _protocol_axes(spark, sf_dir: str, qs) -> dict:
         search_walls[store] = time.time() - t0
         results[store] = {(r.query_id, r.id) for r in res.collect()}
         idx.index_df.unpersist()
+        if store == "pq":
+            # the two-stage refine path: ADC shortlist → exact re-rank
+            full = emb2.select(
+                F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+            )
+            idx.index_df = spark.read.parquet(tmp).cache()
+            idx.index_df.count()
+            t0 = time.time()
+            rr = idx.search(
+                q2, k=10, n_probe=ANN_N_PROBE, rerank_with=full, rerank_factor=5
+            )
+            rr.write.format("noop").mode("overwrite").save()
+            search_walls["pq_rerank"] = time.time() - t0
+            results["pq_rerank"] = {(r.query_id, r.id) for r in rr.collect()}
+            idx.index_df.unpersist()
         shutil.rmtree(tmp, ignore_errors=True)
     agree = len(results["int8"] & results["float32"]) / max(
         len(results["float32"]), 1
@@ -316,6 +368,26 @@ def _protocol_axes(spark, sf_dir: str, qs) -> dict:
             "search_ms_float32": round(search_walls["float32"] * 1000, 1),
             "search_ms_int8": round(search_walls["int8"] * 1000, 1),
             "topk_agreement": round(agree, 4),
+        },
+        "ivf_pq_store": {
+            "n_lists": ANN_N_LISTS,
+            "n_probe": ANN_N_PROBE,
+            "pq_m": 16,
+            "bytes_float32": sizes["float32"],
+            "bytes_pq": sizes["pq"],
+            "compression_ratio": round(sizes["float32"] / max(sizes["pq"], 1), 2),
+            "search_ms_adc": round(search_walls["pq"] * 1000, 1),
+            "search_ms_rerank": round(search_walls["pq_rerank"] * 1000, 1),
+            "topk_agreement_adc": round(
+                len(results["pq"] & results["float32"])
+                / max(len(results["float32"]), 1),
+                4,
+            ),
+            "topk_agreement_rerank": round(
+                len(results["pq_rerank"] & results["float32"])
+                / max(len(results["float32"]), 1),
+                4,
+            ),
         },
         "minhash_50k_docs": {
             "n_docs": 50_000,

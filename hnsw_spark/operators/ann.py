@@ -122,13 +122,24 @@ class IVFIndex:
     def search(
         self, queries: DataFrame, k: int = 10, n_probe: int | None = None,
         query_id: str = "vec_id", query_vec: str = "embedding",
+        rerank_with: DataFrame | None = None, rerank_factor: int = 5,
     ) -> DataFrame:
-        """Top-k over the probed lists: DataFrame[(query_id, id, score)]."""
+        """Top-k over the probed lists: DataFrame[(query_id, id, score)].
+
+        ``rerank_with`` turns on the two-stage FAISS ``IVFPQ+refine`` shape:
+        the (lossy) store produces a ``k·rerank_factor`` shortlist, which is
+        re-scored exactly against the given full-precision (id, vector)
+        table and cut back to k.  At 100 TB the shortlist join is a point
+        lookup of Q·k·factor ids against the float store — the compressed
+        codes serve the scan, the floats serve only survivors.  With
+        ``store='pq'`` and full probing this recovers recall ≈ 1 (pinned in
+        tests)."""
         sim = get_metric(self.metric)
         if k <= 0:
             return self.index_df.sparkSession.createDataFrame(
                 [], "query_id long, id long, score double"
             )
+        shortlist_k = k * rerank_factor if rerank_with is not None else k
         n_probe = min(n_probe or max(1, self.n_lists // 4), self.n_lists)
         probes = route_probes(
             queries, self.centroids, self.metric, n_probe, query_id, query_vec
@@ -136,6 +147,20 @@ class IVFIndex:
         # route_probes broadcast-hints the small-batch path itself; a
         # distributed (large-batch) probe table must NOT be force-broadcast
         index_df = self.index_df
+        if "codes" in index_df.columns:
+            # PQ-stored index (store='pq'): the probe join moves m-byte codes
+            # instead of 4·d-byte vectors, then ADC scores via per-query
+            # lookup tables — never reconstructing floats (operators/pq.py)
+            from hnsw_spark.operators.pq import adc_score
+
+            cand = index_df.join(probes, "list_id")
+            scored = adc_score(
+                cand, self.params["pq_codebooks"], self.metric
+            )
+            return self._maybe_rerank(
+                _topk_window(scored, shortlist_k), queries, k,
+                query_id, query_vec, rerank_with,
+            )
         if "vector" not in index_df.columns:
             # int8-stored index (store='int8'): reconstruct vectors inline —
             # a Catalyst transform that fuses into the same codegen span as
@@ -153,7 +178,33 @@ class IVFIndex:
         scored = cand.select(
             "query_id", "id", sim("qvec", "vector").alias("score")
         )
-        return _topk_window(scored, k)
+        return self._maybe_rerank(
+            _topk_window(scored, shortlist_k), queries, k,
+            query_id, query_vec, rerank_with,
+        )
+
+    def _maybe_rerank(
+        self, shortlist: DataFrame, queries: DataFrame, k: int,
+        query_id: str, query_vec: str, rerank_with: DataFrame | None,
+    ) -> DataFrame:
+        if rerank_with is None:
+            return shortlist
+        sim = get_metric(self.metric)
+        qside = queries.select(
+            F.col(query_id).cast("long").alias("query_id"),
+            F.col(query_vec).alias("_qv"),
+        )
+        full = rerank_with.select(
+            F.col(rerank_with.columns[0]).cast("long").alias("id"),
+            F.col(rerank_with.columns[1]).alias("_fv"),
+        )
+        rescored = (
+            shortlist.drop("score")
+            .join(full, "id")
+            .join(F.broadcast(qside), "query_id")
+            .select("query_id", "id", sim("_qv", "_fv").alias("score"))
+        )
+        return _topk_window(rescored, k)
 
 
 def _normalize_rows(m: np.ndarray) -> np.ndarray:
@@ -534,6 +585,8 @@ def build_ivf_index(
     train_method: str = "sample",
     sample_size: int = 65536,
     store: str = "float32",
+    pq_m: int = 8,
+    pq_nbits: int = 8,
 ) -> IVFIndex:
     """Cluster the corpus into ``n_lists`` inverted lists — one scan to
     sample/train, one to assign, no per-iteration Spark jobs (see
@@ -545,10 +598,19 @@ def build_ivf_index(
     at 100 TB, the FAISS ScalarQuantizer recipe; search reconstructs inline
     and costs one extra multiply per element.  Scores then differ from exact
     by ≤ the quantization error (recall impact <1% at 8 bits; pinned in
-    tests), so keep the default for oracle-exact workloads."""
+    tests), so keep the default for oracle-exact workloads.
+
+    ``store='pq'`` persists m-byte product-quantization codes (the FAISS
+    IVFPQ shape, operators/pq.py) — 4·d/m compression (32× at d=64, m=8);
+    search scores by ADC lookup tables without reconstructing.  Cosine only;
+    ``pq_m``/``pq_nbits`` size the codebooks.  The lossiest, cheapest tier:
+    use for the first pass at 100 TB and re-rank survivors with the exact
+    operator."""
     get_metric(metric)  # validate early (reference src/main.ts:42-44)
-    if store not in ("float32", "int8"):
+    if store not in ("float32", "int8", "pq"):
         raise ValueError(f"unknown store: {store!r}")
+    if store == "pq" and metric != "cosine":
+        raise ValueError("store='pq' supports cosine only")
     base = df.select(
         F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vector")
     )
@@ -556,6 +618,13 @@ def build_ivf_index(
         base, n_lists, metric, seed, max_iter, train_method, sample_size
     )
     assigned = assign_lists(base, centroids, metric)
+    params = {
+        "n_lists": n_lists,
+        "seed": seed,
+        "max_iter": max_iter,
+        "train_method": train_method,
+        "store": store,
+    }
     if store == "int8":
         from hnsw_spark.functions.quantize import quant_scale, quantize
 
@@ -564,15 +633,15 @@ def build_ivf_index(
             .withColumn("qvec", quantize("vector", F.col("scale")))
             .drop("vector")
         )
-    return IVFIndex(
-        assigned,
-        centroids,
-        metric,
-        params={
-            "n_lists": n_lists,
-            "seed": seed,
-            "max_iter": max_iter,
-            "train_method": train_method,
-            "store": store,
-        },
-    )
+    elif store == "pq":
+        from hnsw_spark.operators.pq import pq_encode, train_pq_codebooks
+
+        books = train_pq_codebooks(
+            base, m=pq_m, nbits=pq_nbits, metric=metric, seed=seed,
+            max_iter=max_iter, sample_size=sample_size,
+        )
+        assigned = pq_encode(
+            assigned, books, metric=metric, extra_cols=("list_id",)
+        ).select("list_id", "id", "codes")
+        params.update(pq_m=pq_m, pq_nbits=pq_nbits, pq_codebooks=books)
+    return IVFIndex(assigned, centroids, metric, params=params)

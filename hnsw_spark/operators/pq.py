@@ -1,0 +1,207 @@
+"""Product quantization (PQ): sub-vector codebook compression for the ANN
+tier — the memory/IO step between int8 scalar quantization (4×) and raw
+float32 that a 100 TB embedding corpus actually needs (m bytes per vector,
+e.g. 64-dim float32 256 B → 8 B at m=8, a 32× reduction).
+
+Recipe (Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+Search", TPAMI 2011 — the FAISS ``IVFPQ`` shape):
+
+- **Train**: split the dimension into ``m`` subspaces; per subspace, k-means
+  with ``2^nbits`` centers over a bounded driver-side training sample (the
+  same deterministic hash-sample recipe as the IVF coarse quantizer,
+  operators/ann.py:train_centroids — sample size is fixed, so training cost
+  is corpus-size-independent).
+- **Encode**: one vectorized mapInPandas pass; each vector becomes ``m``
+  uint8 code indices packed into a BINARY column (Arrow/parquet-friendly;
+  no per-element array overhead).  Cosine corpora are L2-normalized BEFORE
+  encoding, so the asymmetric inner product against a normalized query IS
+  the approximate cosine — no stored norms needed at search time.
+- **Search (ADC, asymmetric distance computation)**: per query, one
+  ``m × 2^nbits`` table of subspace inner products; each candidate scores as
+  ``Σ_j table[j, code_j]`` — table lookups and adds, never a decode back to
+  floats.  Tables are built once per (query, Arrow batch) and amortize over
+  every candidate row in the batch.
+
+Role in the engine: ``build_ivf_index(store='pq')`` (operators/ann.py) keys
+the inverted lists exactly as float32/int8 stores do — the coarse routing,
+probe join, partition pruning, and top-k merge are unchanged; only the
+payload shrinks from 4·d bytes to m bytes, which is what the probe join
+shuffles and the scan reads.  Exactness is NOT the contract here (PQ is
+lossy by design); quality is gated the reference's own way — recall@k vs
+the exact operator (bench/README.md:108) — via the ``ann_ivfpq_recall``
+registered query and the pinned tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hnsw_spark.operators.ann import _kmeans_numpy, _normalize_rows
+
+
+def train_pq_codebooks(
+    base: DataFrame,
+    m: int = 8,
+    nbits: int = 8,
+    metric: str = "cosine",
+    seed: int = 42,
+    max_iter: int = 10,
+    sample_size: int = 65536,
+    id_col: str = "id",
+    vec_col: str = "vector",
+) -> np.ndarray:
+    """Train per-subspace codebooks → array (m, 2^nbits, d/m) float64.
+
+    The dimension must divide evenly into ``m`` subspaces (FAISS requires
+    the same).  Cosine training normalizes the sample first so codebooks
+    live on the same sphere the encoded vectors will."""
+    from hnsw_spark.operators.levels import uniform_from_id
+
+    ksub = 1 << nbits
+    probe = base.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vector")
+    )
+    pdf = probe.limit(sample_size + 1).toPandas()
+    if len(pdf) > sample_size:
+        n_rows = base.count()
+        frac = min(1.0, sample_size / max(n_rows, 1))
+        pdf = (
+            probe.filter(uniform_from_id(F.col("id"), seed) < frac)
+            .limit(sample_size)
+            .toPandas()
+        )
+    x = np.stack(pdf["vector"].to_numpy()).astype(np.float64)
+    d = x.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible into m={m} subspaces")
+    if metric == "cosine":
+        x = _normalize_rows(x)
+    dsub = d // m
+    books = []
+    for j in range(m):
+        sub = x[:, j * dsub : (j + 1) * dsub]
+        c = _kmeans_numpy(sub, ksub, seed + j, max_iter, spherical=False)
+        if c.shape[0] < ksub:  # tiny sample: pad by repeating (stable codes)
+            c = np.vstack([c] * ((ksub + c.shape[0] - 1) // c.shape[0]))[:ksub]
+        books.append(c)
+    return np.stack(books)  # (m, ksub, dsub)
+
+
+def _encode_mat(x: np.ndarray, books: np.ndarray, normalize: bool) -> np.ndarray:
+    """(n, d) float → (n, m) uint8 code matrix."""
+    if normalize:
+        with np.errstate(divide="ignore", invalid="ignore"):
+            x = np.nan_to_num(
+                x / np.linalg.norm(x, axis=1, keepdims=True), nan=0.0
+            )
+    m, _, dsub = books.shape
+    codes = np.empty((x.shape[0], m), dtype=np.uint8)
+    for j in range(m):
+        sub = x[:, j * dsub : (j + 1) * dsub]
+        c = books[j]
+        # argmin ||sub - c||² = argmax (sub·c − ½|c|²)
+        codes[:, j] = np.argmax(sub @ c.T - 0.5 * (c * c).sum(1), axis=1)
+    return codes
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    metric: str = "cosine",
+    id_col: str = "id",
+    vec_col: str = "vector",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Encode every vector into its m-byte PQ code (BINARY column) in one
+    vectorized mapInPandas pass → (id, codes[, extra…]).  Codebooks ride as
+    a broadcast, never per-row."""
+    bc = df.sparkSession.sparkContext.broadcast(codebooks)
+    normalize = metric == "cosine"
+    cols = [id_col, vec_col, *extra_cols]
+    src = df.select(*cols)
+    extra_schema = "".join(
+        f", {name} {df.schema[name].dataType.simpleString()}"
+        for name in extra_cols
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        books = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            codes = _encode_mat(x, books, normalize)
+            out = {
+                id_col: pdf[id_col],
+                "codes": [c.tobytes() for c in codes],
+            }
+            for name in extra_cols:
+                out[name] = pdf[name]
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        encode, schema=f"{id_col} long, codes binary{extra_schema}"
+    )
+
+
+def pq_reconstruct(codes: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """Decode an (n, m) uint8 code matrix back to (n, d) float64 — the
+    test/debug path; search never reconstructs (ADC scores via tables)."""
+    m, _, dsub = codebooks.shape
+    out = np.empty((codes.shape[0], m * dsub))
+    for j in range(m):
+        out[:, j * dsub : (j + 1) * dsub] = codebooks[j][codes[:, j]]
+    return out
+
+
+def adc_score(
+    cand: DataFrame,
+    codebooks: np.ndarray,
+    metric: str = "cosine",
+    query_vec: str = "qvec",
+) -> DataFrame:
+    """Score (query_id, id, codes, qvec) candidate rows by asymmetric
+    distance: per Arrow batch, one inner-product table per distinct query,
+    then a fancy-indexed gather per candidate — no reconstruction, no
+    per-row Python.  Returns (query_id, id, score); for cosine the score is
+    the approximate cosine (query normalized, corpus encoded normalized)."""
+    if metric != "cosine":
+        raise ValueError(f"adc_score supports cosine only, got {metric!r}")
+    bc = cand.sparkSession.sparkContext.broadcast(codebooks)
+    src = cand.select("query_id", "id", "codes", F.col(query_vec).alias("qv"))
+
+    def score(batches):
+        import pandas as pd
+
+        books = bc.value
+        m, ksub, dsub = books.shape
+        flat = books.reshape(m * ksub, dsub)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = np.frombuffer(
+                b"".join(pdf["codes"].to_numpy()), dtype=np.uint8
+            ).reshape(len(pdf), m)
+            offs = np.arange(m, dtype=np.int64) * ksub
+            scores = np.empty(len(pdf))
+            # one table per distinct query in the batch, amortized over all
+            # of its candidate rows via a single gather+sum
+            qids = pdf["query_id"].to_numpy()
+            for qid in np.unique(qids):
+                mask = qids == qid
+                q = np.asarray(
+                    pdf["qv"].to_numpy()[mask.argmax()], dtype=np.float64
+                )
+                qn = q / max(np.linalg.norm(q), 1e-30)
+                # (m*ksub,) table: subspace inner products against every center
+                table = (flat * qn.reshape(m, dsub).repeat(ksub, 0)).sum(1)
+                scores[mask] = table[codes[mask] + offs].sum(1)
+            yield pd.DataFrame(
+                {"query_id": qids, "id": pdf["id"], "score": scores}
+            )
+
+    return src.mapInPandas(score, schema="query_id long, id long, score double")

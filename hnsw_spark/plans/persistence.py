@@ -39,6 +39,9 @@ def save_index(index, path: str) -> None:
         "centroids": index.centroids.tolist(),
         **{k: v for k, v in index.params.items() if k != "centroids"},
     }
+    # PQ codebooks are a numpy tensor — JSON round-trip as nested lists
+    if isinstance(params.get("pq_codebooks"), np.ndarray):
+        params["pq_codebooks"] = params["pq_codebooks"].tolist()
     with open(os.path.join(path, "params.json"), "w") as f:
         json.dump(params, f)
 
@@ -54,6 +57,10 @@ def load_index(spark: SparkSession, path: str):
     with open(sidecar) as f:
         params = json.load(f)
     centroids = np.asarray(params.pop("centroids"), dtype=np.float64)
+    if "pq_codebooks" in params:
+        params["pq_codebooks"] = np.asarray(
+            params["pq_codebooks"], dtype=np.float64
+        )
     metric = params.pop("metric", "cosine")  # back-compat default (main.ts:357)
     kind = params.pop("kind", "ivf")
     index_df = spark.read.parquet(os.path.join(path, "nodes"))

@@ -156,3 +156,67 @@ def test_int8_store_matches_float_topk_mostly(spark, corpus, queries):
 
     overlap = mean_recall(recall_table(b, a)).first().mean_recall
     assert overlap >= 0.95  # <1% top-k churn expected from 8-bit error
+
+
+def test_pq_store_codes_and_persistence(spark, corpus, queries, tmp_path):
+    """PQ-stored index: node table carries m-byte binary codes only; the
+    codebook tensor survives the JSON sidecar round-trip and the loaded
+    index searches identically."""
+    idx = build_ivf_index(corpus, n_lists=8, metric="cosine", store="pq", pq_m=8)
+    assert set(idx.index_df.columns) == {"list_id", "id", "codes"}
+    assert len(idx.index_df.first().codes) == 8  # m bytes per vector
+    path = str(tmp_path / "pq_idx")
+    save_index(idx, path)
+    loaded = load_index(spark, path)
+    assert loaded.params["store"] == "pq"
+    assert loaded.params["pq_codebooks"].shape == (8, 256, 2)
+    a = {(x.query_id, x.id) for x in idx.search(queries, k=5, n_probe=8).collect()}
+    b = {(x.query_id, x.id) for x in loaded.search(queries, k=5, n_probe=8).collect()}
+    assert a == b
+    delete_index(path)
+
+
+def test_pq_adc_recall_and_rerank_recovers(spark, corpus, queries):
+    """ADC top-k is lossy on a uniform corpus (the PQ-adversarial case: no
+    cluster structure for codebooks to exploit); the two-stage rerank path
+    (IVFPQ+refine) recovers recall against the full-precision table."""
+    idx = build_ivf_index(corpus, n_lists=8, metric="cosine", store="pq", pq_m=8)
+    r_adc = _recall(spark, corpus, queries, idx, n_probe=8)
+    assert r_adc >= 0.5
+    exact = knn_exact(corpus, queries, k=10, metric="cosine")
+    full = corpus.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+    rr = idx.search(queries, k=10, n_probe=8, rerank_with=full, rerank_factor=5)
+    r_rr = mean_recall(recall_table(rr, exact)).first().mean_recall
+    assert r_rr >= 0.95
+    assert r_rr >= r_adc
+
+
+def test_pq_training_determinism_and_reconstruction(spark, corpus):
+    import numpy as np
+
+    from hnsw_spark.operators.pq import (
+        _encode_mat,
+        pq_reconstruct,
+        train_pq_codebooks,
+    )
+
+    base = corpus.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+    b1 = train_pq_codebooks(base, m=8, nbits=8, seed=3)
+    b2 = train_pq_codebooks(base, m=8, nbits=8, seed=3)
+    assert np.array_equal(b1, b2)  # seeded sample + seeded k-means
+    pdf = base.limit(100).toPandas()
+    x = np.stack(pdf["vector"].to_numpy()).astype(np.float64)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    rec = pq_reconstruct(_encode_mat(x, b1, True), b1)
+    rel_err = np.linalg.norm(rec - xn, axis=1) / np.linalg.norm(xn, axis=1)
+    # lossy but informative: far better than quantizing everything to zero
+    assert rel_err.mean() < 0.5
+
+
+def test_pq_rejects_euclidean_and_indivisible_dim(spark, corpus):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cosine only"):
+        build_ivf_index(corpus, metric="euclidean", store="pq")
+    with _pytest.raises(ValueError, match="not divisible"):
+        build_ivf_index(corpus, metric="cosine", store="pq", pq_m=5)
