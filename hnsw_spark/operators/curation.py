@@ -364,6 +364,57 @@ def pipeline_attrition(
     )
 
 
+def mixing_weights(
+    df: DataFrame,
+    by: str = "source",
+    alpha: float = 0.7,
+    target_rows: int | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-scaled domain mixing weights: per group,
+    ``weight ∝ n^alpha`` normalized over groups — the standard LLM recipe
+    for flattening a skewed source distribution (alpha=1 keeps natural
+    proportions; alpha→0 approaches uniform-per-domain).
+
+    Output: (domain, n_docs, natural_share, weight[, sample_rate]) where
+    ``sample_rate`` (when ``target_rows`` is given) is the per-document
+    inclusion rate that realizes the mix at the target corpus size — values
+    over 1.0 mean the domain must be up-sampled (epochs > 1), the signal a
+    mixing dashboard watches for.
+
+    One groupBy over the corpus; the normalization total rides as a
+    broadcast 1-row aggregate over the (tiny, one-row-per-domain) counts."""
+    counts = df.groupBy(F.col(by).alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    powed = counts.withColumn(
+        "_pow", F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha)))
+    )
+    totals = powed.agg(
+        F.sum("_pow").alias("_pow_total"),
+        F.sum("n_docs").alias("_n_total"),
+    )
+    out = powed.crossJoin(F.broadcast(totals)).select(
+        "domain",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("_n_total"), 6).alias("natural_share"),
+        F.round(F.col("_pow") / F.col("_pow_total"), 6).alias("weight"),
+        *(
+            [
+                F.round(
+                    (F.col("_pow") / F.col("_pow_total"))
+                    * F.lit(float(target_rows))
+                    / F.col("n_docs"),
+                    6,
+                ).alias("sample_rate")
+            ]
+            if target_rows is not None
+            else []
+        ),
+    )
+    return out
+
+
 def vocab_stats(
     df: DataFrame,
     top_n: int | None = 100,

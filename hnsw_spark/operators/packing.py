@@ -1,0 +1,142 @@
+"""Sequence packing and deterministic sharding — the "write side" of a
+training-data pipeline: after curation/dedup, documents are tokenized,
+packed into fixed-token-budget training sequences, and sharded into
+equal-ish output files for the data loader.
+
+Both operators are deterministic pure functions of the row ids (md5-based,
+the same engine-portable hash as curation.stratified_sample), so they are
+reproducible across runs, engines, and partitionings — a re-run of the
+pipeline produces byte-identical shard assignments, which is what makes
+incremental re-curation and train/job restarts safe at 100 TB.
+
+Scale shape:
+- ``assign_shards`` is shuffle-free: shard_id is a per-row hash expression
+  that pushes into the scan stage.  Writing then repartitions BY that column
+  (one shuffle, width = num_shards) so each output file is one shard.
+- ``pack_sequences`` packs WITHIN shards: the cumulative-sum window
+  partitions by shard_id, so the sort is num_shards-way parallel and no
+  global total order exists anywhere in the plan.  (A single global
+  greedy pack would serialize the corpus through one partition — the
+  classic 100 TB anti-plan.)  Packing quality is unaffected: bins are
+  budget-sized everywhere except one ragged tail bin per shard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from hnsw_spark.functions.text import bpe_token_count
+
+_HASH_SPACE = 1 << 32
+
+
+def shard_id(col: Column | str, num_shards: int, salt: str = "shard") -> Column:
+    """Deterministic engine-portable shard assignment in [0, num_shards):
+    md5 of (id, salt) → 32-bit int → mod.  Identical in DuckDB via
+    ``('0x' || substr(md5(...), 1, 8))::BIGINT % num_shards``."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.md5(F.concat(c.cast("string"), F.lit(salt)))
+    return (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % num_shards
+    ).alias("shard_id")
+
+
+def assign_shards(
+    df: DataFrame, num_shards: int, id_col: str = "doc_id", salt: str = "shard"
+) -> DataFrame:
+    """Add a deterministic ``shard_id`` column — a pure row expression, no
+    shuffle until the caller repartitions to write."""
+    return df.withColumn("shard_id", shard_id(id_col, num_shards, salt))
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    num_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "shard",
+) -> None:
+    """Write ``df`` as parquet partitioned by deterministic shard:
+    ``path/shard_id=K/``.  One shuffle (repartition on shard_id) so each
+    shard directory is written by one task — at scale, bump num_shards
+    rather than letting single shards exceed executor memory."""
+    out = assign_shards(df, num_shards, id_col, salt)
+    (
+        out.repartition(num_shards, "shard_id")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(path)
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    num_shards: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str | None = None,
+    salt: str = "pack",
+) -> DataFrame:
+    """Greedy contiguous sequence packing: assign each document to the
+    training bin containing its start offset.
+
+    Within each deterministic shard, documents are laid out in id order and
+    token counts accumulate; a document starting at offset ``s`` lands in
+    bin ``floor(s / budget)`` of its shard.  Output:
+    (doc_id, shard_id, n_tokens, bin_id, offset_in_bin, overflows) where
+    ``overflows`` marks documents that straddle a bin boundary (the data
+    loader's cue to truncate or wrap).
+
+    This is the streaming-concat packing used by most LLM data loaders
+    (documents concatenated, chopped every ``budget`` tokens) — expressed as
+    ONE window cumulative sum partitioned by shard, so the plan is a single
+    num_shards-way shuffle + sort, never a global order."""
+    toks = (
+        F.col(token_col)
+        if token_col
+        else bpe_token_count(text_col)
+    ).cast("long")
+    base = df.select(
+        F.col(id_col),
+        shard_id(id_col, num_shards, salt),
+        toks.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard_id")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_start = base.withColumn(
+        "_start", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return with_start.select(
+        id_col,
+        "shard_id",
+        "n_tokens",
+        F.floor(F.col("_start") / budget).alias("bin_id"),
+        (F.col("_start") % budget).alias("offset_in_bin"),
+        ((F.col("_start") % budget) + F.col("n_tokens") > budget).alias(
+            "overflows"
+        ),
+    )
+
+
+def packing_summary(packed: DataFrame, budget: int) -> DataFrame:
+    """Bin-level fill report over ``pack_sequences`` output:
+    (shard_id, bin_id, n_docs, bin_tokens, fill_ratio).  ``fill_ratio``
+    counts tokens STARTING in the bin against the budget, so interior bins
+    of a shard hover near 1.0 (over 1.0 exactly when their last doc
+    overflows into the next bin) and each shard's last bin is ragged."""
+    return (
+        packed.groupBy("shard_id", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+        )
+        .withColumn(
+            "fill_ratio",
+            F.round(F.col("bin_tokens") / F.lit(float(budget)), 6),
+        )
+    )

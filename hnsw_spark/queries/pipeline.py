@@ -1,0 +1,244 @@
+"""Pipeline write-side query surface over ``documents``: benchmark
+decontamination, sequence packing, deterministic sharding, PII scrubbing,
+and domain mixing weights — the operations between a curated corpus and a
+training run, each with a DuckDB oracle built from the same seeded
+parameters and the shared tokenizer fragments."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hnsw_spark.functions.pii import PII_PATTERNS, pii_counts, redact_pii
+from hnsw_spark.functions.text import BPE_PATTERN
+from hnsw_spark.operators.contamination import contamination_flags
+from hnsw_spark.operators.curation import _unit_hash, mixing_weights
+from hnsw_spark.operators.packing import assign_shards, pack_sequences
+from hnsw_spark.queries.dedup import _shingle_sql
+from hnsw_spark.queries.text import _W
+from hnsw_spark.registry import query
+from hnsw_spark.sources.tables import load_table
+
+# deterministic "benchmark" subset: ~5% of documents by pure id hash — the
+# oracle and the Spark side derive the same member set, and members overlap
+# themselves 100%, so the flagged set is non-trivial by construction
+_BENCH_FRAC = 0.05
+_BENCH_SALT = "bench"
+_CONTAM_N = 3
+_CONTAM_THRESHOLD = 0.5
+
+_HASH_01 = (
+    "('0x' || substr(md5(doc_id::VARCHAR || '{salt}'), 1, 8))::BIGINT"
+    " / 4294967296.0"
+)
+
+_CONTAM_SQL = f"""
+WITH docs AS (SELECT doc_id, {_W} AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id AS id, shingle FROM (
+    SELECT doc_id, unnest({_shingle_sql(_CONTAM_N)}) AS shingle FROM docs)
+),
+bench AS (
+  SELECT DISTINCT shingle FROM sh
+  WHERE id IN (SELECT doc_id FROM documents
+               WHERE {_HASH_01.format(salt=_BENCH_SALT)} < {_BENCH_FRAC})
+),
+per_doc AS (
+  SELECT sh.id, count(*)::BIGINT AS n_shingles,
+         count(b.shingle)::BIGINT AS n_matched
+  FROM sh LEFT JOIN bench b ON sh.shingle = b.shingle
+  GROUP BY sh.id
+)
+SELECT d.doc_id,
+       coalesce(p.n_shingles, 0)::BIGINT AS n_shingles,
+       coalesce(p.n_matched, 0)::BIGINT AS n_matched,
+       coalesce(round(p.n_matched / p.n_shingles, 6), 0.0) AS overlap,
+       coalesce(round(p.n_matched / p.n_shingles, 6), 0.0)
+         >= {_CONTAM_THRESHOLD} AS contaminated
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.id
+"""
+
+
+@query("decontamination", _CONTAM_SQL)
+def decontamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: fraction of each document's distinct word
+    3-grams that appear in a (seeded 5%) benchmark subset; docs at ≥ 50%
+    overlap are flagged.  The benchmark n-gram set broadcasts (eval sets are
+    MBs vs a TB corpus), so the probe is scan-side; one per-doc shuffle
+    (operators/contamination.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(
+        _unit_hash(F.col("doc_id"), _BENCH_SALT) < _BENCH_FRAC
+    )
+    return contamination_flags(
+        docs, bench, n=_CONTAM_N, threshold=_CONTAM_THRESHOLD
+    )
+
+
+_PACK_BUDGET = 512
+_PACK_SHARDS = 16
+
+_PACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR || 'pack'), 1, 8))::BIGINT
+           % {_PACK_SHARDS} AS shard_id,
+         len(regexp_extract_all(lower(text), '{BPE_PATTERN}'))::BIGINT
+           AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT *,
+         sum(n_tokens) OVER (
+           PARTITION BY shard_id ORDER BY doc_id
+           ROWS UNBOUNDED PRECEDING) - n_tokens AS s
+  FROM t
+)
+SELECT doc_id, shard_id, n_tokens,
+       floor(s / {_PACK_BUDGET})::BIGINT AS bin_id,
+       (s % {_PACK_BUDGET})::BIGINT AS offset_in_bin,
+       (s % {_PACK_BUDGET}) + n_tokens > {_PACK_BUDGET} AS overflows
+FROM c
+"""
+
+
+@query("sequence_packing", _PACK_SQL)
+def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous sequence packing into 512-token training bins
+    within 16 deterministic shards: each document lands in the bin holding
+    its start offset; ``overflows`` marks boundary-straddlers.  One
+    shard-partitioned window cumsum — num_shards-way parallel, no global
+    sort (operators/packing.py)."""
+    return pack_sequences(
+        load_table(spark, sf_dir, "documents"),
+        budget=_PACK_BUDGET,
+        num_shards=_PACK_SHARDS,
+    )
+
+
+_SHARD_N = 8
+
+_SHARD_SQL = f"""
+SELECT shard_id, count(*)::BIGINT AS n_docs,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+       sum(n_chars)::BIGINT AS shard_chars
+FROM (
+  SELECT doc_id, n_chars,
+         ('0x' || substr(md5(doc_id::VARCHAR || 'shard'), 1, 8))::BIGINT
+           % {_SHARD_N} AS shard_id
+  FROM documents)
+GROUP BY shard_id
+"""
+
+
+@query("shard_assignment", _SHARD_SQL)
+def shard_assignment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-sharding audit: per-shard row/byte counts under
+    the engine-portable md5 shard function (operators/packing.py) — the
+    balance check a shard-writing job publishes.  Shard assignment is a
+    scan-stage expression; the audit is one width-8 aggregate."""
+    docs = assign_shards(
+        load_table(spark, sf_dir, "documents"), _SHARD_N
+    )
+    return docs.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+        F.sum("n_chars").alias("shard_chars"),
+    )
+
+
+# documents carry no real PII, so the query plants a deterministic PII
+# suffix derived from doc_id, then proves the scrubber removes it — the
+# redacted text is pinned by md5, so a single missed character flips the row
+def _pii_suffix_spark() -> tuple[F.Column, ...]:
+    return (
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 ssn 123-45-6789 call 555-867-5309"),
+    )
+_PII_SUFFIX_SQL = (
+    "' contact user' || doc_id::VARCHAR || '@example.com ip 10.0.'"
+    " || (doc_id % 256)::VARCHAR || '.7 ssn 123-45-6789 call 555-867-5309'"
+)
+
+
+def _redact_sql(expr: str) -> str:
+    for kind, pat in PII_PATTERNS.items():
+        expr = f"regexp_replace({expr}, '{pat}', '<PII:{kind}>', 'g')"
+    return expr
+
+
+_PII_SQL = f"""
+WITH t AS (SELECT doc_id, text || {_PII_SUFFIX_SQL} AS text FROM documents),
+r AS (
+  SELECT doc_id, text, {_redact_sql("text")} AS redacted FROM t
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{PII_PATTERNS["email"]}'))::INT AS n_email,
+       len(regexp_extract_all(text, '{PII_PATTERNS["ipv4"]}'))::INT AS n_ipv4,
+       len(regexp_extract_all(text, '{PII_PATTERNS["ssn"]}'))::INT AS n_ssn,
+       len(regexp_extract_all(text, '{PII_PATTERNS["phone"]}'))::INT AS n_phone,
+       length(redacted)::BIGINT AS redacted_len,
+       substr(md5(redacted), 1, 16) AS redacted_fp
+FROM r
+"""
+
+
+@query("pii_scrub", _PII_SQL)
+def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII scrub (emails, IPv4, SSN-shaped, phone-shaped) over
+    documents with a planted deterministic PII suffix: per-kind match
+    counts plus the md5 fingerprint of the redacted text, so the exact
+    redaction output is value-hash-checked.  All kernels are Catalyst
+    regexp expressions fused into the scan stage (functions/pii.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.concat(F.col("text"), *_pii_suffix_spark()).alias("text")
+    )
+    counts = pii_counts("text")
+    red = redact_pii("text")
+    return t.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["ipv4"].alias("n_ipv4"),
+        counts["ssn"].alias("n_ssn"),
+        counts["phone"].alias("n_phone"),
+        F.length(red).alias("redacted_len"),
+        F.substring(F.md5(red), 1, 16).alias("redacted_fp"),
+    )
+
+
+_MIX_ALPHA = 0.5
+_MIX_TARGET = 1000
+
+_MIX_SQL = f"""
+WITH c AS (
+  SELECT source AS domain, count(*)::BIGINT AS n_docs
+  FROM documents GROUP BY source
+),
+t AS (SELECT sum(pow(n_docs, {_MIX_ALPHA})) AS pt, sum(n_docs) AS nt FROM c)
+SELECT domain, n_docs,
+       round(n_docs / nt, 6) AS natural_share,
+       round(pow(n_docs, {_MIX_ALPHA}) / pt, 6) AS weight,
+       round(pow(n_docs, {_MIX_ALPHA}) / pt * {_MIX_TARGET} / n_docs, 6)
+         AS sample_rate
+FROM c, t
+"""
+
+
+@query("mixing_weights", _MIX_SQL)
+def mixing_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha=0.5) domain mixing weights over ``source``
+    with the per-domain sampling rate realizing a 1000-row target mix —
+    rates above 1.0 signal required up-sampling.  One corpus aggregate;
+    normalization totals ride as a broadcast 1-row aggregate
+    (operators/curation.py:mixing_weights)."""
+    return mixing_weights(
+        load_table(spark, sf_dir, "documents"),
+        by="source",
+        alpha=_MIX_ALPHA,
+        target_rows=_MIX_TARGET,
+    )

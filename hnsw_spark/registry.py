@@ -35,6 +35,12 @@ _RUN_FIRST = (
     "unigram_logprob",
     "repetition_stats",
     "corpus_attrition",
+    "ann_ivfpq_recall",
+    "decontamination",
+    "sequence_packing",
+    "shard_assignment",
+    "pii_scrub",
+    "mixing_weights",
 )
 _RUN_LAST = (
     "ann_ivf_knn",
@@ -79,6 +85,7 @@ def load_all_queries() -> None:
         "hnsw_spark.queries.text",
         "hnsw_spark.queries.dedup",
         "hnsw_spark.queries.curation",
+        "hnsw_spark.queries.pipeline",
         "hnsw_spark.queries.retrieval",
         "hnsw_spark.queries.relational",
         "hnsw_spark.queries.index",

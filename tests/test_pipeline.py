@@ -1,0 +1,199 @@
+"""Semantics tests for the pipeline write-side operators: decontamination,
+sequence packing, sharding, PII scrubbing, and mixing weights — constructed
+fixtures with hand-computable expected values (the oracle queries cover the
+corpus-scale behavior; these pin the edge semantics)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from hnsw_spark.functions.pii import pii_count, redact_pii
+from hnsw_spark.operators.contamination import contamination_flags
+from hnsw_spark.operators.curation import mixing_weights
+from hnsw_spark.operators.packing import (
+    pack_sequences,
+    packing_summary,
+    write_shards,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_contamination_overlap_math(spark):
+    # doc 1 == bench doc, doc 2 shares half its 3-grams, doc 3 none,
+    # doc 4 too short for any 3-gram
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c d"),          # 3-grams: {a b c, b c d}
+            (2, "a b c x y"),        # {a b c, b c x, c x y} -> 1/3 match
+            (3, "p q r s"),          # none
+            (4, "a b"),              # no 3-grams
+        ],
+    )
+    bench = _docs(spark, [(99, "a b c d")])
+    out = {
+        r.doc_id: r
+        for r in contamination_flags(docs, bench, n=3, threshold=0.5).collect()
+    }
+    assert out[1].overlap == 1.0 and out[1].contaminated
+    assert out[2].n_shingles == 3 and out[2].n_matched == 1
+    assert out[2].overlap == pytest.approx(0.333333) and not out[2].contaminated
+    assert out[3].overlap == 0.0 and not out[3].contaminated
+    assert out[4].n_shingles == 0 and out[4].overlap == 0.0
+    assert not out[4].contaminated
+
+
+def test_pack_sequences_bins_and_overflow(spark):
+    # single shard (num_shards=1) so the greedy layout is fully determined
+    # by id order; token counts are word counts via token_col
+    docs = spark.createDataFrame(
+        [(1, 6), (2, 3), (3, 4), (4, 10), (5, 1)],
+        "doc_id long, n_tok long",
+    )
+    out = {
+        r.doc_id: r
+        for r in pack_sequences(
+            docs, budget=8, num_shards=1, token_col="n_tok"
+        ).collect()
+    }
+    # starts: 0, 6, 9, 13, 23
+    assert (out[1].bin_id, out[1].offset_in_bin) == (0, 0)
+    assert (out[2].bin_id, out[2].offset_in_bin) == (0, 6)
+    assert out[2].overflows  # 6 + 3 > 8
+    assert (out[3].bin_id, out[3].offset_in_bin) == (1, 1)
+    assert (out[4].bin_id, out[4].offset_in_bin) == (1, 5)
+    assert out[4].overflows  # spans multiple bins
+    assert (out[5].bin_id, out[5].offset_in_bin) == (2, 7)
+    assert not out[1].overflows and not out[3].overflows
+
+    summ = {
+        r.bin_id: r
+        for r in packing_summary(
+            pack_sequences(docs, budget=8, num_shards=1, token_col="n_tok"),
+            budget=8,
+        ).collect()
+    }
+    assert summ[0].n_docs == 2 and summ[0].bin_tokens == 9
+    assert summ[0].fill_ratio == pytest.approx(1.125)
+
+
+def test_pack_sequences_shard_partitioned(spark):
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"), F.lit(5).alias("n_tok")
+    )
+    out = pack_sequences(docs, budget=20, num_shards=4, token_col="n_tok")
+    assert out.select("shard_id").distinct().count() == 4
+    # within every shard the pack restarts at offset 0 in bin 0
+    firsts = (
+        out.withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark").sql.Window.partitionBy(
+                    "shard_id"
+                ).orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .collect()
+    )
+    assert all(r.bin_id == 0 and r.offset_in_bin == 0 for r in firsts)
+
+
+def test_write_shards_roundtrip(spark, tmp_path):
+    docs = spark.range(100).select(F.col("id").alias("doc_id"))
+    path = str(tmp_path / "shards")
+    write_shards(docs, path, num_shards=4)
+    back = spark.read.parquet(path)
+    assert back.count() == 100
+    per = {r.shard_id: r.n for r in back.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert set(per) == {0, 1, 2, 3}
+    # deterministic: re-deriving the assignment gives identical counts
+    from hnsw_spark.operators.packing import assign_shards
+
+    expected = {
+        r.shard_id: r.n
+        for r in assign_shards(docs, 4)
+        .groupBy("shard_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert per == expected
+
+
+def test_pii_redaction_order_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "host 192.168.1.250 and ssn 987-65-4320"),
+            (3, "call +1 555-867-5309 or 555 123 4567"),
+            (4, "clean text with no identifiers at all"),
+            (5, "x@y.io 1.2.3.4 111-22-3333 222-333-4444"),
+        ],
+        "id long, text string",
+    )
+    out = {
+        r.id: r
+        for r in df.select(
+            "id",
+            pii_count("text", "email").alias("e"),
+            pii_count("text", "ipv4").alias("ip"),
+            pii_count("text", "ssn").alias("s"),
+            pii_count("text", "phone").alias("p"),
+            redact_pii("text").alias("red"),
+        ).collect()
+    }
+    assert (out[1].e, out[1].ip, out[1].s, out[1].p) == (1, 0, 0, 0)
+    assert out[1].red == "mail <PII:email> now"
+    assert (out[2].ip, out[2].s) == (1, 1)
+    assert out[2].red == "host <PII:ipv4> and ssn <PII:ssn>"
+    # "+1 " prefix is outside the phone shape; both separator styles match
+    assert out[3].p == 2
+    assert out[4].red == "clean text with no identifiers at all"
+    assert (out[5].e, out[5].ip, out[5].s, out[5].p) == (1, 1, 1, 1)
+    assert out[5].red == "<PII:email> <PII:ipv4> <PII:ssn> <PII:phone>"
+
+
+def test_pii_email_digits_not_double_redacted(spark):
+    # ordering contract: the email (with a phone-shaped local part) is
+    # consumed before the phone pattern runs
+    df = spark.createDataFrame(
+        [(1, "send to 555-123-4567@relay.example.com today")],
+        "id long, text string",
+    )
+    red = df.select(redact_pii("text").alias("r")).first().r
+    assert red == "send to <PII:email> today"
+
+
+def test_mixing_weights_alpha_semantics(spark):
+    df = spark.createDataFrame(
+        [(i, "big" if i < 90 else "small") for i in range(100)],
+        "doc_id long, source string",
+    )
+    # alpha=1: weights equal natural shares
+    w1 = {
+        r.domain: r for r in mixing_weights(df, alpha=1.0).collect()
+    }
+    assert w1["big"].weight == pytest.approx(w1["big"].natural_share)
+    # alpha=0: uniform across domains regardless of size
+    w0 = {r.domain: r for r in mixing_weights(df, alpha=0.0).collect()}
+    assert w0["big"].weight == pytest.approx(0.5)
+    assert w0["small"].weight == pytest.approx(0.5)
+    # temperature in between: small domain up-weighted vs natural
+    wh = {
+        r.domain: r
+        for r in mixing_weights(df, alpha=0.5, target_rows=100).collect()
+    }
+    assert wh["small"].weight > wh["small"].natural_share
+    expect = math.sqrt(90) / (math.sqrt(90) + math.sqrt(10))
+    assert wh["big"].weight == pytest.approx(expect, abs=1e-6)
+    # sample_rate realizes the mix at the target size
+    assert wh["small"].sample_rate == pytest.approx(
+        wh["small"].weight * 100 / 10, abs=1e-5
+    )
