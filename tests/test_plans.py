@@ -1,0 +1,99 @@
+"""Plan-shape invariants: pin the physical-plan facts that make the
+headline queries scale — shuffle budgets, broadcast joins, scan-level
+column pruning, and shuffle-free sampling/scrubbing.  A refactor that
+silently adds an exchange, un-prunes a scan, or flips a broadcast join to
+sort-merge fails here instead of on the cluster.
+
+Plan-only: nothing executes, so the whole module is cheap."""
+
+from __future__ import annotations
+
+import pytest
+
+from hnsw_spark.plans.audit import plan_facts
+from hnsw_spark.registry import QUERIES, load_all_queries
+
+SF = "/root/testdata/sf0.01"
+
+load_all_queries()
+
+
+def _facts(name, spark):
+    return plan_facts(QUERIES[name](spark, SF))
+
+
+def test_stratified_sample_is_shuffle_free_and_pruned(spark):
+    f = _facts("stratified_sample", spark)
+    assert f.shuffles == 0  # pure scan-stage hash filter
+    assert f.read_schemas() == ["doc_id:bigint,lang:string"]  # 2 of 5 cols
+
+
+def test_scrub_and_quantize_are_scan_stage_only(spark):
+    for name in ("pii_scrub", "embedding_quantize"):
+        f = _facts(name, spark)
+        assert f.shuffles == 0, name
+        assert f.python_stages == 0, name  # all Catalyst, no Arrow hop
+
+
+def test_single_aggregation_queries_shuffle_once(spark):
+    # one groupBy == one exchange; anything more is a regression
+    for name in (
+        "tpch_q1_pricing_summary",
+        "dedup_exact",
+        "minhash_signatures",
+        "simhash_fingerprints",
+        "events_hourly_rollup",
+        "shard_assignment",
+        "sequence_packing",
+        "text_hash_embeddings",
+        "curation_filter",
+        "level_histogram",
+    ):
+        assert _facts(name, spark).shuffles == 1, name
+
+
+def test_tpch_q1_scan_prunes_to_needed_columns(spark):
+    [schema] = _facts("tpch_q1_pricing_summary", spark).read_schemas()
+    assert schema.count(":") == 7  # 7 of lineitem's 16 columns
+
+
+def test_knn_broadcasts_queries_never_sort_merge(spark):
+    for name in ("knn_exact_cosine", "knn_filtered", "embedding_neardup"):
+        f = _facts(name, spark)
+        assert f.broadcast_joins >= 1, name  # small query/probe side
+        assert f.sort_merge_joins == 0, name  # corpus never co-sorted
+        assert f.shuffles <= 1, name  # only the top-k window
+
+
+def test_bm25_and_decontamination_broadcast_the_small_side(spark):
+    for name in ("bm25_search", "decontamination"):
+        f = _facts(name, spark)
+        assert f.broadcast_joins >= 1, name
+        assert f.sort_merge_joins == 0, name
+
+
+def test_asof_join_has_no_range_explosion(spark):
+    f = _facts("asof_latest_view", spark)
+    assert f.sort_merge_joins == 0  # union + window, not a range join
+    assert f.broadcast_joins == 0
+    assert f.shuffles <= 2  # the window partition (+AQE bookkeeping)
+
+
+def test_ann_search_stays_probe_pruned(spark):
+    f = _facts("ann_ivf_knn", spark)
+    assert f.broadcast_joins >= 1  # probe table broadcasts onto the lists
+    assert f.python_stages <= 1  # one Arrow scoring kernel, no more
+
+
+def test_revenue_by_nation_broadcasts_all_dims(spark):
+    f = _facts("revenue_by_nation", spark)
+    assert f.broadcast_joins == 3  # customer->orders->nation dims broadcast
+    assert f.sort_merge_joins == 0
+    assert f.shuffles == 1  # only the final group-by
+
+
+@pytest.mark.parametrize("name", ["hybrid_rrf_search"])
+def test_rrf_arms_take_ordered_not_global_sort(spark, name):
+    f = _facts(name, spark)
+    assert "TakeOrderedAndProject" in f.ops
+    assert f.shuffles == 0  # arms cut via TakeOrdered; fusion over <=50 rows
