@@ -50,6 +50,11 @@ HEADLINE = [
     "top_suppliers_per_nation",
     "hybrid_rrf_search",
     "bm25_search",
+    "decontamination",
+    "sequence_packing",
+    "pii_scrub",
+    "mixing_weights",
+    "quality_classifier",
 ]
 
 

@@ -364,6 +364,56 @@ def pipeline_attrition(
     )
 
 
+def quality_classifier(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Model-based quality scoring: a fixed-weight linear classifier over
+    the interpretable text features (the FineWeb/C4 "quality classifier"
+    tier, with published weights instead of a learned checkpoint — swap the
+    constants for trained ones without touching the plan).
+
+    Output: (doc_id, z, prob, keep_pred).  ``z`` is the linear score over
+    exact-rational features (token counts and ratios — no transcendental
+    functions), and ``prob`` maps it through the rational sigmoid
+    ``0.5 + 0.5·z/(1+|z|)``: algebraic, monotone, [0,1], and — unlike
+    ``exp`` — bit-identical across engines, so the oracle can pin every row
+    (libm ``exp`` differs in the last ulp between JVM and C and would flip
+    rounded boundaries).  Pure per-row Catalyst expressions: the classifier
+    fuses into the scan stage, zero shuffles at any corpus size."""
+    w = words(text_col)
+    from hnsw_spark.functions.text import (
+        avg_word_len_w,
+        punct_ratio,
+        stopword_ratio_w,
+    )
+
+    n_words = F.size(w).cast("double")
+    nw_score = F.least(n_words / F.lit(200.0), F.lit(1.0))
+    swr = stopword_ratio_w(w)
+    awl = avg_word_len_w(w)
+    awl_mid = F.when((awl >= 3) & (awl <= 10), F.lit(1.0)).otherwise(
+        F.lit(0.0)
+    )
+    punct = punct_ratio(F.col(text_col))
+    z = (
+        F.lit(-1.2)
+        + F.lit(1.5) * nw_score
+        + F.lit(2.0) * swr
+        + F.lit(0.8) * awl_mid
+        - F.lit(3.0) * punct
+    )
+    prob = F.lit(0.5) + F.lit(0.5) * z / (F.lit(1.0) + F.abs(z))
+    return df.select(
+        F.col(id_col),
+        F.round(z, 6).alias("z"),
+        F.round(prob, 6).alias("prob"),
+        (prob >= F.lit(threshold)).alias("keep_pred"),
+    )
+
+
 def mixing_weights(
     df: DataFrame,
     by: str = "source",

@@ -211,6 +211,36 @@ def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quality_logit_sql() -> str:
+    from hnsw_spark.queries.text import _AWL, _SWR, _W
+
+    z = (
+        f"-1.2 + 1.5 * least(len({_W})::DOUBLE / 200.0, 1.0)"
+        f" + 2.0 * ({_SWR})"
+        f" + 0.8 * (CASE WHEN {_AWL} >= 3 AND {_AWL} <= 10 THEN 1.0 ELSE 0.0 END)"
+        f" - 3.0 * (CASE WHEN length(text) = 0 THEN 0.0"
+        f" ELSE (length(text) - length(regexp_replace(text,"
+        f" '[^a-zA-Z0-9\\s]', '', 'g')))::DOUBLE / length(text) END)"
+    )
+    return f"""
+WITH s AS (SELECT doc_id, ({z}) AS z FROM documents)
+SELECT doc_id, round(z, 6) AS z,
+       round(0.5 + 0.5 * z / (1 + abs(z)), 6) AS prob,
+       (0.5 + 0.5 * z / (1 + abs(z))) >= 0.5 AS keep_pred
+FROM s
+"""
+
+
+@query("quality_classifier", _quality_logit_sql())
+def quality_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-weight linear quality classifier over exact-rational text
+    features with a rational sigmoid link — every row pinned by the oracle
+    (operators/curation.py:quality_classifier)."""
+    from hnsw_spark.operators.curation import quality_classifier
+
+    return quality_classifier(load_table(spark, sf_dir, "documents"))
+
+
 _MIX_ALPHA = 0.5
 _MIX_TARGET = 1000
 

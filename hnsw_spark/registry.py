@@ -41,6 +41,7 @@ _RUN_FIRST = (
     "shard_assignment",
     "pii_scrub",
     "mixing_weights",
+    "quality_classifier",
 )
 _RUN_LAST = (
     "ann_ivf_knn",
