@@ -119,39 +119,61 @@ def main() -> None:
         warm_dir = sf_dir
     for warm_q in ("tpch_q1_pricing_summary", "ann_hnsw_knn"):
         if warm_q in qs:
-            qs[warm_q](spark, warm_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
+            try:
+                qs[warm_q](spark, warm_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:
+                pass  # warm-up only; the real cell records its own error
 
     # the registered ann_* queries are self-contained (they rebuild their
     # index so the oracle harness stays hermetic); the bench must time
     # SEARCH only, so round-over-round search regressions aren't masked by
     # k-means/build jitter — build cost is reported in protocol.ann_*.build_ms
-    ann_search, ann_cleanup = _prebuilt_ann_searches(spark, sf_dir)
+    try:
+        ann_search, ann_cleanup = _prebuilt_ann_searches(spark, sf_dir)
+    except Exception as e:
+        ann_search, ann_cleanup = {}, lambda: None
+        print(f"prebuilt ANN setup failed: {e!r}", file=sys.stderr)
 
     # best-of-2 per query: the second run measures steady state (codegen
     # cached, JIT warm); reporting the min keeps round-over-round numbers
-    # comparable instead of GC-noise lottery.
+    # comparable instead of GC-noise lottery.  Each cell is fault-isolated:
+    # a failing query records {"err": ...} instead of zeroing the artifact
+    # (BENCH_r03 lesson — one broken loader cost the whole round's numbers).
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = ann_search.get(name) or qs.get(name)
         if fn is None:
             continue
         walls = []
-        for _ in range(2):
-            t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            walls.append(time.time() - t0)
-        timings[name] = round(min(walls), 3)
+        try:
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                walls.append(time.time() - t0)
+            timings[name] = round(min(walls), 3)
+        except Exception as e:
+            errors[name] = repr(e)[:200]
+            print(f"bench cell {name} failed: {e!r}", file=sys.stderr)
 
     ann_cleanup()  # free the prebuilt node tables before the protocol probes
-    protocol = _protocol_axes(spark, sf_dir, qs)
+    try:
+        protocol = _protocol_axes(spark, sf_dir, qs)
+    except Exception as e:
+        protocol = {"err": repr(e)[:500]}
+        print(f"protocol axes failed: {e!r}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     # The driver captures only a bounded tail of stdout (BENCH_r02's full
     # protocol outgrew it and the headline line became unparseable), so the
     # printed line stays compact — headline cells + the two recall knees —
     # and the full protocol goes to a sidecar committed with the repo.
+    try:
+        calib = _calibration(spark)
+    except Exception as e:
+        calib = {"err": repr(e)[:200]}
     line = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -162,14 +184,19 @@ def main() -> None:
             t: protocol.get(f"ann_{t}", {}).get("recall_at_10")
             for t in ("ivf", "hnsw")
         },
-        "calib": _calibration(spark),
+        "calib": calib,
         "protocol_file": "BENCH_PROTOCOL.json",
     }
+    if errors:
+        line["errors"] = errors
     sidecar = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_PROTOCOL.json"
     )
-    with open(sidecar, "w") as f:
-        json.dump({"line": line, "protocol": protocol}, f, indent=1)
+    try:
+        with open(sidecar, "w") as f:
+            json.dump({"line": line, "protocol": protocol}, f, indent=1)
+    except Exception as e:
+        print(f"sidecar write failed: {e!r}", file=sys.stderr)
     print(json.dumps(line))
     spark.stop()
 

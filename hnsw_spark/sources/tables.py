@@ -34,24 +34,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read nanos as long and truncate to micros (matching
-        # DuckDB's TIMESTAMP_NS → TIMESTAMP µs truncation).  Runtime-settable,
-        # so this works under any caller-provided SparkSession.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # events.parquet has shipped with two physical types for ``ts``:
+        # TIMESTAMP(NANOS) (vectorized reader rejects it without the legacy
+        # nanos-as-long conf) and TIMESTAMP(MICROS) (reads natively as
+        # TIMESTAMP_NTZ, byte-equal to DuckDB).  Branch on the dtype Spark
+        # actually reads so either fixture generation works.
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        # epoch-µs → TIMESTAMP_NTZ by pure arithmetic: no session-timezone
-        # dependency, same wall-clock values DuckDB reads (orders/lineitem
-        # already infer as timestamp_ntz).
-        return df.withColumn(
-            "ts",
-            F.expr(
-                "timestampadd(MICROSECOND, CAST(ts/1000 AS BIGINT),"
-                " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
-            ),
-        )
+        if isinstance(df.schema["ts"].dataType, LongType):
+            # nanos-as-long → epoch-µs → TIMESTAMP_NTZ by pure arithmetic:
+            # no session-timezone dependency, same wall-clock values DuckDB
+            # reads after its TIMESTAMP_NS → µs truncation.
+            return df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, CAST(ts/1000 AS BIGINT),"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
