@@ -38,8 +38,9 @@ def doc_shingles(
     text_col: str = "text",
 ) -> DataFrame:
     """Distinct word n-grams per document → (id, shingle).  One projection +
-    one explode; no shuffle (distinct-per-doc is done by the downstream
-    aggregate, not here)."""
+    one explode + one shuffle: the ``.distinct()`` is a real exchange on
+    (id, shingle) and is necessary — contamination overlap counts DISTINCT
+    n-grams, so duplicates must collapse before the benchmark probe join."""
     return (
         df.select(
             F.col(id_col).alias("id"),

@@ -315,28 +315,125 @@ def pipeline_attrition(
     min_logprob: float = -3.5,
     text_col: str = "text",
     id_col: str = "doc_id",
-    **flag_kwargs,
+    min_words: int = 5,
+    min_quality: float = 0.5,
+    allowed_langs: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """The whole curation pipeline end-to-end, reported as an attrition
     table: every document flows through canonical-copy election, length,
-    quality, and language gates (curation_flags), then the repetition gates
-    (repetition_stats) and the corpus-LM fluency floor (unigram_logprob),
-    and the FIRST failing rule in that fixed priority order is its
-    drop_reason ('kept' for survivors).  Output: one row per reason with
-    n_docs and corpus share — the dashboard a training-data run publishes.
+    quality, and language gates (the curation_flags rules), then the
+    repetition gates (repetition_stats) and the corpus-LM fluency floor
+    (unigram_logprob), and the FIRST failing rule in that fixed priority
+    order is its drop_reason ('kept' for survivors).  Output: one row per
+    reason with n_docs and corpus share — the dashboard a training-data run
+    publishes.
 
-    Shape at scale: three independent corpus aggregations (each already
-    scale-audited in its own operator) joined on the document id — doc-keyed
-    sort-merge joins over co-partitioned aggregation outputs, then one
-    final tiny groupBy on the reason.  The corpus total rides along as a
-    broadcast 1-row aggregate, never a driver collect."""
-    flags = curation_flags(df, text_col=text_col, id_col=id_col, **flag_kwargs)
-    rep = repetition_stats(df, text_col=text_col, id_col=id_col)
-    lp = unigram_logprob(df, text_col=text_col, id_col=id_col)
+    Shape at scale: the corpus is scanned ONCE.  A single select computes
+    every per-row signal (fingerprint, word/line arrays, quality, language,
+    duplicate fractions) and is persisted (MEMORY_AND_DISK — spills, never
+    OOMs); the canonical-copy window, the token-LM aggregation, and the
+    2-gram-mode aggregation all read that materialized frame instead of
+    re-deriving the tokenize pipeline per branch (the previous composition
+    cost 8 parquet scans / 10 shuffles for one 5-row report).  Doc-keyed
+    left joins reassemble the per-doc verdicts; the corpus total rides
+    along as a broadcast 1-row aggregate, never a driver collect.  The
+    cached blocks are released by Spark's ContextCleaner when the returned
+    plan is garbage-collected."""
+    from pyspark import StorageLevel
+
+    from hnsw_spark.functions.text import shingles_w
+
+    dup = lambda a: F.when(  # noqa: E731
+        F.size(a) == 0, F.lit(0.0)
+    ).otherwise(1.0 - F.size(F.array_distinct(a)).cast("double") / F.size(a))
+    base = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("text"),
+            words(text_col).alias("w"),
+            F.split(F.col(text_col), "\n").alias("lines"),
+        )
+        .select(
+            "doc_id",
+            fingerprint("text").alias("_fp"),
+            F.size("w").alias("n_words"),
+            quality_score_w(F.col("text"), F.col("w")).alias("quality"),
+            lang_id_w(F.col("w")).alias("lang_pred"),
+            F.round(dup(F.col("lines")), 6).alias("dup_line_frac"),
+            F.round(dup(F.col("w")), 6).alias("dup_word_frac"),
+            "w",
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    # flag tier: canonical-copy election + per-row gates (curation_flags
+    # semantics, computed off the shared frame)
+    canonical = F.min("doc_id").over(Window.partitionBy("_fp"))
+    lang_ok = (
+        F.col("lang_pred").isin(*allowed_langs)
+        if allowed_langs
+        else F.col("lang_pred") != "und"
+    )
+    flag_reason = (
+        F.when(F.col("doc_id") != canonical, F.lit("duplicate"))
+        .when(F.col("n_words") < min_words, F.lit("too_short"))
+        .when(F.col("quality") < min_quality, F.lit("low_quality"))
+        .when(~lang_ok, F.lit("lang"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    flags = base.select(
+        "doc_id", "dup_word_frac", flag_reason.alias("drop_reason")
+    )
+
+    # corpus-LM tier (unigram_logprob semantics: fixed-point ln, exact
+    # integer accumulation, NULL logprob for token-free docs)
+    tok = base.select("doc_id", F.explode("w").alias("token")).filter(
+        F.col("token") != ""
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    cnt = tf.groupBy("token").agg(F.sum("tf").alias("c"))
+    tot = cnt.agg(F.sum("c").alias("t"))
+    q = F.floor(
+        F.log(F.col("c").cast("double") / F.col("t").cast("double")) * 1000000.0
+        + 0.5
+    )
+    lp = (
+        tf.join(cnt, "token")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", "tf", (F.col("tf") * q).alias("tfq"))
+        .groupBy("doc_id")
+        .agg(F.sum("tf").alias("n_tokens"), F.sum("tfq").alias("sq"))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("sq").cast("double")
+                / (F.col("n_tokens") * F.lit(1000000.0)),
+                6,
+            ).alias("logprob"),
+        )
+    )
+
+    # repetition tier: top-2-gram mode share (repetition_stats semantics)
+    ga = (
+        base.select("doc_id", F.explode(shingles_w(F.col("w"), 2)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            (F.max("c").cast("double") / F.sum("c").cast("double")).alias("_tf")
+        )
+    )
+
     joined = (
-        flags.select("doc_id", "drop_reason")
-        .join(rep.select("doc_id", "dup_word_frac", "top_2gram_frac"), "doc_id")
-        .join(lp.select("doc_id", "logprob"), "doc_id")
+        flags.join(lp, "doc_id", "left")
+        .join(ga, "doc_id", "left")
+        .select(
+            "doc_id",
+            "drop_reason",
+            "dup_word_frac",
+            "logprob",
+            F.round(F.coalesce("_tf", F.lit(0.0)), 6).alias("top_2gram_frac"),
+        )
     )
     reason = F.coalesce(
         F.col("drop_reason"),

@@ -31,11 +31,25 @@ MEDIA_SCHEMA = (
 FEATURE_DIM = 64
 
 
+def _byte_stream(payload: bytes, n: int) -> np.ndarray:
+    """The stub codec's pixel/sample generator: position k yields
+    ``(payload[k mod len] + 31·k) mod 256``.  Chosen over an RNG because it
+    is (a) deterministic per payload, (b) full-range with no short period,
+    and (c) reproducible in ANSI SQL from the payload bytes — which makes
+    the decode plumbing ORACLE-CHECKABLE (the DuckDB gate recomputes the
+    exact byte sums), not just rows-only."""
+    pb = np.frombuffer(payload, dtype=np.uint8)
+    return (np.resize(pb, n).astype(np.int64) + 31 * np.arange(n)) % 256
+
+
 def _fake_decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
-    """DETERMINISTIC FAKE (no codec in container): md5-seeded uint8 HxWx3."""
-    seed = int.from_bytes(hashlib.md5(payload).digest()[:8], "little")
-    rng = np.random.default_rng(seed)
-    return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+    """DETERMINISTIC FAKE (no codec in container): payload-derived uint8
+    HxWx3 via the SQL-reproducible byte stream."""
+    return (
+        _byte_stream(payload, height * width * 3)
+        .astype(np.uint8)
+        .reshape(height, width, 3)
+    )
 
 
 def decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
@@ -87,34 +101,42 @@ def image_features(df: DataFrame) -> DataFrame:
         for pdf in batches:
             if pdf.empty:
                 continue
-            feats = [
-                _image_feature(
-                    decode_image(row.payload, int(row.width), int(row.height))
-                )
-                for row in pdf.itertuples()
-            ]
+            feats, sums = [], []
+            for row in pdf.itertuples():
+                img = decode_image(row.payload, int(row.width), int(row.height))
+                feats.append(_image_feature(img))
+                # decode checksum: exact pixel sum — pipelines use this to
+                # validate decode integrity, and the SQL oracle recomputes
+                # it from the payload bytes (see _byte_stream)
+                sums.append(int(img.astype(np.int64).sum()))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].to_numpy(),
                     "embedding": feats,
                     "width": pdf["width"].to_numpy(),
                     "height": pdf["height"].to_numpy(),
+                    "byte_sum": sums,
                 }
             )
 
     cols = df.select("media_id", "payload", "width", "height")
     return cols.mapInPandas(
-        run, schema="media_id long, embedding array<float>, width int, height int"
+        run,
+        schema=(
+            "media_id long, embedding array<float>, width int, height int,"
+            " byte_sum long"
+        ),
     )
 
 
 def _fake_decode_audio(payload: bytes, sample_rate: int, seconds: float = 1.0) -> np.ndarray:
-    """DETERMINISTIC FAKE (no codec in container): md5-seeded float32 mono
-    waveform in [-1, 1) at ``sample_rate``."""
-    seed = int.from_bytes(hashlib.md5(payload).digest()[8:], "little")
-    rng = np.random.default_rng(seed)
+    """DETERMINISTIC FAKE (no codec in container): payload-derived float32
+    mono waveform in [-1, 1] at ``sample_rate``, from the SQL-reproducible
+    byte stream (sample = byte/255·2 − 1)."""
     n = max(1, int(sample_rate * seconds))
-    return (rng.random(n, dtype=np.float32) * 2.0 - 1.0)
+    return (
+        _byte_stream(payload, n).astype(np.float32) / 255.0 * 2.0 - 1.0
+    )
 
 
 def decode_audio(payload: bytes, sample_rate: int) -> np.ndarray:
@@ -156,24 +178,31 @@ def audio_features(df: DataFrame) -> DataFrame:
         for pdf in batches:
             if pdf.empty:
                 continue
-            feats = [
-                _audio_feature(
-                    decode_audio(row.payload, int(row.sample_rate)),
-                    int(row.sample_rate),
-                )
-                for row in pdf.itertuples()
-            ]
+            feats, sums = [], []
+            for row in pdf.itertuples():
+                wave = decode_audio(row.payload, int(row.sample_rate))
+                feats.append(_audio_feature(wave, int(row.sample_rate)))
+                # decode checksum: the wave re-quantized to its 8-bit PCM
+                # levels and summed exactly — SQL-reproducible from the
+                # payload bytes (see _byte_stream)
+                pcm = np.rint((wave.astype(np.float64) + 1.0) / 2.0 * 255.0)
+                sums.append(int(pcm.astype(np.int64).sum()))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].to_numpy(),
                     "embedding": feats,
                     "sample_rate": pdf["sample_rate"].to_numpy(),
+                    "pcm_sum": sums,
                 }
             )
 
     cols = df.select("media_id", "payload", "sample_rate")
     return cols.mapInPandas(
-        run, schema="media_id long, embedding array<float>, sample_rate int"
+        run,
+        schema=(
+            "media_id long, embedding array<float>, sample_rate int,"
+            " pcm_sum long"
+        ),
     )
 
 

@@ -1,12 +1,16 @@
 """Multimodal query surface: the image decode → feature-extract pipeline and
 video frame sampling over a deterministic synthetic media table.
 
-Rows-only oracle: the stubbed codec (md5-seeded fake decode — the container
-has no image libraries, see operators/multimodal.py) is not SQL-expressible,
-but every output is deterministic, so row counts and schema are stable.  The
-Spark-side plumbing being exercised — binary columns with typed metadata,
-Arrow-batched mapInPandas decode, fixed-schema feature rows feeding the
-ANN/dedup operators — is the real, scale-relevant part.
+The codec layer is a clearly-labeled stub (the container has no image/audio
+libraries, see operators/multimodal.py) whose byte stream is deliberately
+SQL-reproducible, so the image/audio feature queries carry REAL value
+oracles (decode checksums recomputed by DuckDB from the payload bytes) on
+top of the dim/unit-norm invariants.  Only the scene-cut query stays
+rows-only (its per-frame feature distances go through the float feature
+extractor, which SQL can't reproduce).  The Spark-side plumbing being
+exercised — binary columns with typed metadata, Arrow-batched mapInPandas
+decode, fixed-schema feature rows feeding the ANN/dedup operators — is the
+real, scale-relevant part.
 """
 
 from __future__ import annotations
@@ -26,12 +30,36 @@ from hnsw_spark.registry import query
 N_MEDIA = 64
 
 
-@query("multimodal_image_features")  # rows-only: stubbed codec is not SQL
+# The stub codec's byte stream is SQL-reproducible by design (operators/
+# multimodal.py:_byte_stream): pixel/sample k = (payload[k mod 64] + 31k)
+# mod 256, and the fixture payload is md5('media'||i) bytes repeated 4x —
+# so the oracle recomputes the exact decode checksums from first
+# principles, upgrading these from rows-only to hash-matched value checks
+# of the whole decode → feature plumbing (dim, unit norm, checksum).
+_IMG_SQL = f"""
+WITH m AS (
+  SELECT range::BIGINT AS media_id, md5('media' || range::VARCHAR) AS h
+  FROM range({N_MEDIA})
+), px AS (
+  SELECT media_id,
+         SUM((('0x' || substr(h, 2*(k.k % 16)+1, 2))::BIGINT + 31*k.k) % 256)::BIGINT
+           AS byte_sum
+  FROM m, (SELECT unnest(generate_series(0, 12*16*3 - 1))::BIGINT AS k) k
+  GROUP BY media_id
+)
+SELECT media_id, 64::INT AS dim, 1.0::DOUBLE AS norm,
+       16::INT AS width, 12::INT AS height, byte_sum
+FROM px
+"""
+
+
+@query("multimodal_image_features", _IMG_SQL)
 def multimodal_image_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature-extract 64 synthetic images via Arrow-batched
-    mapInPandas; emits (media_id, dim, norm) — the embedding column itself
-    feeds knn_exact/build_ivf_index unchanged (tested in
-    tests/test_streaming_multimodal.py)."""
+    mapInPandas; emits (media_id, dim, norm, width, height, byte_sum) — the
+    embedding column itself feeds knn_exact/build_ivf_index unchanged
+    (tested in tests/test_streaming_multimodal.py).  The oracle recomputes
+    byte_sum (the exact decoded-pixel checksum) from the payload bytes."""
     media = synthetic_media(spark, count=N_MEDIA, kind="image")
     feats = image_features(media)
     return feats.select(
@@ -40,20 +68,42 @@ def multimodal_image_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(l2_norm("embedding"), 4).alias("norm"),
         "width",
         "height",
+        "byte_sum",
     )
 
 
-@query("multimodal_audio_features")  # rows-only: stubbed codec is not SQL
+_AUDIO_N, _AUDIO_SR = 32, 16000
+_AUDIO_SQL = f"""
+WITH m AS (
+  SELECT range::BIGINT AS media_id, md5('media' || range::VARCHAR) AS h
+  FROM range({_AUDIO_N})
+), px AS (
+  SELECT media_id,
+         SUM((('0x' || substr(h, 2*(k.k % 16)+1, 2))::BIGINT + 31*k.k) % 256)::BIGINT
+           AS pcm_sum
+  FROM m, (SELECT unnest(generate_series(0, {_AUDIO_SR} - 1))::BIGINT AS k) k
+  GROUP BY media_id
+)
+SELECT media_id, 64::INT AS dim, 1.0::DOUBLE AS norm,
+       {_AUDIO_SR}::INT AS sample_rate, pcm_sum
+FROM px
+"""
+
+
+@query("multimodal_audio_features", _AUDIO_SQL)
 def multimodal_audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature-extract synthetic audio (frame RMS, zero-crossing
-    rate, FFT band energies) via Arrow-batched mapInPandas."""
-    media = synthetic_media(spark, count=32, kind="audio")
+    rate, FFT band energies) via Arrow-batched mapInPandas.  The oracle
+    recomputes pcm_sum (the wave re-quantized to 8-bit PCM and summed
+    exactly) from the payload bytes."""
+    media = synthetic_media(spark, count=_AUDIO_N, kind="audio")
     feats = audio_features(media)
     return feats.select(
         "media_id",
         F.size("embedding").alias("dim"),
         F.round(l2_norm("embedding"), 4).alias("norm"),
         "sample_rate",
+        "pcm_sum",
     )
 
 
@@ -77,15 +127,26 @@ def multimodal_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(media, every_n=_FS_EVERY)
 
 
-@query("multimodal_scene_cuts")  # rows-only: frame decode is the stubbed codec
+_SC_N = 8
+_SC_SQL = f"""
+SELECT m.media_id, f.frame_idx::INT AS frame_idx
+FROM (SELECT range::BIGINT AS media_id FROM range({_SC_N})) m,
+     (SELECT unnest([40, 80]) AS frame_idx) f
+"""
+
+
+@query("multimodal_scene_cuts", _SC_SQL)
 def multimodal_scene_cuts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scene-change detection: sampled frames → per-frame features (stubbed
     decode, scene-structured fake) → window-lag euclidean distance per media
     → cut rows.  The detection layer (window + Catalyst kernel) is entirely
     real Spark; the fake decoder plants scene boundaries every 40 frames, so
-    cuts land at sampled frames 40 and 80 for each of the 8 videos."""
+    the detector must find cuts at EXACTLY sampled frames 40 and 80 for each
+    of the {_SC_N} videos — which is what the oracle pins (the float ``dist``
+    itself goes through the feature extractor and stays SQL-inexpressible,
+    so it is asserted in tests/test_streaming_multimodal.py instead)."""
     from hnsw_spark.operators.multimodal import frame_features, scene_cuts
 
-    media = synthetic_media(spark, count=8, kind="video")
+    media = synthetic_media(spark, count=_SC_N, kind="video")
     feats = frame_features(media, every_n=10)
-    return scene_cuts(feats, threshold=0.05)
+    return scene_cuts(feats, threshold=0.05).select("media_id", "frame_idx")

@@ -49,13 +49,14 @@ _RUN_FIRST = (
     "index_build_stats",
     "synthetic_vectors",
     "fvecs_roundtrip",
+    # upgraded rows-only → value oracle this round; need first hash rows
+    "multimodal_image_features",
+    "multimodal_audio_features",
+    "multimodal_scene_cuts",
 )
 _RUN_LAST = (
     "ann_ivf_knn",
     "ann_hnsw_knn",
-    "multimodal_image_features",
-    "multimodal_audio_features",
-    "multimodal_scene_cuts",
 )
 
 
