@@ -55,6 +55,11 @@ HEADLINE = [
     "pii_scrub",
     "mixing_weights",
     "quality_classifier",
+    "apply_mixing",
+    "global_shuffle",
+    "dedup_incremental",
+    "corpus_attrition",
+    "pipeline_end_to_end",
 ]
 
 

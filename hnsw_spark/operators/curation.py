@@ -562,6 +562,45 @@ def mixing_weights(
     return out
 
 
+def apply_mixing(
+    df: DataFrame,
+    rates: dict[str, float],
+    by: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Materialize a domain mixture: each document is emitted
+    ``floor(rate)`` times plus one more with probability ``frac(rate)`` —
+    so ``rate`` is expected copies per doc (0.3 downsamples, 2.5 means 2
+    epochs plus a 50% third).  Feed it the ``sample_rate`` column that
+    ``mixing_weights(..., target_rows=...)`` computes to realize that mix.
+
+    The fractional decision is the unit hash of (id, salt) — a pure row
+    expression, so the materialization is deterministic across runs,
+    engines, and partitionings (an epoch-boundary re-run reproduces the
+    same corpus), and the whole operator is shuffle-free: copy expansion
+    is a ``sequence``+``explode`` in the scan stage.  Output: the input
+    rows with a ``copy`` index (1-based) — downstream packing/sharding
+    hashes (id, copy) so copies spread across shards."""
+    rate = F.lit(float(default_rate))
+    for key, r in sorted(rates.items()):
+        rate = F.when(F.col(by) == key, F.lit(float(r))).otherwise(rate)
+    n = (
+        F.floor(rate)
+        + F.when(_unit_hash(F.col(id_col), salt) < rate - F.floor(rate), 1)
+        .otherwise(0)
+    ).cast("long")
+    return (
+        df.withColumn("_n", n)
+        .filter(F.col("_n") >= 1)
+        .withColumn(
+            "copy", F.explode(F.sequence(F.lit(1).cast("long"), F.col("_n")))
+        )
+        .drop("_n")
+    )
+
+
 def vocab_stats(
     df: DataFrame,
     top_n: int | None = 100,

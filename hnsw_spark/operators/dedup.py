@@ -21,7 +21,7 @@ AQE skew-join handles moderate skew.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from hnsw_spark.functions.hashing import P31, h31, md5_bigint, minhash_perms, perm_hash
@@ -39,6 +39,38 @@ def exact_dedup(
         .groupBy("fingerprint")
         .agg(F.min("_id").alias("canonical_id"), F.count("*").alias("n_copies"))
     )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    seen_fingerprints: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental ingest dedup: from a NEW batch of documents, keep only
+    the canonical copy (lowest id) of each normalized-text fingerprint that
+    is NOT already in the ingested corpus — the daily-crawl append step of a
+    continuously-curated corpus.  ``seen_fingerprints`` needs one column,
+    ``fingerprint`` (e.g. ``exact_dedup(corpus).select("fingerprint")``).
+
+    Output: the surviving new rows plus their ``fingerprint`` (append it to
+    the seen set for the next increment).
+
+    Scale shape: within-batch canonical election is one window over the
+    fingerprint (shuffle sized by the BATCH, not the corpus); the seen-set
+    check is a left-anti join on the same key — Catalyst keeps the
+    fingerprint partitioning from the window, and AQE broadcasts the batch
+    side when a day's increment is small relative to the seen table.  The
+    corpus itself is never re-scanned: only its fingerprint set (16 bytes a
+    row) participates."""
+    fp = new_df.withColumn("fingerprint", fingerprint(text_col))
+    canon = F.min(id_col).over(Window.partitionBy("fingerprint"))
+    batch_canonical = fp.withColumn("_canon", canon).filter(
+        F.col(id_col) == F.col("_canon")
+    )
+    return batch_canonical.join(
+        seen_fingerprints.select("fingerprint"), "fingerprint", "left_anti"
+    ).drop("_canon")
 
 
 def doc_shingles(

@@ -123,6 +123,53 @@ def pack_sequences(
     )
 
 
+def global_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "shuffle",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Deterministic global training order: every row gets a unique
+    0-based ``pos`` drawn from the total order (bucket, md5(id‖salt), id) —
+    a reproducible corpus-wide shuffle (same salt → same order on any
+    engine or partitioning; new salt → an independent permutation), the
+    step that serializes a curated corpus into training sequence.
+
+    Scale shape: NOT a single global sort.  Rows hash into ``n_buckets``
+    buckets; each bucket sorts locally under a row_number window (one
+    shuffle, n_buckets-way parallel), and global positions are local
+    positions plus per-bucket offsets — an n_buckets-row aggregate whose
+    running sum broadcasts back.  The classic two-level ordering: the
+    heavy path never converges on one partition, and the tiny offset
+    table is the only sequential state."""
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    bucketed = df.withColumn("_key", h).withColumn(
+        "_bucket",
+        F.conv(F.substring("_key", 1, 8), 16, 10).cast("long")
+        % F.lit(n_buckets),
+    )
+    local = F.row_number().over(
+        Window.partitionBy("_bucket").orderBy("_key", id_col)
+    )
+    counts = bucketed.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_c"))
+    offsets = counts.select(
+        "_bucket",
+        (
+            F.sum("_c").over(
+                Window.orderBy("_bucket").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            )
+        ).alias("_off"),
+    ).fillna({"_off": 0})
+    return (
+        bucketed.withColumn("_local", local)
+        .join(F.broadcast(offsets), "_bucket")
+        .withColumn("pos", (F.col("_off") + F.col("_local") - 1).cast("long"))
+        .drop("_key", "_bucket", "_local", "_off")
+    )
+
+
 def packing_summary(packed: DataFrame, budget: int) -> DataFrame:
     """Bin-level fill report over ``pack_sequences`` output:
     (shard_id, bin_id, n_docs, bin_tokens, fill_ratio).  ``fill_ratio``

@@ -355,3 +355,33 @@ def embedding_neardup_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
     res = ivf_self_join(emb, threshold=0.3, n_lists=8, n_probe=8)
     return res.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+_INC_SQL = f"""
+WITH fp AS (
+  SELECT doc_id, substr(md5({_NORM}), 1, 16) AS fingerprint FROM documents
+),
+seen AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 2 = 0),
+batch AS (SELECT * FROM fp WHERE doc_id % 2 = 1),
+canon AS (SELECT fingerprint, min(doc_id) AS m FROM batch GROUP BY 1)
+SELECT b.fingerprint, b.doc_id
+FROM batch b
+JOIN canon c ON b.fingerprint = c.fingerprint AND b.doc_id = c.m
+WHERE b.fingerprint NOT IN (SELECT fingerprint FROM seen)
+"""
+
+
+@query("dedup_incremental", _INC_SQL)
+def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: even doc_ids play the already-ingested
+    corpus (their exact-dedup fingerprint set), odd doc_ids the new crawl
+    batch; survivors are batch-canonical AND corpus-unseen
+    (operators/dedup.py:incremental_dedup)."""
+    from hnsw_spark.operators.dedup import exact_dedup, incremental_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    seen = exact_dedup(docs.filter(F.col("doc_id") % 2 == 0)).select(
+        "fingerprint"
+    )
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    return incremental_dedup(batch, seen).select("fingerprint", "doc_id")

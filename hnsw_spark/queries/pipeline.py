@@ -272,3 +272,153 @@ def mixing_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         alpha=_MIX_ALPHA,
         target_rows=_MIX_TARGET,
     )
+
+
+_AM_RATES = {"src0": 2.5, "src1": 0.3, "src2": 0.0}
+_AM_SALT = "mix"
+
+_APPLY_MIX_SQL = f"""
+WITH r AS (
+  SELECT doc_id, source,
+         (CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.3
+                      WHEN 'src2' THEN 0.0 ELSE 1.0 END) AS rate,
+         {_HASH_01.format(salt=_AM_SALT)} AS u
+  FROM documents
+), n AS (
+  SELECT doc_id, source,
+         (floor(rate) + CASE WHEN u < rate - floor(rate) THEN 1 ELSE 0 END)::BIGINT
+           AS n
+  FROM r
+)
+SELECT doc_id, source, unnest(generate_series(1, n)) AS copy
+FROM n WHERE n >= 1
+"""
+
+
+@query("apply_mixing", _APPLY_MIX_SQL)
+def apply_mixing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize a domain mixture over ``documents``: src0 upsampled to
+    2.5 expected epochs, src1 downsampled to 0.3, src2 dropped, everything
+    else passed through — deterministic hash-driven copies, shuffle-free
+    (operators/curation.py:apply_mixing).  The oracle reproduces the exact
+    (doc, copy) multiset."""
+    from hnsw_spark.operators.curation import apply_mixing
+
+    docs = load_table(spark, sf_dir, "documents")
+    return apply_mixing(docs, _AM_RATES, by="source", salt=_AM_SALT).select(
+        "doc_id", "source", "copy"
+    )
+
+
+_GS_SALT, _GS_BUCKETS = "shuffle", 1024
+
+_GLOBAL_SHUFFLE_SQL = f"""
+WITH k AS (
+  SELECT doc_id,
+         md5(doc_id::VARCHAR || '{_GS_SALT}') AS key,
+         ('0x' || substr(md5(doc_id::VARCHAR || '{_GS_SALT}'), 1, 8))::BIGINT
+           % {_GS_BUCKETS} AS bucket
+  FROM documents)
+SELECT doc_id,
+       (row_number() OVER (ORDER BY bucket, key, doc_id) - 1)::BIGINT AS pos
+FROM k
+"""
+
+
+@query("global_shuffle", _GLOBAL_SHUFFLE_SQL)
+def global_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus-wide training order: unique 0-based ``pos``
+    from the (bucket, md5, id) total order, computed two-level (bucketed
+    row_number + broadcast offsets) so no global sort exists in the plan
+    (operators/packing.py:global_shuffle).  The oracle replays the same
+    total order as one window."""
+    from hnsw_spark.operators.packing import global_shuffle
+
+    docs = load_table(spark, sf_dir, "documents")
+    return global_shuffle(docs, n_buckets=_GS_BUCKETS, salt=_GS_SALT).select(
+        "doc_id", "pos"
+    )
+
+
+# ---- flagship composition: the whole write-side pipeline in ONE plan ----
+# curate (canonical-copy election + length/quality/lang gates) → PII scrub →
+# tokenize → deterministic shard → greedy pack → per-shard training manifest.
+# This is the query a user of the engine actually ships: every stage is an
+# operator verified on its own elsewhere in the registry; here the oracle
+# checks their COMPOSITION end-to-end (the joins/windows between stages are
+# where silent row drift would hide).
+
+def _e2e_sql() -> str:
+    from hnsw_spark.queries.text import _NORM, _W, QUALITY_SQL, lang_case_sql
+
+    return f"""
+WITH scored AS (
+  SELECT doc_id, text,
+         substr(md5({_NORM}), 1, 16) AS fp,
+         len({_W})::INT AS n_words,
+         {QUALITY_SQL} AS quality,
+         {lang_case_sql()} AS lang_pred
+  FROM documents
+),
+kept AS (
+  SELECT doc_id, text FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY fp) AS canonical FROM scored)
+  WHERE doc_id = canonical AND n_words >= 5 AND quality >= 0.5
+        AND lang_pred != 'und'
+),
+scrub AS (SELECT doc_id, {_redact_sql("text")} AS text FROM kept),
+t AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR || 'pack'), 1, 8))::BIGINT
+           % {_PACK_SHARDS} AS shard_id,
+         len(regexp_extract_all(lower(text), '{BPE_PATTERN}'))::BIGINT
+           AS n_tokens
+  FROM scrub
+),
+c AS (
+  SELECT *,
+         sum(n_tokens) OVER (
+           PARTITION BY shard_id ORDER BY doc_id
+           ROWS UNBOUNDED PRECEDING) - n_tokens AS s
+  FROM t
+),
+p AS (
+  SELECT shard_id, n_tokens,
+         floor(s / {_PACK_BUDGET})::BIGINT AS bin_id,
+         ((s % {_PACK_BUDGET}) + n_tokens > {_PACK_BUDGET})::INT AS ovf
+  FROM c
+)
+SELECT shard_id, count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS shard_tokens,
+       (max(bin_id) + 1)::BIGINT AS n_bins,
+       sum(ovf)::BIGINT AS n_overflows
+FROM p GROUP BY shard_id
+"""
+
+
+@query("pipeline_end_to_end", _e2e_sql())
+def pipeline_end_to_end_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full write-side pipeline as one Catalyst plan: curation gates
+    (canonical-copy election, length/quality/language), PII redaction,
+    BPE-ish tokenization, deterministic hash-sharding, greedy bin packing,
+    and the per-shard training manifest (docs, tokens, bins, overflows)
+    a data loader consumes.  Composition shape: one documents scan feeds
+    the fingerprint window; the kept set flows through scan-stage scrub +
+    token/shard expressions into the shard-partitioned packing window —
+    two keyed shuffles total (fingerprint, shard) before the final
+    width-{_PACK_SHARDS} aggregate; no stage materializes an intermediate
+    corpus."""
+    from hnsw_spark.operators.curation import curation_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    flags = curation_flags(docs)
+    kept = docs.join(
+        flags.filter(F.col("keep")).select("doc_id"), "doc_id"
+    ).select("doc_id", redact_pii("text").alias("text"))
+    packed = pack_sequences(kept, budget=_PACK_BUDGET, num_shards=_PACK_SHARDS)
+    return packed.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("shard_tokens"),
+        (F.max("bin_id") + 1).alias("n_bins"),
+        F.sum(F.col("overflows").cast("int")).alias("n_overflows"),
+    )

@@ -53,6 +53,11 @@ _RUN_FIRST = (
     "multimodal_image_features",
     "multimodal_audio_features",
     "multimodal_scene_cuts",
+    # round-4 additions — no driver row exists yet
+    "dedup_incremental",
+    "apply_mixing",
+    "global_shuffle",
+    "pipeline_end_to_end",
 )
 _RUN_LAST = (
     "ann_ivf_knn",

@@ -197,3 +197,85 @@ def test_mixing_weights_alpha_semantics(spark):
     assert wh["small"].sample_rate == pytest.approx(
         wh["small"].weight * 100 / 10, abs=1e-5
     )
+
+
+def test_apply_mixing_copy_counts_and_determinism(spark):
+    from hnsw_spark.operators.curation import apply_mixing
+
+    df = spark.createDataFrame(
+        [(i, "up" if i < 4 else ("drop" if i < 8 else "keep")) for i in range(12)],
+        "doc_id bigint, source string",
+    )
+    out = apply_mixing(df, {"up": 2.0, "drop": 0.0}, by="source").collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r.copy)
+    # integer rates are exact: 2 copies each for 'up', 0 for 'drop', 1 default
+    for i in range(4):
+        assert sorted(by_doc[i]) == [1, 2]
+    for i in range(4, 8):
+        assert i not in by_doc
+    for i in range(8, 12):
+        assert by_doc[i] == [1]
+    # fractional rates are deterministic: same plan twice, same multiset
+    frac = lambda: sorted(  # noqa: E731
+        (r.doc_id, r.copy)
+        for r in apply_mixing(df, {"up": 1.5}, by="source").collect()
+    )
+    assert frac() == frac()
+
+
+def test_global_shuffle_is_permutation_and_salt_sensitive(spark):
+    from hnsw_spark.operators.packing import global_shuffle
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id bigint"
+    )
+    out = global_shuffle(df, n_buckets=16).collect()
+    assert sorted(r.pos for r in out) == list(range(200))
+    # deterministic across runs
+    again = global_shuffle(df, n_buckets=16).collect()
+    assert {r.doc_id: r.pos for r in out} == {r.doc_id: r.pos for r in again}
+    # bucket count must not change the realized order (two-level == the
+    # documented (bucket, key, id) total order at any parallelism)
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("shuffle")))
+    bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 16
+    want = {
+        r.doc_id: r.pos
+        for r in df.select(
+            "doc_id",
+            (F.row_number().over(Window.orderBy(bucket, h, F.col("doc_id"))) - 1
+             ).alias("pos"),
+        ).collect()
+    }
+    assert {r.doc_id: r.pos for r in out} == want
+    # a different salt draws an independent permutation
+    other = global_shuffle(df, n_buckets=16, salt="v2").collect()
+    assert {r.doc_id: r.pos for r in other} != {r.doc_id: r.pos for r in out}
+
+
+def test_incremental_dedup_batch_and_seen_semantics(spark):
+    from hnsw_spark.operators.dedup import exact_dedup, incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(0, "already ingested"), (1, "old news")],
+        "doc_id bigint, text string",
+    )
+    seen = exact_dedup(corpus).select("fingerprint")
+    batch = spark.createDataFrame(
+        [
+            (10, "already ingested"),   # dropped: seen in corpus
+            (11, "fresh content"),      # kept (canonical of its fp)
+            (12, "fresh content"),      # dropped: within-batch duplicate
+            (13, "Already   INGESTED"), # dropped: normalizes to a seen fp
+            (14, "another new doc"),    # kept
+        ],
+        "doc_id bigint, text string",
+    )
+    out = incremental_dedup(batch, seen)
+    assert sorted(r.doc_id for r in out.collect()) == [11, 14]
+    # surviving rows carry the fingerprint for the next increment's seen set
+    assert "fingerprint" in out.columns

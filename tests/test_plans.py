@@ -97,3 +97,35 @@ def test_rrf_arms_take_ordered_not_global_sort(spark, name):
     f = _facts(name, spark)
     assert "TakeOrderedAndProject" in f.ops
     assert f.shuffles == 0  # arms cut via TakeOrdered; fusion over <=50 rows
+
+
+def test_apply_mixing_is_scan_stage_only(spark):
+    # copy expansion is sequence+explode on a hash expression: no exchange,
+    # no Arrow hop, at any corpus size
+    f = _facts("apply_mixing", spark)
+    assert f.shuffles == 0
+    assert f.python_stages == 0
+    assert f.scans == 1
+
+
+def test_global_shuffle_has_no_global_sort(spark):
+    # two-level order: bucketed window + tiny offset table broadcast back.
+    # A plain row_number() over a global ORDER BY would show a width-1
+    # exchange (SinglePartition); the bucket design must keep every
+    # exchange keyed.
+    f = _facts("global_shuffle", spark)
+    assert f.shuffles <= 3
+    assert f.broadcast_joins >= 1  # offsets join, never sort-merge
+    assert "Exchange SinglePartition" not in f.text
+
+
+def test_corpus_attrition_scans_corpus_once(spark):
+    # the whole attrition dashboard reads documents ONCE (materialized
+    # per-doc signal frame); the r3 composition cost 8 scans
+    assert _facts("corpus_attrition", spark).scans == 1
+
+
+def test_dedup_incremental_bounded_shuffles(spark):
+    # fingerprint window + anti-join reuse one key: ≤2 exchanges
+    f = _facts("dedup_incremental", spark)
+    assert f.shuffles <= 2
