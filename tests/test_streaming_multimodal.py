@@ -369,3 +369,53 @@ def test_stream_interval_join_custom_right_key(spark):
         clicks, views, right_ts="vts", right_by="vuser", max_delay="1 hour"
     )
     assert {(r.click_id, r.view_id) for r in out.collect()} == {(1, 100)}
+
+
+def test_streaming_corpus_dedup_cross_batch_and_replay(spark, tmp_path):
+    """Survivors accumulate across epochs; a replayed epoch is idempotent
+    (its own fingerprints must not shadow its survivors)."""
+    from hnsw_spark.streaming.dedup import StreamingCorpusDedup
+
+    ing = StreamingCorpusDedup(
+        str(tmp_path / "corpus"), str(tmp_path / "seen")
+    )
+    b1 = spark.createDataFrame(
+        [(0, "alpha doc"), (1, "alpha doc"), (2, "beta doc")],
+        "doc_id bigint, text string",
+    )
+    ing.process_batch(b1, 0)
+    b2 = spark.createDataFrame(
+        [(10, "ALPHA   DOC"), (11, "gamma doc"), (12, "gamma doc")],
+        "doc_id bigint, text string",
+    )
+    ing.process_batch(b2, 1)
+    corpus = spark.read.parquet(str(tmp_path / "corpus"))
+    assert sorted(r.doc_id for r in corpus.collect()) == [0, 2, 11]
+    # replay epoch 1 (simulated failure retry): same final state
+    ing.process_batch(b2, 1)
+    corpus = spark.read.parquet(str(tmp_path / "corpus"))
+    assert sorted(r.doc_id for r in corpus.collect()) == [0, 2, 11]
+    seen = spark.read.parquet(str(tmp_path / "seen"))
+    assert seen.count() == 3  # one fingerprint per surviving doc
+
+
+def test_streaming_corpus_dedup_end_to_end_stream(spark, tmp_path):
+    """Drive it through a real readStream → foreachBatch query."""
+    from hnsw_spark.streaming.dedup import StreamingCorpusDedup
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(0, "doc one"), (1, "doc one"), (2, "doc two")],
+        "doc_id bigint, text string",
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+    ing = StreamingCorpusDedup(
+        str(tmp_path / "corpus"), str(tmp_path / "seen")
+    )
+    q = ing.start(stream, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    corpus = spark.read.parquet(str(tmp_path / "corpus"))
+    assert sorted(r.doc_id for r in corpus.collect()) == [0, 2]
