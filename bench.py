@@ -60,6 +60,7 @@ HEADLINE = [
     "dedup_incremental",
     "corpus_attrition",
     "pipeline_end_to_end",
+    "table_profile",
 ]
 
 

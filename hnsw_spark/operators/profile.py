@@ -1,0 +1,54 @@
+"""Dataset profiling: the ANALYZE step of a data pipeline — per-column
+row/null/distinct counts and numeric ranges, computed in ONE corpus pass.
+
+Shape at scale: a single aggregate computes every column's statistics
+(count, null count, exact distinct, min/max) simultaneously; Catalyst plans
+the multi-column ``count(DISTINCT ...)`` set with one Expand + partial
+aggregation, so the corpus is scanned once regardless of how many columns
+are profiled.  The wide 1-row result is then unpivoted driver-free with
+``stack`` into the (column, stats...) long form a catalog stores.  Exact
+distinct counts keep the oracle checkable; swap ``approx_count_distinct``
+at the call site when 2% error is acceptable and the Expand matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
+
+
+def table_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Profile ``cols`` (default: all columns) → one row per column:
+    (column, n, n_null, n_distinct, min_num, max_num) with ``min_num`` /
+    ``max_num`` NULL for non-numeric columns (exact cross-engine numeric
+    comparison; string extrema are collation-dependent and stay out)."""
+    cols = cols or [f.name for f in df.schema.fields]
+    numeric = {
+        f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)
+    }
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+            (
+                F.min(F.col(c)).cast("double")
+                if c in numeric
+                else F.lit(None).cast("double")
+            ).alias(f"__mn_{c}"),
+            (
+                F.max(F.col(c)).cast("double")
+                if c in numeric
+                else F.lit(None).cast("double")
+            ).alias(f"__mx_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __n_{c}, __nn_{c}, __nd_{c}, __mn_{c}, __mx_{c}" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args})"
+        " as (column, n, n_null, n_distinct, min_num, max_num)"
+    )

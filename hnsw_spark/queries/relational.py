@@ -449,3 +449,36 @@ def returns_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n_lines"), dsum("l_quantity").alias("sum_qty")
     )
+
+
+def _profile_col_sql(c: str, numeric: bool) -> str:
+    mn = f"min({c})::DOUBLE" if numeric else "NULL::DOUBLE"
+    mx = f"max({c})::DOUBLE" if numeric else "NULL::DOUBLE"
+    return (
+        f"SELECT '{c}' AS column, count(*)::BIGINT AS n,"
+        f" sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,"
+        f" count(DISTINCT {c})::BIGINT AS n_distinct,"
+        f" {mn} AS min_num, {mx} AS max_num FROM events"
+    )
+
+
+_PROFILE_COLS = (
+    ("event_id", True), ("ts", False), ("user_id", True),
+    ("event_type", False), ("value", True), ("props", False),
+)
+_PROFILE_SQL = "\nUNION ALL\n".join(
+    _profile_col_sql(c, num) for c, num in _PROFILE_COLS
+)
+
+
+@query("table_profile", _PROFILE_SQL)
+def table_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style dataset profile of ``events``: per-column row/null/
+    exact-distinct counts and numeric ranges, one corpus pass (multi-column
+    distinct via a single Expand + aggregate, then a stack unpivot —
+    operators/profile.py).  The oracle recomputes each column's stats as a
+    UNION of per-column aggregates."""
+    from hnsw_spark.operators.profile import table_profile
+
+    ev = load_table(spark, sf_dir, "events")
+    return table_profile(ev)

@@ -58,6 +58,7 @@ _RUN_FIRST = (
     "apply_mixing",
     "global_shuffle",
     "pipeline_end_to_end",
+    "table_profile",
 )
 _RUN_LAST = (
     "ann_ivf_knn",

@@ -200,3 +200,27 @@ def test_pipeline_attrition_each_gate_fires(spark):
     # shares sum to 1
     total = sum(res.values())
     assert total == 4
+
+
+def test_table_profile_nulls_distincts_and_single_scan(spark):
+    from hnsw_spark.operators.profile import table_profile
+    from hnsw_spark.plans.audit import plan_facts
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.0), (2, "a", None), (3, None, 8.0), (3, "b", 8.0)],
+        "id bigint, s string, v double",
+    )
+    rows = {r.column: r for r in table_profile(df).collect()}
+    assert rows["id"].n == 4 and rows["id"].n_null == 0
+    assert rows["id"].n_distinct == 3
+    assert rows["id"].min_num == 1.0 and rows["id"].max_num == 3.0
+    assert rows["s"].n_null == 1 and rows["s"].n_distinct == 2
+    assert rows["s"].min_num is None  # non-numeric: no range
+    assert rows["v"].n_null == 1
+    assert rows["v"].min_num == 2.0 and rows["v"].max_num == 8.0
+    # one corpus pass no matter how many columns are profiled
+    assert plan_facts(table_profile(df)).scans == 0  # local relation
+    from hnsw_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    assert plan_facts(table_profile(ev)).scans == 1
