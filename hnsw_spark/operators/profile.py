@@ -18,21 +18,30 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType
 
 
-def table_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+def table_profile(
+    df: DataFrame, cols: list[str] | None = None, approx: bool = False
+) -> DataFrame:
     """Profile ``cols`` (default: all columns) → one row per column:
     (column, n, n_null, n_distinct, min_num, max_num) with ``min_num`` /
     ``max_num`` NULL for non-numeric columns (exact cross-engine numeric
-    comparison; string extrema are collation-dependent and stay out)."""
+    comparison; string extrema are collation-dependent and stay out).
+
+    ``approx=True`` swaps the distinct counter for HyperLogLog++
+    (``approx_count_distinct``, default rsd 5%): no Expand in the plan, so
+    the aggregation input stays one row per input row no matter how many
+    columns are profiled — the 100 TB path.  Exact mode is the oracle-
+    checkable default; the gate query bounds approx against exact."""
     cols = cols or [f.name for f in df.schema.fields]
     numeric = {
         f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)
     }
+    nd = F.approx_count_distinct if approx else F.count_distinct
     aggs = []
     for c in cols:
         aggs += [
             F.count(F.lit(1)).alias(f"__n_{c}"),
             F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nn_{c}"),
-            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+            nd(F.col(c)).alias(f"__nd_{c}"),
             (
                 F.min(F.col(c)).cast("double")
                 if c in numeric

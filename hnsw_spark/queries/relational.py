@@ -482,3 +482,37 @@ def table_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return table_profile(ev)
+
+
+_APPROX_RSD = 0.05
+
+_PROFILE_GATE_SQL = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS column, true AS within_tolerance"
+    for c, _ in _PROFILE_COLS
+)
+
+
+@query("table_profile_approx_gate", _PROFILE_GATE_SQL)
+def table_profile_approx_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The profiling scale path, gated: HyperLogLog++ distinct counts
+    (``approx=True`` — no Expand, aggregation input stays one row per input
+    row at any column count) must land within 3·rsd of the exact counts on
+    every events column.  Same gate pattern as ann_*_recall: the driver
+    hash-checks the boolean row per column."""
+    from hnsw_spark.operators.profile import table_profile
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = table_profile(ev).select(
+        "column", F.col("n_distinct").alias("nd_exact")
+    )
+    approx = table_profile(ev, approx=True).select(
+        "column", F.col("n_distinct").alias("nd_approx")
+    )
+    tol = 3.0 * _APPROX_RSD
+    return exact.join(approx, "column").select(
+        "column",
+        (
+            F.abs(F.col("nd_approx") - F.col("nd_exact"))
+            <= F.greatest(tol * F.col("nd_exact"), F.lit(1.0))
+        ).alias("within_tolerance"),
+    )

@@ -59,6 +59,7 @@ _RUN_FIRST = (
     "global_shuffle",
     "pipeline_end_to_end",
     "table_profile",
+    "table_profile_approx_gate",
 )
 _RUN_LAST = (
     "ann_ivf_knn",

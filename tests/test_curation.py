@@ -224,3 +224,16 @@ def test_table_profile_nulls_distincts_and_single_scan(spark):
 
     ev = load_table(spark, "/root/testdata/sf0.001", "events")
     assert plan_facts(table_profile(ev)).scans == 1
+
+
+def test_table_profile_approx_drops_expand(spark):
+    """approx=True must not plan an Expand: that's the whole point of the
+    HLL path (exact multi-column distinct multiplies aggregation input by
+    the number of distinct aggs; 100 TB profiling can't afford it)."""
+    from hnsw_spark.operators.profile import table_profile
+    from hnsw_spark.plans.audit import plan_facts
+    from hnsw_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    assert "Expand" in plan_facts(table_profile(ev)).text
+    assert "Expand" not in plan_facts(table_profile(ev, approx=True)).text
