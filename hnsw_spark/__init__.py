@@ -29,13 +29,27 @@ DataFrame programs:
 - ``operators.curation``    — keep/drop curation pipeline, deterministic
   stratified sampling, vocab/TF-IDF statistics, feature-hashing embeddings.
 - ``operators.temporal``    — as-of (backward) join via union+window.
+- ``operators.components``  — connected-components closure of the dedup
+  ladder (min-label propagation + pointer jumping).
+- ``operators.contamination`` / ``operators.packing`` / ``functions.pii`` —
+  the write side of a training run: benchmark decontamination, sequence
+  packing + deterministic sharding + global shuffle order, PII scrubbing,
+  mixture materialization (``operators.curation.apply_mixing``).
+- ``operators.retrieval``   — Okapi BM25 and hybrid reciprocal-rank fusion.
+- ``operators.pq``          — product quantization (PQ codes, ADC search).
+- ``operators.profile``     — single-pass ANALYZE-style dataset profiling
+  (exact or HyperLogLog distinct).
+- ``operators.multimodal``  — binary media columns: Arrow-batched decode →
+  feature vectors, frame sampling, scene-cut detection (codec stubbed,
+  plumbing real).
 - ``functions.quantize``    — int8 symmetric embedding quantization.
 - ``sources``               — fvecs/ivecs decoders, seeded synthetic vectors,
   fixture table loaders (src/bench/dataset.ts).
 - ``plans.persistence``     — index save/load with overwrite + load-if-exists
   semantics (src/db.ts).
-- ``streaming``             — incremental ingest / windowed aggregation
-  (the streaming scan S4 and addPoint B2 paths).
+- ``streaming``             — incremental ingest / windowed aggregation /
+  stateful gap sessionization / continuous corpus dedup
+  (the streaming scan S4 and addPoint B2 paths, extended).
 """
 
 __version__ = "0.1.0"
@@ -60,15 +74,39 @@ from hnsw_spark.operators.curation import (  # noqa: E402
     tfidf_top_terms,
     vocab_stats,
 )
+from hnsw_spark.operators.components import dedup_clusters  # noqa: E402
+from hnsw_spark.operators.contamination import (  # noqa: E402
+    contamination_flags,
+)
+from hnsw_spark.operators.curation import (  # noqa: E402
+    apply_mixing,
+    mixing_weights,
+    pipeline_attrition,
+    quality_classifier,
+    unigram_logprob,
+)
 from hnsw_spark.operators.dedup import (  # noqa: E402
     embedding_neardup,
     exact_dedup,
+    incremental_dedup,
     lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash,
     simhash_neardup_pairs,
 )
+from hnsw_spark.operators.packing import (  # noqa: E402
+    assign_shards,
+    global_shuffle,
+    pack_sequences,
+    write_shards,
+)
+from hnsw_spark.operators.profile import table_profile  # noqa: E402
+from hnsw_spark.operators.retrieval import (  # noqa: E402
+    bm25_scores,
+    rrf_fuse,
+)
+from hnsw_spark.functions.pii import pii_counts, redact_pii  # noqa: E402
 from hnsw_spark.operators.knn import knn_exact  # noqa: E402
 from hnsw_spark.operators.temporal import asof_join  # noqa: E402
 from hnsw_spark.operators.validate import validate_vectors  # noqa: E402
@@ -100,17 +138,34 @@ __all__ = [
     "load_index",
     "delete_index",
     "exact_dedup",
+    "incremental_dedup",
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "lsh_candidate_pairs",
     "simhash",
     "simhash_neardup_pairs",
     "embedding_neardup",
+    "dedup_clusters",
     "curation_flags",
     "stratified_sample",
     "vocab_stats",
     "tfidf_top_terms",
     "feature_hash_embeddings",
+    "unigram_logprob",
+    "pipeline_attrition",
+    "quality_classifier",
+    "mixing_weights",
+    "apply_mixing",
+    "contamination_flags",
+    "assign_shards",
+    "write_shards",
+    "pack_sequences",
+    "global_shuffle",
+    "table_profile",
+    "bm25_scores",
+    "rrf_fuse",
+    "pii_counts",
+    "redact_pii",
     "asof_join",
     "quant_scale",
     "quantize",
