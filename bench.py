@@ -61,6 +61,7 @@ HEADLINE = [
     "corpus_attrition",
     "pipeline_end_to_end",
     "table_profile",
+    "dataset_split",
 ]
 
 

@@ -601,6 +601,35 @@ def apply_mixing(
     )
 
 
+def dataset_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the unit hash of (id, salt)
+    falls into cumulative weight intervals ordered by split name — so the
+    assignment is a pure row expression (scan-stage, zero shuffles),
+    reproducible across runs/engines/partitionings, and STABLE UNDER
+    APPENDS: a document's split never changes when the corpus grows, the
+    property random-number splits lose and the one that prevents test-set
+    leakage across re-curations.  Weights must sum to 1 (validated)."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    u = _unit_hash(F.col(id_col), salt)
+    expr = F.lit(None).cast("string")
+    cum = 0.0
+    # iterate in reverse cumulative order so the first interval wins
+    bounds = []
+    for name, w in sorted(weights.items()):
+        cum += w
+        bounds.append((name, cum))
+    for name, ub in reversed(bounds):
+        expr = F.when(u < F.lit(ub), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
 def vocab_stats(
     df: DataFrame,
     top_n: int | None = 100,

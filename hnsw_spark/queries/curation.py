@@ -224,3 +224,30 @@ def vocab_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tf desc, token) total order so the truncation boundary is deterministic.
     Explode → one token shuffle with map-side partials → TakeOrdered."""
     return vocab_stats(load_table(spark, sf_dir, "documents"), top_n=100)
+
+
+_SPLIT_SQL = """
+SELECT doc_id,
+       CASE WHEN u < 0.1 THEN 'test'
+            WHEN u < 0.9 THEN 'train'
+            ELSE 'val' END AS split
+FROM (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR || 'split'), 1, 8))::BIGINT
+           / 4294967296.0 AS u
+  FROM documents)
+"""
+
+
+@query("dataset_split", _SPLIT_SQL)
+def dataset_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment: pure hash row
+    expression, stable under corpus appends (a doc's split never changes
+    when data grows — the anti-leakage property), zero shuffles
+    (operators/curation.py:dataset_split)."""
+    from hnsw_spark.operators.curation import dataset_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dataset_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")

@@ -60,6 +60,7 @@ _RUN_FIRST = (
     "pipeline_end_to_end",
     "table_profile",
     "table_profile_approx_gate",
+    "dataset_split",
 )
 _RUN_LAST = (
     "ann_ivf_knn",

@@ -237,3 +237,23 @@ def test_table_profile_approx_drops_expand(spark):
     ev = load_table(spark, "/root/testdata/sf0.001", "events")
     assert "Expand" in plan_facts(table_profile(ev)).text
     assert "Expand" not in plan_facts(table_profile(ev, approx=True)).text
+
+
+def test_dataset_split_stable_under_append_and_sums_validated(spark):
+    from hnsw_spark.operators.curation import dataset_split
+
+    small = spark.createDataFrame([(i,) for i in range(100)], "doc_id bigint")
+    big = spark.createDataFrame([(i,) for i in range(300)], "doc_id bigint")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    s_small = {r.doc_id: r.split for r in dataset_split(small, w).collect()}
+    s_big = {r.doc_id: r.split for r in dataset_split(big, w).collect()}
+    # append-stability: the first 100 docs keep their split in the larger corpus
+    assert all(s_big[i] == s_small[i] for i in range(100))
+    assert set(s_big.values()) == {"train", "val", "test"}
+    # rough proportions at n=300
+    n_train = sum(1 for v in s_big.values() if v == "train")
+    assert 0.65 < n_train / 300 < 0.95
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sum to 1"):
+        dataset_split(small, {"train": 0.5})
