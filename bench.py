@@ -62,6 +62,7 @@ HEADLINE = [
     "pipeline_end_to_end",
     "table_profile",
     "dataset_split",
+    "bigram_logprob",
 ]
 
 

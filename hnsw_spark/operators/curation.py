@@ -262,6 +262,81 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    k: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean bigram log-probability under the corpus's own
+    add-k-smoothed bigram LM: log P(wᵢ|wᵢ₋₁) = ln((c(wᵢ₋₁wᵢ) + k) /
+    (c(wᵢ₋₁·) + k·V)) averaged over the document's bigram occurrences —
+    the fluency tier above ``unigram_logprob`` (scrambled word-salad keeps
+    its unigram score but collapses here, because the per-transition
+    probabilities vanish).
+
+    Engine-invariance recipe shared with unigram_logprob: per distinct
+    (doc, bigram), q = floor(ln(p)·10⁶ + 0.5) is a fixed-point BIGINT; the
+    per-doc score is Σ tf·q / Σ tf with exact integer accumulation, so the
+    oracle hash-matches at any partitioning.
+
+    Shape: one explode → (doc, bigram) tf; corpus bigram counts and context
+    counts are both derived FROM tf (context = sum over bigrams sharing a
+    first word — never a second pass over raw occurrences); V (vocabulary)
+    and the join totals ride as broadcast 1-row aggregates.  Docs with <2
+    words keep a row (n_bigrams=0, NULL logprob)."""
+    from hnsw_spark.functions.text import shingles_w
+
+    base = df.select(F.col(id_col).alias("doc_id"), words(text_col).alias("w"))
+    bg = base.select(
+        "doc_id", F.explode(shingles_w(F.col("w"), 2)).alias("bg")
+    )
+    tf = bg.groupBy("doc_id", "bg").agg(F.count("*").alias("tf"))
+    cbg = tf.groupBy("bg").agg(F.sum("tf").alias("c_bg"))
+    ctx = (
+        cbg.withColumn("ctx", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+        .groupBy("ctx")
+        .agg(F.sum("c_bg").alias("c_ctx"))
+    )
+    # V = corpus vocabulary (distinct words, the smoothing denominator)
+    vocab = (
+        base.select(F.explode("w").alias("t"))
+        .filter(F.col("t") != "")
+        .agg(F.count_distinct("t").alias("v"))
+    )
+    q = F.floor(
+        F.log(
+            (F.col("c_bg") + F.lit(float(k)))
+            / (F.col("c_ctx") + F.lit(float(k)) * F.col("v"))
+        )
+        * 1000000.0
+        + 0.5
+    )
+    per = (
+        tf.join(cbg, "bg")
+        .withColumn("ctx", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+        .join(ctx, "ctx")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", "tf", (F.col("tf") * q).alias("tfq"))
+    )
+    agg = per.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_bigrams"), F.sum("tfq").alias("sq")
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.round(
+                F.col("sq").cast("double")
+                / (F.col("n_bigrams") * F.lit(1000000.0)),
+                6,
+            ).alias("logprob"),
+        )
+    )
+
+
 def repetition_stats(
     df: DataFrame,
     text_col: str = "text",

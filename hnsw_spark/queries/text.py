@@ -199,3 +199,52 @@ def lang_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     base = d.select("doc_id", "lang", words("text").alias("w"))
     return base.select("doc_id", "lang", lang_id_w(F.col("w")).alias("lang_pred"))
+
+
+def _bigram_logprob_sql() -> str:
+    from hnsw_spark.queries.dedup import _shingle_sql
+
+    return f"""
+WITH docs AS (SELECT doc_id, {_W} AS w FROM documents),
+bg AS (SELECT doc_id, unnest({_shingle_sql(2)}) AS bg FROM docs),
+tf AS (SELECT doc_id, bg, count(*)::BIGINT AS tf FROM bg GROUP BY doc_id, bg),
+cbg AS (SELECT bg, sum(tf)::BIGINT AS c_bg FROM tf GROUP BY bg),
+ctx AS (
+  SELECT split_part(bg, ' ', 1) AS ctx, sum(c_bg)::BIGINT AS c_ctx
+  FROM cbg GROUP BY 1
+),
+v AS (
+  SELECT count(DISTINCT t)::BIGINT AS v
+  FROM (SELECT unnest(w) AS t FROM docs) WHERE t != ''
+),
+per AS (
+  SELECT tf.doc_id, tf.tf,
+         tf.tf * floor(
+           ln((cbg.c_bg + 1.0) / (ctx.c_ctx + 1.0 * v.v)) * 1000000.0 + 0.5
+         )::BIGINT AS tfq
+  FROM tf
+  JOIN cbg USING (bg)
+  JOIN ctx ON split_part(tf.bg, ' ', 1) = ctx.ctx
+  CROSS JOIN v
+),
+agg AS (
+  SELECT doc_id, sum(tf)::BIGINT AS n_bigrams, sum(tfq)::BIGINT AS sq
+  FROM per GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_bigrams, 0)::BIGINT AS n_bigrams,
+       round(a.sq::DOUBLE / (a.n_bigrams * 1000000.0), 6) AS logprob
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@query("bigram_logprob", _bigram_logprob_sql())
+def bigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram-LM fluency score per document (add-1 smoothing): the
+    transition-probability tier above unigram_logprob — scrambled word
+    salad keeps its unigram score but collapses here.  Same fixed-point ln
+    recipe, so the oracle is exact
+    (operators/curation.py:bigram_logprob)."""
+    from hnsw_spark.operators.curation import bigram_logprob
+
+    return bigram_logprob(load_table(spark, sf_dir, "documents"))

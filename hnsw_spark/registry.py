@@ -61,6 +61,7 @@ _RUN_FIRST = (
     "table_profile",
     "table_profile_approx_gate",
     "dataset_split",
+    "bigram_logprob",
 )
 _RUN_LAST = (
     "ann_ivf_knn",

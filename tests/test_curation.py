@@ -257,3 +257,24 @@ def test_dataset_split_stable_under_append_and_sums_validated(spark):
 
     with _pytest.raises(ValueError, match="sum to 1"):
         dataset_split(small, {"train": 0.5})
+
+
+def test_bigram_logprob_penalizes_scrambled_text(spark):
+    """The discriminative property unigram can't have: identical word
+    multiset, different order -> same unigram score, lower bigram score for
+    the scramble (its transitions are unseen elsewhere in the corpus)."""
+    from hnsw_spark.operators.curation import bigram_logprob, unigram_logprob
+
+    fluent = "the cat sat on the mat and the dog sat on the rug"
+    # same words, shuffled deterministically
+    scrambled = "mat the on dog sat the the cat rug and on the sat"
+    corpus = [(0, fluent), (1, fluent), (2, fluent), (3, scrambled)]
+    df = spark.createDataFrame(corpus, "doc_id bigint, text string")
+    uni = {r.doc_id: r.logprob for r in unigram_logprob(df).collect()}
+    bi = {r.doc_id: r.logprob for r in bigram_logprob(df).collect()}
+    assert uni[3] == uni[0]  # unigram is order-blind
+    assert bi[3] < bi[0]     # bigram is not
+    # docs with <2 words: row kept, NULL logprob
+    tiny = spark.createDataFrame([(0, "word")], "doc_id bigint, text string")
+    r = bigram_logprob(tiny).collect()[0]
+    assert r.n_bigrams == 0 and r.logprob is None
