@@ -63,6 +63,7 @@ HEADLINE = [
     "table_profile",
     "dataset_split",
     "bigram_logprob",
+    "random_projection",
 ]
 
 

@@ -218,3 +218,49 @@ def knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         "query_id", "id", F.round("score", 6).alias("score")
     )
+
+
+_JL_DIN, _JL_DOUT, _JL_SALT = 64, 16, "jl"
+
+
+def _jl_sql() -> str:
+    return f"""
+WITH x AS (
+  SELECT vec_id, j.j,
+         floor(embedding[j.j]::DOUBLE * 1000000.0 + 0.5)::BIGINT AS q
+  FROM embeddings,
+       (SELECT unnest(generate_series(1, {_JL_DIN})) AS j) j
+),
+s AS (
+  SELECT j.j, k.k,
+         CASE WHEN ('0x' || substr(
+                md5('{_JL_SALT}:' || (j.j - 1)::VARCHAR || ':' || k.k::VARCHAR),
+                1, 2))::INT % 2 = 0
+              THEN 1 ELSE -1 END AS sgn
+  FROM (SELECT unnest(generate_series(1, {_JL_DIN})) AS j) j,
+       (SELECT unnest(generate_series(0, {_JL_DOUT} - 1)) AS k) k
+),
+p AS (
+  SELECT vec_id, k, sum(q * sgn)::BIGINT AS sq
+  FROM x JOIN s USING (j) GROUP BY vec_id, k
+)
+SELECT vec_id AS id, k::INT AS k,
+       round(sq::DOUBLE / 1000000.0 * {1.0 / _JL_DOUT ** 0.5!r}, 8) AS value
+FROM p
+"""
+
+
+@query("random_projection", _jl_sql())
+def random_projection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss ±1 random projection 64 → 16 dims (the
+    pre-ANN shrink): deterministic md5-parity sign matrix inlined as plan
+    literals, fixed-point BIGINT accumulation so any engine / addition
+    order reproduces the exact values — which the oracle does from first
+    principles (functions/projection.py).  Long-form (id, k, value), one
+    scan-stage projection, zero shuffles."""
+    from hnsw_spark.functions.projection import random_projection
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return random_projection(
+        emb, d_in=_JL_DIN, d_out=_JL_DOUT, salt=_JL_SALT
+    )

@@ -62,6 +62,7 @@ _RUN_FIRST = (
     "table_profile_approx_gate",
     "dataset_split",
     "bigram_logprob",
+    "random_projection",
 )
 _RUN_LAST = (
     "ann_ivf_knn",
