@@ -64,6 +64,7 @@ HEADLINE = [
     "dataset_split",
     "bigram_logprob",
     "random_projection",
+    "contrastive_pairs",
 ]
 
 

@@ -705,6 +705,81 @@ def dataset_split(
     return df.withColumn("split", expr)
 
 
+def contrastive_pairs(
+    df: DataFrame,
+    k_negatives: int = 4,
+    id_col: str = "doc_id",
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic in-batch negative sampling for contrastive training:
+    each document gets ``k_negatives`` pseudo-random OTHER documents —
+    (anchor_id, j, negative_id), reproducible across runs/engines (the
+    draw is pure hash arithmetic over the corpus's dense hash-shuffle
+    positions, so an epoch re-run or a backfill regenerates the same
+    pairs).
+
+    Mechanics: every doc takes its ``global_shuffle`` position p (dense
+    0..N−1); negative j sits at (p + 1 + ⌊u·(N−1)⌋) mod N where u is the
+    unit hash of (id, salt, j) — the +1 forbids self-pairs.  u·(N−1)
+    stays exact in doubles (numerator < 2⁵³), so the truncation is
+    engine-invariant.
+
+    Shape: the position frame computes once (two keyed shuffles, see
+    global_shuffle); negatives expand as a scan-stage sequence+hash
+    expression and resolve with ONE position-keyed join (negative side
+    repartitions by target position; N rides as a broadcast 1-row
+    aggregate).  No candidate ever materializes more than k·N rows."""
+    from hnsw_spark.operators.packing import global_shuffle
+
+    pos = global_shuffle(df.select(id_col), id_col=id_col).select(
+        F.col(id_col).alias("anchor_id"), F.col("pos")
+    )
+    n = pos.agg(F.count(F.lit(1)).alias("_n"))
+    expanded = (
+        pos.crossJoin(F.broadcast(n))
+        .select(
+            "anchor_id",
+            "pos",
+            "_n",
+            F.explode(
+                F.sequence(F.lit(1), F.lit(int(k_negatives)))
+            ).alias("j"),
+        )
+        .select(
+            "anchor_id",
+            "j",
+            (
+                (
+                    F.col("pos")
+                    + 1
+                    + F.floor(
+                        _unit_hash(
+                            F.concat(
+                                F.col("anchor_id").cast("string"),
+                                F.lit(":"),
+                                F.col("j").cast("string"),
+                            ),
+                            salt,
+                        )
+                        * (F.col("_n") - 1)
+                    )
+                )
+                % F.col("_n")
+            ).alias("_neg_pos"),
+        )
+    )
+    return (
+        expanded.join(
+            pos.select(
+                F.col("pos").alias("_neg_pos"),
+                F.col("anchor_id").alias("negative_id"),
+            ),
+            "_neg_pos",
+        )
+        .select("anchor_id", "j", "negative_id")
+    )
+
+
 def vocab_stats(
     df: DataFrame,
     top_n: int | None = 100,

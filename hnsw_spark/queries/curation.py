@@ -251,3 +251,42 @@ def dataset_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dataset_split(
         docs, {"train": 0.8, "val": 0.1, "test": 0.1}
     ).select("doc_id", "split")
+
+
+_NEG_K = 4
+
+_CONTRASTIVE_SQL = f"""
+WITH k AS (
+  SELECT doc_id,
+         md5(doc_id::VARCHAR || 'shuffle') AS key,
+         ('0x' || substr(md5(doc_id::VARCHAR || 'shuffle'), 1, 8))::BIGINT
+           % 1024 AS bucket
+  FROM documents),
+p AS (
+  SELECT doc_id AS anchor_id,
+         (row_number() OVER (ORDER BY bucket, key, doc_id) - 1)::BIGINT AS pos
+  FROM k),
+n AS (SELECT count(*)::BIGINT AS n FROM p),
+e AS (
+  SELECT anchor_id, j.j::INT AS j,
+         (pos + 1 + floor(
+            (('0x' || substr(md5(anchor_id::VARCHAR || ':' || j.j::VARCHAR
+                                 || 'neg'), 1, 8))::BIGINT / 4294967296.0)
+            * (n.n - 1))::BIGINT) % n.n AS neg_pos
+  FROM p, n, (SELECT unnest(generate_series(1, {_NEG_K})) AS j) j
+)
+SELECT e.anchor_id, e.j, p2.anchor_id AS negative_id
+FROM e JOIN p p2 ON p2.pos = e.neg_pos
+"""
+
+
+@query("contrastive_pairs", _CONTRASTIVE_SQL)
+def contrastive_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling over documents (4 negatives per
+    anchor, self-pairs excluded by construction): hash-positioned draws
+    over the global_shuffle order, exact in doubles, so the oracle replays
+    the identical pair set (operators/curation.py:contrastive_pairs)."""
+    from hnsw_spark.operators.curation import contrastive_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return contrastive_pairs(docs, k_negatives=_NEG_K)

@@ -63,6 +63,7 @@ _RUN_FIRST = (
     "dataset_split",
     "bigram_logprob",
     "random_projection",
+    "contrastive_pairs",
 )
 _RUN_LAST = (
     "ann_ivf_knn",

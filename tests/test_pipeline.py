@@ -279,3 +279,21 @@ def test_incremental_dedup_batch_and_seen_semantics(spark):
     assert sorted(r.doc_id for r in out.collect()) == [11, 14]
     # surviving rows carry the fingerprint for the next increment's seen set
     assert "fingerprint" in out.columns
+
+
+def test_contrastive_pairs_no_self_pairs_and_deterministic(spark):
+    from hnsw_spark.operators.curation import contrastive_pairs
+
+    df = spark.createDataFrame([(i,) for i in range(50)], "doc_id bigint")
+    out = contrastive_pairs(df, k_negatives=3).collect()
+    assert len(out) == 150  # every anchor gets exactly k negatives
+    assert all(r.negative_id != r.anchor_id for r in out)
+    ids = {r.anchor_id for r in out}
+    assert ids == set(range(50))
+    again = contrastive_pairs(df, k_negatives=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # negatives spread across the corpus, not clustered on a few docs
+    from collections import Counter
+
+    c = Counter(r.negative_id for r in out)
+    assert max(c.values()) <= 12
