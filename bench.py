@@ -65,6 +65,7 @@ HEADLINE = [
     "bigram_logprob",
     "random_projection",
     "contrastive_pairs",
+    "chunk_documents",
 ]
 
 

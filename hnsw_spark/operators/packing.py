@@ -123,6 +123,67 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int = 128,
+    overlap: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the long-
+    document preparation step (pretraining context windows, RAG passages)
+    complementary to whole-doc ``pack_sequences``.
+
+    Chunk c of a doc covers word offsets [c·stride, c·stride + chunk_size)
+    with stride = chunk_size − overlap; the final chunk is the ragged tail
+    and every word lands in ≥1 chunk.  Output: (doc_id, chunk_id,
+    chunk_start, n_chunk_tokens, chunk_text).
+
+    Pure scan-stage relational expansion: tokenize once, explode a
+    ``sequence`` of chunk starts, slice the bound token array — no
+    shuffle, no UDF, so it pipelines inside whole-stage codegen at any
+    corpus size.  Empty docs keep one chunk row (chunk_id 0, empty text —
+    the engine-wide ``words('')`` convention is a single empty token), so
+    downstream joins never lose documents."""
+    if overlap >= chunk_size:
+        raise ValueError(
+            f"overlap ({overlap}) must be smaller than chunk_size ({chunk_size})"
+        )
+    stride = chunk_size - overlap
+    from hnsw_spark.functions.text import words
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"), words(text_col).alias("_w")
+    ).select("doc_id", "_w", F.size("_w").alias("_n"))
+    # chunk starts: 0, stride, 2*stride, ... while start < n (at least one)
+    # explicit floor, not a bare cast: Spark's double→long cast truncates
+    # while DuckDB's rounds, so floor is the only division both engines
+    # agree on (floor also handles the empty-doc −1/stride case)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(
+            F.floor((F.col("_n") - 1) / stride).cast("long") * stride,
+            F.lit(0),
+        ),
+        F.lit(stride),
+    )
+    exploded = base.select(
+        "doc_id",
+        "_w",
+        F.posexplode(starts).alias("chunk_id", "chunk_start"),
+    )
+    piece = F.slice(
+        F.col("_w"), F.col("chunk_start") + 1, F.lit(chunk_size)
+    )
+    return exploded.select(
+        "doc_id",
+        "chunk_id",
+        "chunk_start",
+        F.size(piece).alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
 def global_shuffle(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -422,3 +422,42 @@ def pipeline_end_to_end_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("bin_id") + 1).alias("n_bins"),
         F.sum(F.col("overflows").cast("int")).alias("n_overflows"),
     )
+
+
+_CHUNK_SIZE, _CHUNK_OVERLAP = 128, 32
+_CHUNK_STRIDE = _CHUNK_SIZE - _CHUNK_OVERLAP
+
+_CHUNK_SQL = f"""
+WITH b AS (SELECT doc_id, {_W} AS w, len({_W})::BIGINT AS n FROM documents),
+e AS (
+  SELECT doc_id, w,
+         s.s AS chunk_start,
+         (s.s / {_CHUNK_STRIDE})::INT AS chunk_id
+  FROM b,
+       unnest(generate_series(
+         0,
+         greatest(floor((n - 1) / {_CHUNK_STRIDE})::BIGINT * {_CHUNK_STRIDE},
+                  0),
+         {_CHUNK_STRIDE})) AS s(s)
+)
+SELECT doc_id, chunk_id, chunk_start,
+       len(w[chunk_start + 1 : chunk_start + {_CHUNK_SIZE}])::INT
+         AS n_chunk_tokens,
+       array_to_string(w[chunk_start + 1 : chunk_start + {_CHUNK_SIZE}], ' ')
+         AS chunk_text
+FROM e
+"""
+
+
+@query("chunk_documents", _CHUNK_SQL)
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (128-token chunks, 32 overlap):
+    the long-document preparation step for context windows / RAG passages.
+    Scan-stage sequence+slice expansion, zero shuffles; the oracle rebuilds
+    every chunk's exact text (operators/packing.py:chunk_documents)."""
+    from hnsw_spark.operators.packing import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, chunk_size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP
+    )

@@ -64,6 +64,7 @@ _RUN_FIRST = (
     "bigram_logprob",
     "random_projection",
     "contrastive_pairs",
+    "chunk_documents",
 )
 _RUN_LAST = (
     "ann_ivf_knn",

@@ -297,3 +297,38 @@ def test_contrastive_pairs_no_self_pairs_and_deterministic(spark):
 
     c = Counter(r.negative_id for r in out)
     assert max(c.values()) <= 12
+
+
+def test_chunk_documents_coverage_overlap_and_edges(spark):
+    from hnsw_spark.operators.packing import chunk_documents
+
+    text_200 = " ".join(f"w{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [(0, text_200), (1, "short doc"), (2, "")],
+        "doc_id bigint, text string",
+    )
+    rows = chunk_documents(df, chunk_size=128, overlap=32).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # 200 words, stride 96: starts 0, 96, 192
+    c0 = sorted(by_doc[0], key=lambda r: r.chunk_id)
+    assert [r.chunk_start for r in c0] == [0, 96, 192]
+    assert [r.n_chunk_tokens for r in c0] == [128, 104, 8]
+    # consecutive chunks share exactly `overlap` words (when full)
+    w0 = c0[0].chunk_text.split(" ")
+    w1 = c0[1].chunk_text.split(" ")
+    assert w0[-32:] == w1[:32]
+    # every word covered
+    covered = set()
+    for r in c0:
+        covered.update(r.chunk_text.split(" "))
+    assert covered == {f"w{i}" for i in range(200)}
+    # short doc: one chunk; empty doc: one chunk row, not dropped (the
+    # engine-wide words('') convention is [''], a single empty token)
+    assert len(by_doc[1]) == 1 and by_doc[1][0].n_chunk_tokens == 2
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_text == ""
+    import pytest as _p
+
+    with _p.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_size=32, overlap=32)
