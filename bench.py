@@ -66,6 +66,7 @@ HEADLINE = [
     "random_projection",
     "contrastive_pairs",
     "chunk_documents",
+    "percentile_sketch_gate",
 ]
 
 

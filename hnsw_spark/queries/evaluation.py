@@ -185,3 +185,44 @@ FROM diff
 def ab_delta_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E8: avg/min/max per delta column (src/bench/report.ts:94-100)."""
     return delta_summary(_ab_frames(spark, sf_dir), ["count", "avg", "p95"])
+
+
+_PCT_GATE_PS = (50.0, 90.0, 99.0)
+_PCT_GATE_TOL = 0.05  # relative error bound vs the exact floor-index value
+
+_PCT_GATE_SQL = "SELECT " + ", ".join(
+    f"true AS p{int(p)}_ok" for p in _PCT_GATE_PS
+)
+
+
+@query("percentile_sketch_gate", _PCT_GATE_SQL)
+def percentile_sketch_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The percentile SCALE path, gated: ``approx_percentile`` (one-pass
+    mergeable sketch — no per-group sort, the plan you run at 100 TB) must
+    land within 5% of the exact floor-index percentile on events.value for
+    p50/p90/p99.  Same boolean-gate pattern as table_profile_approx_gate
+    and the ann recall gates: the sketch is deterministic for a fixed
+    input, so the driver's hash check is stable."""
+    import pyspark.sql.functions as F
+
+    from hnsw_spark.operators.evaluation import percentile_floor
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = percentile_floor(ev, "value", list(_PCT_GATE_PS))
+    approx = ev.agg(
+        *[
+            F.expr(f"approx_percentile(value, {p / 100.0})").alias(
+                f"a{int(p)}"
+            )
+            for p in _PCT_GATE_PS
+        ]
+    )
+    out = exact.crossJoin(approx)
+    checks = [
+        (
+            F.abs(F.col(f"a{int(p)}") - F.col(f"p{int(p)}"))
+            <= _PCT_GATE_TOL * F.abs(F.col(f"p{int(p)}"))
+        ).alias(f"p{int(p)}_ok")
+        for p in _PCT_GATE_PS
+    ]
+    return out.select(*checks)

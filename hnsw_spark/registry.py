@@ -65,6 +65,7 @@ _RUN_FIRST = (
     "random_projection",
     "contrastive_pairs",
     "chunk_documents",
+    "percentile_sketch_gate",
 )
 _RUN_LAST = (
     "ann_ivf_knn",
