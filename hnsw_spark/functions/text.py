@@ -31,22 +31,26 @@ def bpe_token_count(col: Column | str) -> Column:
 
 
 def shingles_w(w: Column, n: int = 3) -> Column:
-    """Word n-gram shingles from a pre-tokenized words COLUMN; docs with
-    fewer than n words yield an empty array (guarded explicitly — Spark's
+    """Word n-gram shingles from a words column; docs with fewer than n
+    words yield an empty array (guarded explicitly — Spark's
     sequence(1, 0) would produce a DESCENDING [1,0], not an empty list).
 
-    Must be given a bound column, not an inline split() expression: every
-    element_at(w, ...) inside the lambda embeds its argument subtree, so an
-    inline split would be re-evaluated ~n×shingle-count times per row
-    (measured ~10× slowdown)."""
-    idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
-    arr = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(w, i + j) for j in range(n)]
-        ),
-    )
-    return F.when(F.size(w) >= n, arr).otherwise(
+    Formulation matters: shingle i is built by zipping n SHIFTED SLICES of
+    the token array, never by ``element_at(w, i+j)`` inside a transform
+    lambda.  Catalyst's CollapseProject inlines the upstream ``split()``
+    into every lambda argument occurrence, so the element_at form
+    re-tokenizes the document once per shingle element (measured ~7× wall
+    slowdown on the sf0.1 corpus); the slice/zip form evaluates the array
+    O(n) times per ROW and fuses into whole-stage codegen."""
+    length = F.size(w) - (n - 1)
+    acc = F.slice(w, 1, length)
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(w, j + 1, length),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.when(F.size(w) >= n, acc).otherwise(
         F.expr("CAST(array() AS ARRAY<STRING>)")
     )
 
