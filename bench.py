@@ -67,6 +67,7 @@ HEADLINE = [
     "contrastive_pairs",
     "chunk_documents",
     "percentile_sketch_gate",
+    "html_strip",
 ]
 
 

@@ -248,3 +248,74 @@ def bigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hnsw_spark.operators.curation import bigram_logprob
 
     return bigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+# ---- HTML stripping (web-crawl preprocessing) -------------------------------
+# documents are plain text, so the query plants a deterministic HTML shell
+# (script + style + comment + tags + entities, parameterized by doc_id)
+# around each one, then proves the stripper recovers exactly the original
+# text plus the decoded literal suffix — pinned by md5, same pattern as
+# pii_scrub's planted PII.
+
+_HTML_PREFIX_SQL = (
+    "'<html><head><script type=\"text/javascript\">var x = ' || doc_id::VARCHAR"
+    " || ';</script><style>.c{color:red}</style></head>"
+    "<body><!-- nav --><div class=\"main\"><p>'"
+)
+_HTML_SUFFIX_SQL = "'</p><br>&amp; footer &lt;end&gt;</div></body></html>'"
+
+
+def _strip_sql(expr: str) -> str:
+    out = f"regexp_replace({expr}, '(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g')"
+    out = f"regexp_replace({out}, '(?s)<!--.*?-->', ' ', 'g')"
+    out = f"regexp_replace({out}, '<[^>]+>', ' ', 'g')"
+    for ent, rep in (
+        ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&#39;", "''"),
+    ):
+        out = f"replace({out}, '{ent}', '{rep}')"
+    return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
+
+
+_HTML_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         {_HTML_PREFIX_SQL} || text || {_HTML_SUFFIX_SQL} AS raw
+  FROM documents
+),
+s AS (SELECT doc_id, raw, {_strip_sql("raw")} AS clean FROM t)
+SELECT doc_id,
+       length(clean)::BIGINT AS clean_len,
+       substr(md5(clean), 1, 16) AS clean_fp,
+       CASE WHEN length(raw) = 0 THEN 0.0
+            ELSE round(1.0 - length(clean)::DOUBLE / length(raw), 6)
+       END AS markup_ratio
+FROM s
+"""
+
+
+@query("html_strip", _HTML_SQL)
+def html_strip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-crawl markup stripping over a planted deterministic HTML shell:
+    script/style/comment removal, tag→space word boundaries, entity
+    decode, whitespace collapse — every kernel a scan-stage Catalyst
+    regexp (functions/html.py).  The stripped text is pinned by md5 and
+    the markup_ratio crawl-quality signal rides along."""
+    from hnsw_spark.functions.html import markup_ratio, strip_html
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit('<html><head><script type="text/javascript">var x = '),
+        F.col("doc_id").cast("string"),
+        F.lit(';</script><style>.c{color:red}</style></head>'
+              '<body><!-- nav --><div class="main"><p>'),
+        F.col("text"),
+        F.lit("</p><br>&amp; footer &lt;end&gt;</div></body></html>"),
+    )
+    t = docs.select("doc_id", raw.alias("raw"))
+    return t.select(
+        "doc_id",
+        F.length(strip_html("raw")).cast("long").alias("clean_len"),
+        F.substring(F.md5(strip_html("raw")), 1, 16).alias("clean_fp"),
+        markup_ratio("raw").alias("markup_ratio"),
+    )

@@ -66,6 +66,7 @@ _RUN_FIRST = (
     "contrastive_pairs",
     "chunk_documents",
     "percentile_sketch_gate",
+    "html_strip",
 )
 _RUN_LAST = (
     "ann_ivf_knn",

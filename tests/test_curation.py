@@ -278,3 +278,35 @@ def test_bigram_logprob_penalizes_scrambled_text(spark):
     tiny = spark.createDataFrame([(0, "word")], "doc_id bigint, text string")
     r = bigram_logprob(tiny).collect()[0]
     assert r.n_bigrams == 0 and r.logprob is None
+
+
+def test_strip_html_kernels(spark):
+    from hnsw_spark.functions.html import markup_ratio, strip_html
+    import pyspark.sql.functions as F
+
+    rows = [
+        (0, '<p>hello <b>world</b></p>'),
+        (1, '<script>var x="<p>sneaky</p>";</script>real'),
+        (2, 'a<br>b'),                      # tag is a word boundary
+        (3, '&lt;not a tag&gt; &amp; fine'),
+        (4, '<!-- hidden -->shown'),
+        (5, 'plain text, no markup'),
+        (6, ''),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, raw string")
+    out = {
+        r.id: (r.clean, r.ratio)
+        for r in df.select(
+            "id",
+            strip_html("raw").alias("clean"),
+            markup_ratio("raw").alias("ratio"),
+        ).collect()
+    }
+    assert out[0][0] == "hello world"
+    assert out[1][0] == "real"          # script body (with nested tags) gone
+    assert out[2][0] == "a b"           # not "ab"
+    assert out[3][0] == '<not a tag> & fine'  # entities decode AFTER tags
+    assert out[4][0] == "shown"
+    assert out[5][0] == "plain text, no markup" and out[5][1] == 0.0
+    assert out[6] == ("", 0.0)          # empty input: no div-by-zero
+    assert out[0][1] > 0.5              # mostly markup
