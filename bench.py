@@ -68,6 +68,7 @@ HEADLINE = [
     "chunk_documents",
     "percentile_sketch_gate",
     "html_strip",
+    "crawl_pipeline_end_to_end",
 ]
 
 

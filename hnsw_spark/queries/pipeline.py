@@ -461,3 +461,81 @@ def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(
         docs, chunk_size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP
     )
+
+
+# ---- read-side composition flagship: crawl → curated corpus in ONE plan ----
+def _crawl_e2e_sql() -> str:
+    from hnsw_spark.queries.text import (
+        _HTML_PREFIX_SQL,
+        _HTML_SUFFIX_SQL,
+        _NORM,
+        _W,
+        QUALITY_SQL,
+        _strip_sql,
+        lang_case_sql,
+    )
+
+    return f"""
+WITH raw AS (
+  SELECT doc_id, {_HTML_PREFIX_SQL} || text || {_HTML_SUFFIX_SQL} AS raw
+  FROM documents
+),
+cleaned AS (SELECT doc_id, {_strip_sql("raw")} AS text FROM raw),
+scored AS (
+  SELECT doc_id, text,
+         substr(md5({_NORM}), 1, 16) AS fp,
+         len({_W})::INT AS n_words,
+         {QUALITY_SQL} AS quality,
+         {lang_case_sql()} AS lang_pred
+  FROM cleaned
+),
+kept AS (
+  SELECT doc_id, text FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY fp) AS canonical FROM scored)
+  WHERE doc_id = canonical AND n_words >= 5 AND quality >= 0.5
+        AND lang_pred != 'und'
+),
+sp AS (
+  SELECT doc_id, text,
+         CASE WHEN u < 0.1 THEN 'test'
+              WHEN u < 0.9 THEN 'train'
+              ELSE 'val' END AS split
+  FROM (
+    SELECT doc_id, text,
+           ('0x' || substr(md5(doc_id::VARCHAR || 'split'), 1, 8))::BIGINT
+             / 4294967296.0 AS u
+    FROM kept)
+)
+SELECT split, count(*)::BIGINT AS n_docs,
+       sum(len(regexp_extract_all(lower(text), '{BPE_PATTERN}')))::BIGINT
+         AS total_tokens
+FROM sp GROUP BY split
+"""
+
+
+@query("crawl_pipeline_end_to_end", _crawl_e2e_sql())
+def crawl_pipeline_end_to_end_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The READ side composed end-to-end, the mirror of
+    pipeline_end_to_end's write side: planted raw HTML → markup stripping →
+    curation gates (canonical-copy election on the CLEAN text, length /
+    quality / language) → append-stable train/val/test split → per-split
+    doc and token totals.  One documents scan feeds the whole plan; the
+    only shuffles are the fingerprint window and the final 3-row
+    aggregate.  The oracle replays every stage, so cross-stage row drift
+    (the failure mode compositions hide) is hash-checked."""
+    from hnsw_spark.functions.html import strip_html
+    from hnsw_spark.functions.text import bpe_token_count
+    from hnsw_spark.operators.curation import curation_flags, dataset_split
+    from hnsw_spark.queries.text import html_shell_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = docs.select(
+        "doc_id", html_shell_expr().alias("raw")
+    ).select("doc_id", strip_html("raw").alias("text"))
+    flags = curation_flags(cleaned)
+    kept = cleaned.join(flags.filter(F.col("keep")).select("doc_id"), "doc_id")
+    sp = dataset_split(kept, {"train": 0.8, "val": 0.1, "test": 0.1})
+    return sp.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(bpe_token_count("text")).alias("total_tokens"),
+    )

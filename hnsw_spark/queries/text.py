@@ -294,6 +294,20 @@ FROM s
 """
 
 
+def html_shell_expr() -> F.Column:
+    """The planted deterministic HTML shell (Spark side of
+    _HTML_PREFIX_SQL/_HTML_SUFFIX_SQL) — shared by html_strip and the
+    crawl composition query."""
+    return F.concat(
+        F.lit('<html><head><script type="text/javascript">var x = '),
+        F.col("doc_id").cast("string"),
+        F.lit(';</script><style>.c{color:red}</style></head>'
+              '<body><!-- nav --><div class="main"><p>'),
+        F.col("text"),
+        F.lit("</p><br>&amp; footer &lt;end&gt;</div></body></html>"),
+    )
+
+
 @query("html_strip", _HTML_SQL)
 def html_strip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web-crawl markup stripping over a planted deterministic HTML shell:
@@ -304,15 +318,7 @@ def html_strip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hnsw_spark.functions.html import markup_ratio, strip_html
 
     docs = load_table(spark, sf_dir, "documents")
-    raw = F.concat(
-        F.lit('<html><head><script type="text/javascript">var x = '),
-        F.col("doc_id").cast("string"),
-        F.lit(';</script><style>.c{color:red}</style></head>'
-              '<body><!-- nav --><div class="main"><p>'),
-        F.col("text"),
-        F.lit("</p><br>&amp; footer &lt;end&gt;</div></body></html>"),
-    )
-    t = docs.select("doc_id", raw.alias("raw"))
+    t = docs.select("doc_id", html_shell_expr().alias("raw"))
     return t.select(
         "doc_id",
         F.length(strip_html("raw")).cast("long").alias("clean_len"),

@@ -67,6 +67,7 @@ _RUN_FIRST = (
     "chunk_documents",
     "percentile_sketch_gate",
     "html_strip",
+    "crawl_pipeline_end_to_end",
 )
 _RUN_LAST = (
     "ann_ivf_knn",
