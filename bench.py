@@ -353,6 +353,46 @@ def _protocol_axes(spark, sf_dir: str, qs) -> dict:
     vecs.unpersist()
     nd_best = min(walls_nd)
 
+    # ANN at 50x fixture scale: the headline ann_* cells run on the 2k-row
+    # fixture where Python-worker fixed costs dominate; this probe builds a
+    # real IVF over 100k x 64 synthetic vectors and measures build wall,
+    # probe-pruned search wall, and recall@10 vs exact on the same corpus —
+    # the evidence that probe-routing (n_probe/n_lists of the data touched)
+    # holds up when the corpus is no longer toy-sized
+    from hnsw_spark.operators.ann import build_ivf_index as _build_ivf
+
+    big2 = synthetic_vectors(spark, 100_000, 64, seed=17).repartition(32).cache()
+    big2.count()
+    bq = big2.filter(F.col("vec_id") < 8)
+    t0 = time.time()
+    big_idx = _build_ivf(big2, n_lists=64, metric="cosine")
+    big_idx.index_df.cache().count()
+    big_build_s = time.time() - t0
+    big_exact = knn_exact(big2, bq, k=10, metric="cosine").cache()
+    big_exact.count()
+    big_curve = []
+    for np_ in (8, 16, 24):
+        walls_bs = []
+        for _ in range(2):
+            t0 = time.time()
+            big_idx.search(bq, k=10, n_probe=np_).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            walls_bs.append(time.time() - t0)
+        r = mean_recall(
+            recall_table(big_idx.search(bq, k=10, n_probe=np_), big_exact)
+        ).collect()[0]["mean_recall"]
+        big_curve.append(
+            {
+                "n_probe": np_,
+                "recall_at_10": round(float(r), 4),
+                "search_wall_best_s": round(min(walls_bs), 3),
+            }
+        )
+    big_exact.unpersist()
+    big_idx.index_df.unpersist()
+    big2.unpersist()
+
     # int8-stored IVF vs float32: same knobs/seed, full-probe search walls,
     # top-k agreement, and the on-disk node-table sizes (the 4x IO claim,
     # measured not asserted)
@@ -455,6 +495,18 @@ def _protocol_axes(spark, sf_dir: str, qs) -> dict:
             "batch_wall_p50_s": round(p(50), 3),
             "batch_wall_p95_s": round(p(95), 3),
             "queries_per_s": round(n_q / exact_avg, 1),
+        },
+        "ann_ivf_100k": {
+            # uniform random vectors are the IVF worst case (no cluster
+            # structure), so the recall curve needs deeper probing than
+            # real embeddings would; the shape — recall rising with
+            # n_probe at sublinear wall growth — is the scale evidence
+            "n_base": 100_000,
+            "dim": 64,
+            "n_lists": 64,
+            "n_queries": 8,
+            "build_wall_s": round(big_build_s, 3),
+            "recall_curve": big_curve,
         },
         "exact_knn_100k_local_merge": {
             "n_base": 100_000,
