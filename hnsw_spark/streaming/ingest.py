@@ -54,6 +54,25 @@ def stream_events(
     )
 
 
+def dedup_events_within_watermark(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """At-least-once → effectively-once event delivery: drop duplicate
+    deliveries of the same key arriving within the watermark horizon
+    (``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    watermark passes, so state is bounded by the horizon — a plain
+    ``dropDuplicates`` on a stream retains every key forever, the classic
+    unbounded-state trap).  The dedup key should be the producer's event
+    id; replays separated by more than the horizon are out of contract for
+    every at-least-once transport."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "1 hour",

@@ -419,3 +419,41 @@ def test_streaming_corpus_dedup_end_to_end_stream(spark, tmp_path):
         q.stop()
     corpus = spark.read.parquet(str(tmp_path / "corpus"))
     assert sorted(r.doc_id for r in corpus.collect()) == [0, 2]
+
+
+def test_dedup_events_within_watermark(spark, tmp_path):
+    """Duplicate deliveries of the same event_id inside the watermark
+    horizon are dropped; distinct ids pass."""
+    import datetime as dt
+
+    from hnsw_spark.streaming.ingest import (
+        EVENTS_STREAM_SCHEMA,
+        dedup_events_within_watermark,
+        stream_events,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "click", 1.0, "{}"),
+        (1, t0, 1, "click", 1.0, "{}"),           # duplicate delivery
+        (2, t0 + dt.timedelta(minutes=1), 1, "click", 2.0, "{}"),
+        (1, t0 + dt.timedelta(minutes=2), 1, "click", 1.0, "{}"),  # replay
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = stream_events(spark, src, max_files_per_trigger=10)
+    q = (
+        dedup_events_within_watermark(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("deduped_events")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.sql("select event_id from deduped_events").collect()
+    finally:
+        q.stop()
+    assert sorted(r.event_id for r in out) == [1, 2]
