@@ -69,6 +69,7 @@ HEADLINE = [
     "percentile_sketch_gate",
     "html_strip",
     "crawl_pipeline_end_to_end",
+    "chunk_pooled_embeddings",
 ]
 
 

@@ -290,3 +290,101 @@ def contrastive_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return contrastive_pairs(docs, k_negatives=_NEG_K)
+
+
+# ---- chunk-pooled document embeddings (the RAG bridge) ----------------------
+# chunk → per-chunk hash embedding → fixed-point mean-pool → L2 normalize.
+# Pooling is engine-invariant by construction: chunk components quantize to
+# BIGINT (q = floor(c·10⁶ + 0.5)) BEFORE the cross-chunk sum, so Σq is exact
+# under any addition order, and the final normalized value Sq/√(Σ Sq²) uses
+# only exact integer inputs (the n·10⁶ pooling scale cancels).
+
+_CP_DIM, _CP_CHUNK, _CP_OVERLAP = 32, 64, 16
+_CP_STRIDE = _CP_CHUNK - _CP_OVERLAP
+_CW = r"string_split_regex(trim(lower(chunk_text)), '\s+')"
+
+
+def _chunk_pooled_sql() -> str:
+    sums = ",\n         ".join(
+        f"sum(CASE WHEN bucket = {i} THEN sign ELSE 0.0 END) AS b{i}"
+        for i in range(_CP_DIM)
+    )
+    arr = "[" + ", ".join(f"b{i}" for i in range(_CP_DIM)) + "]"
+    return f"""
+WITH b AS (SELECT doc_id, {_W} AS w, len({_W})::BIGINT AS n FROM documents),
+ch AS (
+  SELECT doc_id,
+         doc_id * 1000 + (s.s / {_CP_STRIDE})::BIGINT AS cid,
+         array_to_string(w[s.s + 1 : s.s + {_CP_CHUNK}], ' ') AS chunk_text
+  FROM b,
+       unnest(generate_series(
+         0,
+         greatest(floor((n - 1) / {_CP_STRIDE})::BIGINT * {_CP_STRIDE}, 0),
+         {_CP_STRIDE})) AS s(s)
+),
+toks AS (
+  SELECT cid, doc_id, {md5_bigint_sql("tok")} % {P31} AS h FROM (
+    SELECT cid, doc_id, unnest({_CW}) AS tok FROM ch) WHERE tok != ''
+),
+bk AS (
+  SELECT cid, doc_id, h % {_CP_DIM} AS bucket,
+         CASE WHEN h % {2 * _CP_DIM} >= {_CP_DIM} THEN -1.0 ELSE 1.0 END AS sign
+  FROM toks
+),
+sums AS (SELECT cid, doc_id, {sums} FROM bk GROUP BY cid, doc_id),
+vec AS (
+  SELECT cid, doc_id, {arr} AS raw,
+         sqrt(list_sum(list_transform({arr}, x -> x * x))) AS nrm
+  FROM sums
+),
+q AS (
+  SELECT doc_id, k.k,
+         floor((CASE WHEN nrm = 0 THEN raw[k.k + 1]
+                     ELSE raw[k.k + 1] / nrm END) * 1000000.0 + 0.5)::BIGINT
+           AS qv
+  FROM vec, (SELECT unnest(generate_series(0, {_CP_DIM} - 1)) AS k) k
+),
+sq AS (SELECT doc_id, k, sum(qv)::BIGINT AS s FROM q GROUP BY doc_id, k),
+s2 AS (SELECT doc_id, sum(s * s)::BIGINT AS s2 FROM sq GROUP BY doc_id)
+SELECT sq.doc_id, sq.k::INT AS k,
+       round(sq.s / sqrt(s2.s2), 6) AS value
+FROM sq JOIN s2 USING (doc_id)
+"""
+
+
+@query("chunk_pooled_embeddings", _chunk_pooled_sql())
+def chunk_pooled_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document embeddings by mean-pooling chunk-level hash embeddings
+    (chunk 64/overlap 16 → 32-dim signed HashingTF per chunk → fixed-point
+    pool → L2 normalize) — the model-free RAG indexing path from long
+    documents into the ANN tiers.  Long-form (doc_id, k, value); the
+    oracle replays chunking, hashing, pooling, and normalization from
+    first principles."""
+    from hnsw_spark.operators.curation import feature_hash_embeddings
+    from hnsw_spark.operators.packing import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(
+        docs, chunk_size=_CP_CHUNK, overlap=_CP_OVERLAP
+    ).select(
+        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("cid"),
+        "chunk_text",
+    )
+    emb = feature_hash_embeddings(
+        chunks, dim=_CP_DIM, text_col="chunk_text", id_col="cid"
+    )
+    comps = emb.select(
+        F.floor(F.col("id") / 1000).cast("long").alias("doc_id"),
+        F.posexplode("embedding").alias("k", "v"),
+    ).select(
+        "doc_id",
+        "k",
+        F.floor(F.col("v") * 1000000.0 + 0.5).cast("long").alias("qv"),
+    )
+    sq = comps.groupBy("doc_id", "k").agg(F.sum("qv").alias("s"))
+    s2 = sq.groupBy("doc_id").agg(F.sum(F.col("s") * F.col("s")).alias("s2"))
+    return sq.join(s2, "doc_id").select(
+        "doc_id",
+        "k",
+        F.round(F.col("s") / F.sqrt(F.col("s2")), 6).alias("value"),
+    )

@@ -68,6 +68,7 @@ _RUN_FIRST = (
     "percentile_sketch_gate",
     "html_strip",
     "crawl_pipeline_end_to_end",
+    "chunk_pooled_embeddings",
 )
 _RUN_LAST = (
     "ann_ivf_knn",
