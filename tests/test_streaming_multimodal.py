@@ -457,3 +457,55 @@ def test_dedup_events_within_watermark(spark, tmp_path):
     finally:
         q.stop()
     assert sorted(r.event_id for r in out) == [1, 2]
+
+
+def test_streaming_search_answers_query_stream(spark, tmp_path):
+    """A query stream answered against a cached IVF index: per-epoch
+    results land exactly once and match the batch search tier."""
+    import pyspark.sql.functions as F
+
+    from hnsw_spark.operators.ann import build_ivf_index
+    from hnsw_spark.sources.synthetic import synthetic_vectors
+    from hnsw_spark.streaming.search import StreamingSearch
+
+    base = synthetic_vectors(spark, 300, 16, seed=7)
+    idx = build_ivf_index(base, n_lists=4, metric="cosine")
+    idx.index_df = idx.index_df.cache()
+    idx.index_df.count()
+
+    qsrc = str(tmp_path / "queries")
+    queries = base.filter(F.col("vec_id") < 6)
+    queries.coalesce(1).write.mode("overwrite").parquet(qsrc)
+    stream = spark.readStream.schema(queries.schema).parquet(qsrc)
+    srv = StreamingSearch(
+        idx, str(tmp_path / "results"), k=5, n_probe=4
+    )
+    q = srv.start(stream, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.parquet(str(tmp_path / "results"))
+    assert srv.answered == 6
+    assert got.select("query_id").distinct().count() == 6
+    # full-probe streaming results == the batch tier's results exactly
+    batch_res = {
+        (r.query_id, r.id)
+        for r in idx.search(queries, k=5, n_probe=4).collect()
+    }
+    assert {(r.query_id, r.id) for r in got.collect()} == batch_res
+    # every query's best hit is itself (it is in the corpus)
+    from pyspark.sql import Window
+
+    top1 = (
+        got.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("score"), "id")
+            ),
+        )
+        .filter("rn = 1")
+        .collect()
+    )
+    assert all(r.query_id == r.id for r in top1)
+    idx.index_df.unpersist()
