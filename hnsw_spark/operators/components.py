@@ -25,7 +25,7 @@ data is the bottleneck.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -163,4 +163,39 @@ def dedup_clusters(
         (F.coalesce("cluster_id", F.col(id_col)) == F.col(id_col))
         .cast("int")
         .alias("is_canonical"),
+    )
+
+
+def canonical_by_score(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "prob",
+) -> DataFrame:
+    """Quality-aware survivor selection: within each duplicate cluster keep
+    the HIGHEST-scoring document (ties by ascending id) instead of the
+    min-id convention ``dedup_clusters`` defaults to.  This is how real
+    curation pipelines resolve near-dup groups — the best copy survives,
+    not an arbitrary one.
+
+    ``clusters`` is (id_col, cluster_col) (the ``dedup_clusters`` output);
+    ``scores`` is (id_col, score_col) (e.g. ``quality_classifier`` prob).
+    Output: (id_col, cluster_col, quality, keep INT).
+
+    One equi-join on id (both sides already doc-partitioned) and one window
+    shuffled on cluster_id; cluster cardinality is bounded by near-dup group
+    size, so the window never sees skew beyond the dedup graph itself.
+    """
+    j = clusters.select(id_col, cluster_col).join(
+        scores.select(id_col, F.col(score_col).alias("_s")), id_col
+    )
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.desc("_s"), F.asc(id_col)
+    )
+    return j.select(
+        id_col,
+        cluster_col,
+        F.round("_s", 6).alias("quality"),
+        (F.row_number().over(w) == 1).cast("int").alias("keep"),
     )

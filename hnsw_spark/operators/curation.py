@@ -807,3 +807,47 @@ def vocab_stats(
     )
     ordered = agg.orderBy(F.col("tf").desc(), F.col("token"))
     return ordered.limit(top_n) if top_n is not None else ordered
+
+
+def zipf_stats(
+    df: DataFrame,
+    top_n: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Rank-frequency (Zipf) profile of the corpus vocabulary: the top-N
+    tokens with rank, frequency, corpus share, and cumulative head share —
+    the standard tokenizer-design / vocabulary-truncation diagnostic (what
+    fraction of the token stream does a V-word vocab cover?).
+
+    Output: (rank INT, token, freq BIGINT, share, cum_share) ordered by
+    rank.  ``cum_share`` accumulates in rank order, which is deterministic,
+    so the floating sum is reproducible cross-engine.
+
+    One explode + one token-keyed shuffle; the top-N cut is TakeOrdered
+    (per-partition heads then merge — never a full sort of the vocabulary),
+    and the total-token count joins back as a broadcast scalar.
+    """
+    tok = df.select(F.explode(words(text_col)).alias("token")).filter(
+        F.col("token") != ""
+    )
+    freq = tok.groupBy("token").agg(F.count("*").alias("freq"))
+    total = freq.agg(F.sum("freq").alias("_total"))
+    top = freq.orderBy(F.col("freq").desc(), F.col("token")).limit(top_n)
+    w = Window.orderBy(F.col("freq").desc(), F.col("token"))
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .withColumn("_sh", F.col("freq") / F.col("_total"))
+        .select(
+            "rank",
+            "token",
+            "freq",
+            F.round("_sh", 6).alias("share"),
+            F.round(
+                F.sum("_sh").over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+                6,
+            ).alias("cum_share"),
+        )
+    )

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from hnsw_spark.functions.hashing import P31, h31, md5_bigint, minhash_perms, perm_hash
 from hnsw_spark.functions.similarity import dot_product, l2_norm
-from hnsw_spark.functions.text import fingerprint, shingles
+from hnsw_spark.functions.text import fingerprint, shingles, shingles_w, words
 
 
 def exact_dedup(
@@ -430,4 +430,74 @@ def embedding_neardup(
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+def boilerplate_spans(
+    df: DataFrame,
+    n: int = 4,
+    min_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document boilerplate detection (the span-level cousin of
+    CCNet/RefinedWeb repeated-line removal, adapted to span n-grams because
+    the corpus has no line structure): an n-gram occurring in >= ``min_docs``
+    DISTINCT documents is boilerplate, and every token it covers is a
+    boilerplate token.
+
+    Output: (doc_id, n_common, covered_tokens, boilerplate_ratio) — the
+    per-document count of boilerplate shingle positions, the number of
+    distinct token positions covered by at least one such shingle, and
+    covered/len ratio.  Downstream, ``boilerplate_ratio`` feeds the quality
+    gates exactly like ``repetition_stats`` (within-doc) does; this is the
+    across-doc complement.
+
+    Scale shape: one shuffle aggregates shingle->distinct-doc counts; the
+    surviving boilerplate vocabulary is tiny by construction (it must repeat
+    across documents), so it broadcasts back onto the position-exploded scan
+    — the corpus itself is shuffled only once more, on doc_id, to count
+    covered positions.  No all-pairs joins anywhere.
+    """
+    w = words(text_col)
+    docs = df.select(
+        F.col(id_col).cast("long").alias(id_col), w.alias("_w")
+    )
+    pos = docs.select(
+        id_col,
+        F.posexplode(shingles_w(F.col("_w"), n)).alias("pos", "shingle"),
+    )
+    common = (
+        pos.groupBy("shingle")
+        .agg(F.count_distinct(id_col).alias("_df"))
+        .filter(F.col("_df") >= min_docs)
+        .select("shingle")
+    )
+    hits = pos.join(F.broadcast(common), "shingle")
+    n_common = hits.groupBy(id_col).agg(F.count("*").alias("n_common"))
+    covered = (
+        hits.select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("_tp"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count("*").alias("covered_tokens"))
+    )
+    return (
+        docs.select(id_col, F.size("_w").alias("_len"))
+        .join(n_common, id_col, "left")
+        .join(covered, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_common", F.lit(0)).alias("n_common"),
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+            F.round(
+                F.coalesce("covered_tokens", F.lit(0)).cast("double")
+                / F.col("_len"),
+                6,
+            ).alias("boilerplate_ratio"),
+        )
     )

@@ -204,3 +204,67 @@ def similarity_scores(
             "euclidean_sim": euclidean_similarity(a, b),
         }
     )
+
+
+def knn_label_vote(
+    emb: DataFrame,
+    n_queries: int = 64,
+    k: int = 10,
+    metric: str = "cosine",
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN majority-vote classification over the embedding table — the
+    label-propagation step of a weak-labeling pipeline (predict labels for
+    new vectors from their nearest labeled neighbors), evaluated
+    leave-one-out on the first ``n_queries`` vectors.
+
+    Output: (query_id, pred_label, votes, best_score) — the winning label
+    (most neighbor votes, ties to the smallest label), its vote count, and
+    the max similarity among the voting neighbors (max, not mean: order-
+    invariant, so bit-stable across engines and partitionings).
+
+    Plan: exact top-(k+1) via the window tier, drop the self-match, re-rank
+    to k, then two keyed aggregations.  At scale the first stage swaps to
+    the ``local_merge``/ANN tier unchanged — everything after the top-k is
+    a (query_id, label) groupBy whose cardinality is Q×k.
+    """
+    qs = emb.filter(F.col(id_col) < n_queries)
+    # +1 then drop self: cosine(self)=1.0 always ranks first, so the true
+    # k neighbors are ranks 2..k+1 — cheaper than excluding self from the
+    # scored set, which would break the shared scoring kernels' symmetry
+    top = knn_exact(
+        emb, qs, k=k + 1, metric=metric,
+        base_id=id_col, base_vec=vec_col, query_id=id_col, query_vec=vec_col,
+    ).filter(F.col("id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("id"))
+    top = top.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    labeled = top.join(
+        F.broadcast(
+            emb.select(
+                F.col(id_col).cast("long").alias("id"),
+                F.col(label_col).alias("_lbl"),
+            )
+        ),
+        "id",
+    )
+    votes = labeled.groupBy("query_id", "_lbl").agg(
+        F.count("*").alias("votes"), F.max("score").alias("_best")
+    )
+    vw = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.asc("_lbl")
+    )
+    return (
+        votes.withColumn("_vr", F.row_number().over(vw))
+        .filter(F.col("_vr") == 1)
+        .select(
+            "query_id",
+            F.col("_lbl").cast("int").alias("pred_label"),
+            "votes",
+            F.round("_best", 6).alias("best_score"),
+        )
+    )

@@ -251,7 +251,9 @@ def simhash_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CLUSTER_THRESHOLD = 0.4
 
-_CLUSTERS_SQL = f"""
+# the shared CTE block: Jaccard pairs at the threshold, closed into
+# components by a recursive CTE (reused by dedup_clusters + dedup_canonical)
+_CLUSTERS_CTE = f"""
 WITH RECURSIVE docs AS (SELECT doc_id, {_W} AS w FROM documents),
 sh_all AS (
   SELECT DISTINCT doc_id AS id, shingle FROM (
@@ -275,12 +277,17 @@ reach(id, lbl) AS (
   UNION
   SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id
 ),
-comp AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+comp AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)"""
+
+_CLUSTERS_SQL = (
+    _CLUSTERS_CTE
+    + """
 SELECT d.doc_id,
        coalesce(c.cluster_id, d.doc_id) AS cluster_id,
        (coalesce(c.cluster_id, d.doc_id) = d.doc_id)::INT AS is_canonical
 FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
 """
+)
 
 
 @query("dedup_clusters", _CLUSTERS_SQL)
@@ -385,3 +392,106 @@ def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     batch = docs.filter(F.col("doc_id") % 2 == 1)
     return incremental_dedup(batch, seen).select("fingerprint", "doc_id")
+
+
+def _z_sql() -> str:
+    """The quality_classifier logit in DuckDB dialect (shared with
+    queries/pipeline.py's oracle — identical weights and features)."""
+    from hnsw_spark.queries.text import _AWL, _SWR, _W as _WQ
+
+    return (
+        f"-1.2 + 1.5 * least(len({_WQ})::DOUBLE / 200.0, 1.0)"
+        f" + 2.0 * ({_SWR})"
+        f" + 0.8 * (CASE WHEN {_AWL} >= 3 AND {_AWL} <= 10 THEN 1.0 ELSE 0.0 END)"
+        f" - 3.0 * (CASE WHEN length(text) = 0 THEN 0.0"
+        f" ELSE (length(text) - length(regexp_replace(text,"
+        f" '[^a-zA-Z0-9\\s]', '', 'g')))::DOUBLE / length(text) END)"
+    )
+
+
+def _canonical_sql() -> str:
+    return (
+        _CLUSTERS_CTE
+        + f""",
+q AS (SELECT doc_id, ({_z_sql()}) AS z FROM documents),
+memb AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+),
+j AS (
+  SELECT m.doc_id, m.cluster_id,
+         0.5 + 0.5 * q.z / (1 + abs(q.z)) AS prob
+  FROM memb m JOIN q USING (doc_id)
+)
+SELECT doc_id, cluster_id, round(prob, 6) AS quality,
+       (row_number() OVER (PARTITION BY cluster_id
+                           ORDER BY prob DESC, doc_id) = 1)::INT AS keep
+FROM j
+"""
+    )
+
+
+@query("dedup_canonical", _canonical_sql())
+def dedup_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivor selection: the same near-dup components
+    as ``dedup_clusters``, but each cluster keeps its HIGHEST-quality member
+    (quality_classifier prob, ties to the smaller doc_id) instead of the
+    min-id convention — the policy real curation pipelines use.  The oracle
+    recomputes components via the recursive CTE and the classifier logit in
+    SQL, so the composition (pair gen -> components -> scoring -> argmax) is
+    value-hash-checked end-to-end (operators/components.py:canonical_by_score)."""
+    from hnsw_spark.operators.components import canonical_by_score, dedup_clusters
+    from hnsw_spark.operators.curation import quality_classifier
+    from hnsw_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(
+        docs, n=2, threshold=_CLUSTER_THRESHOLD, max_doc_freq=None
+    )
+    clusters = dedup_clusters(docs, edges, shuffle_partitions=4)
+    scores = quality_classifier(docs).select("doc_id", "prob")
+    return canonical_by_score(clusters, scores)
+
+
+_BP_N = 4
+_BP_MIN_DOCS = 3
+
+_BOILERPLATE_SQL = f"""
+WITH docs AS (SELECT doc_id, {_W} AS w FROM documents),
+sh AS (
+  SELECT doc_id, u.i AS pos, array_to_string(w[u.i:u.i+{_BP_N - 1}], ' ') AS shingle
+  FROM docs, unnest(range(1, greatest(len(w) - {_BP_N - 1}, 0) + 1)) u(i)
+),
+freq AS (
+  SELECT shingle FROM (
+    SELECT shingle, count(DISTINCT doc_id) AS c FROM sh GROUP BY shingle
+  ) WHERE c >= {_BP_MIN_DOCS}
+),
+com AS (SELECT sh.* FROM sh JOIN freq USING (shingle)),
+cov AS (
+  SELECT doc_id, count(DISTINCT tp)::BIGINT AS covered FROM (
+    SELECT doc_id, pos + x AS tp
+    FROM com, unnest(range(0, {_BP_N})) t(x)
+  ) GROUP BY doc_id
+),
+nc AS (SELECT doc_id, count(*)::BIGINT AS n_common FROM com GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(n_common, 0)::BIGINT AS n_common,
+       coalesce(covered, 0)::BIGINT AS covered_tokens,
+       round(coalesce(covered, 0)::DOUBLE / len(w), 6) AS boilerplate_ratio
+FROM docs d LEFT JOIN nc USING (doc_id) LEFT JOIN cov USING (doc_id)
+"""
+
+
+@query("boilerplate_spans", _BOILERPLATE_SQL)
+def boilerplate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection (span-level repeated-line
+    removal a la CCNet/RefinedWeb): {_BP_N}-gram spans occurring in >=
+    {_BP_MIN_DOCS} distinct documents are boilerplate; per doc we report
+    how many shingle positions are boilerplate, how many token positions
+    they cover, and the covered ratio (operators/dedup.py:boilerplate_spans)."""
+    from hnsw_spark.operators.dedup import boilerplate_spans
+
+    return boilerplate_spans(
+        load_table(spark, sf_dir, "documents"), n=_BP_N, min_docs=_BP_MIN_DOCS
+    )

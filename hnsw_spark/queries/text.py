@@ -325,3 +325,30 @@ def html_strip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(strip_html("raw")), 1, 16).alias("clean_fp"),
         markup_ratio("raw").alias("markup_ratio"),
     )
+
+
+_ZIPF_SQL = f"""
+WITH tok AS (
+  SELECT unnest({_W}) AS token FROM documents
+), tok2 AS (SELECT token FROM tok WHERE token <> ''),
+freq AS (SELECT token, count(*)::BIGINT AS freq FROM tok2 GROUP BY token),
+tot AS (SELECT sum(freq)::DOUBLE AS total FROM freq),
+top AS (SELECT token, freq FROM freq ORDER BY freq DESC, token LIMIT 100)
+SELECT row_number() OVER (ORDER BY freq DESC, token)::INT AS rank,
+       token, freq,
+       round(freq / total, 6) AS share,
+       round(sum(freq / total) OVER (ORDER BY freq DESC, token
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_share
+FROM top, tot
+"""
+
+
+@query("zipf_stats", _ZIPF_SQL)
+def zipf_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-frequency (Zipf) vocabulary profile: top-100 tokens with corpus
+    share and cumulative head coverage — the tokenizer-design diagnostic
+    (operators/curation.py:zipf_stats).  cum_share accumulates in rank
+    order on both engines, so the floating sum is reproducible."""
+    from hnsw_spark.operators.curation import zipf_stats
+
+    return zipf_stats(load_table(spark, sf_dir, "documents"), top_n=100)

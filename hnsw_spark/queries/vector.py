@@ -264,3 +264,49 @@ def random_projection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_projection(
         emb, d_in=_JL_DIN, d_out=_JL_DOUT, salt=_JL_SALT
     )
+
+
+_LABEL_VOTE_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 64
+), b AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS bv, label FROM embeddings
+), s AS (
+  SELECT q.query_id, b.id, b.label,
+         list_dot_product(qv, bv)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(bv, bv))) AS sc
+  FROM q CROSS JOIN b WHERE b.id <> q.query_id
+), r AS (
+  SELECT query_id, id, label, sc,
+         row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, id) AS rn
+  FROM s
+), t AS (SELECT * FROM r WHERE rn <= 10),
+v AS (
+  SELECT query_id, label, count(*)::BIGINT AS votes, max(sc) AS best
+  FROM t GROUP BY query_id, label
+), wv AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY votes DESC, label) AS wr
+  FROM v
+)
+SELECT query_id, label::INT AS pred_label, votes,
+       round(best, 6) AS best_score
+FROM wv WHERE wr = 1
+"""
+
+
+@query("knn_label_vote", _LABEL_VOTE_SQL)
+def knn_label_vote_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote label propagation over the embedding table,
+    leave-one-out on the first 64 vectors (k=10 cosine): the weak-labeling
+    step of an embedding-classification pipeline
+    (operators/knn.py:knn_label_vote).  Self is excluded from the neighbor
+    set on both sides; vote ties break to the smaller label and the
+    reported per-label score is max (order-invariant, so cross-engine
+    bit-stable, unlike a mean)."""
+    from hnsw_spark.operators.knn import knn_label_vote
+
+    return knn_label_vote(
+        load_table(spark, sf_dir, "embeddings"), n_queries=64, k=K
+    )

@@ -69,6 +69,10 @@ _RUN_FIRST = (
     "html_strip",
     "crawl_pipeline_end_to_end",
     "chunk_pooled_embeddings",
+    "dedup_canonical",
+    "boilerplate_spans",
+    "knn_label_vote",
+    "zipf_stats",
 )
 _RUN_LAST = (
     "ann_ivf_knn",

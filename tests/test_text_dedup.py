@@ -310,3 +310,86 @@ def test_lang_id_lexicons(spark):
     )
     res = [r.pred for r in d.select(lang_id("text").alias("pred")).orderBy("doc_id").collect()]
     assert res == ["en", "es", "de", "und"]
+
+
+def test_boilerplate_spans_planted_common_span(spark):
+    from hnsw_spark.operators.dedup import boilerplate_spans
+
+    bp = "alpha beta gamma delta"  # one 4-gram shared by 3 docs
+    d = _docs(
+        spark,
+        [
+            f"{bp} unique one tail words here",
+            f"start {bp} unique two tail",
+            f"{bp} third copy closing words",
+            "entirely different content with no shared span at all",
+            "tiny doc",  # < n tokens -> zero shingles, zero coverage
+        ],
+    )
+    res = {r.doc_id: r for r in boilerplate_spans(d, n=4, min_docs=3).collect()}
+    assert len(res) == 5
+    for i in (0, 1, 2):
+        assert res[i].n_common == 1
+        assert res[i].covered_tokens == 4
+    assert res[0].boilerplate_ratio == round(4 / 9, 6)
+    assert res[3].n_common == 0 and res[3].boilerplate_ratio == 0.0
+    assert res[4].covered_tokens == 0
+
+
+def test_boilerplate_overlapping_spans_count_positions_once(spark):
+    from hnsw_spark.operators.dedup import boilerplate_spans
+
+    # "a b c d e" contains two overlapping common 4-grams (a b c d, b c d e)
+    # when all three docs share the full 5-token run: 2 shingle hits but only
+    # 5 distinct covered positions, not 8.
+    run = "a b c d e"
+    d = _docs(spark, [f"{run} x", f"{run} y", f"{run} z"])
+    res = {r.doc_id: r for r in boilerplate_spans(d, n=4, min_docs=3).collect()}
+    assert res[0].n_common == 2
+    assert res[0].covered_tokens == 5
+
+
+def test_canonical_by_score_prefers_quality_then_id(spark):
+    from hnsw_spark.operators.components import canonical_by_score
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7)], "doc_id bigint, cluster_id bigint"
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (7, 0.1)], "doc_id bigint, prob double"
+    )
+    res = {r.doc_id: r for r in canonical_by_score(clusters, scores).collect()}
+    # highest prob wins; the 2-vs-3 tie at 0.9 breaks to the smaller id
+    assert [res[i].keep for i in (1, 2, 3)] == [0, 1, 0]
+    assert res[7].keep == 1  # singleton keeps itself
+
+
+def test_knn_label_vote_majority_and_tiebreak(spark):
+    from hnsw_spark.operators.knn import knn_label_vote
+
+    # 1-D embeddings: cosine of same-sign vectors = 1.0, opposite sign = -1.0
+    # query 0 at +1: neighbors are every other +1 vector (4 votes label A=0
+    # vs 2 votes label B=1 among top-6)
+    rows = [
+        (0, [1.0], 0),
+        (1, [1.0], 0), (2, [1.0], 0), (3, [1.0], 0), (4, [1.0], 0),
+        (5, [1.0], 1), (6, [1.0], 1),
+        (7, [-1.0], 1), (8, [-1.0], 1), (9, [-1.0], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    res = {r.query_id: r for r in knn_label_vote(emb, n_queries=1, k=6).collect()}
+    assert res[0].pred_label == 0
+    assert res[0].votes == 4
+    assert res[0].best_score == 1.0
+
+
+def test_zipf_stats_ranks_and_cumulative_share(spark):
+    from hnsw_spark.operators.curation import zipf_stats
+
+    d = _docs(spark, ["x x x y y z", "x y"])
+    res = zipf_stats(d, top_n=2).collect()
+    assert [(r.rank, r.token, r.freq) for r in res] == [(1, "x", 4), (2, "y", 3)]
+    assert res[0].share == 0.5  # 4 of 8 tokens
+    assert res[1].cum_share == round(7 / 8, 6)
