@@ -92,3 +92,46 @@ def asof_join(
         *[F.col(f"_l_{c}").alias(c) for c in left.columns],
         *[F.col(f"_match.{c}").alias(out_names[c]) for c in value_cols],
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    by: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Strict-order conversion funnel: per key, the earliest step-1 event,
+    then the earliest step-2 event AFTER that, and so on (each stage
+    anchored to the previous stage's chosen timestamp — the standard
+    product-analytics funnel semantics, not mere per-type minima).
+
+    Output: one row per key that completed step 1, with one nullable
+    timestamp column ``t_<step>`` per step.
+
+    Scale: one aggregation per stage, each over the type-filtered slice of
+    the event stream (the ``event_type = step`` predicate pushes down to
+    the parquet scan, so stage k reads only its event type's row group
+    pages).  All joins and groupings share the funnel key, so AQE plans
+    them on one key distribution; no window over the full stream, no
+    row-to-row self-join of the raw events.
+    """
+    if not steps:
+        raise ValueError("funnel requires at least one step")
+    cur = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(by)
+        .agg(F.min(ts_col).alias(f"t_{steps[0]}"))
+    )
+    prev_t = f"t_{steps[0]}"
+    for step in steps[1:]:
+        nxt = (
+            events.filter(F.col(type_col) == step)
+            .join(cur.select(by, prev_t), by)
+            .filter(F.col(ts_col) > F.col(prev_t))
+            .groupBy(by)
+            .agg(F.min(ts_col).alias(f"t_{step}"))
+        )
+        cur = cur.join(nxt, by, "left")
+        prev_t = f"t_{step}"
+    return cur

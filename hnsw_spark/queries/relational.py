@@ -516,3 +516,35 @@ def table_profile_approx_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.greatest(tol * F.col("nd_exact"), F.lit(1.0))
         ).alias("within_tolerance"),
     )
+
+
+_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t_view
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+  GROUP BY e.user_id
+)
+SELECT s1.user_id, s1.t_view, s2.t_click, s3.t_purchase
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""
+
+
+@query("event_funnel", _FUNNEL_SQL)
+def event_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order view→click→purchase conversion funnel per user
+    (operators/temporal.py::funnel): stage k is the earliest matching
+    event after the stage k-1 anchor, nullable when the user never
+    converts.  Each stage's type filter pushes down to the scan."""
+    from hnsw_spark.operators.temporal import funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel(ev, ["view", "click", "purchase"])

@@ -352,3 +352,84 @@ def zipf_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hnsw_spark.operators.curation import zipf_stats
 
     return zipf_stats(load_table(spark, sf_dir, "documents"), top_n=100)
+
+
+_PMI_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, t.token, t.pos
+  FROM (SELECT doc_id, {_W} AS ws FROM documents) d,
+       LATERAL (SELECT unnest(ws) AS token, generate_subscripts(ws, 1) AS pos) t
+), pairs AS (
+  SELECT least(x.token, y.token) AS a, greatest(x.token, y.token) AS b
+  FROM tok x JOIN tok y
+    ON x.doc_id = y.doc_id AND y.pos > x.pos AND y.pos <= x.pos + 3
+), pc AS (
+  SELECT a, b, count(*)::BIGINT AS pair_count FROM pairs GROUP BY a, b
+), uni AS (
+  SELECT token, count(*)::BIGINT AS cnt FROM tok GROUP BY token
+), tot AS (
+  SELECT (SELECT sum(pair_count) FROM pc)::BIGINT AS p_total,
+         (SELECT sum(cnt) FROM uni)::BIGINT AS n_total
+)
+SELECT pc.a, pc.b, pc.pair_count,
+       ua.cnt AS count_a, ub.cnt AS count_b,
+       floor(ln((pc.pair_count::DOUBLE * n_total::DOUBLE * n_total::DOUBLE)
+                / (p_total::DOUBLE * ua.cnt::DOUBLE * ub.cnt::DOUBLE))
+             * 1000000.0 + 0.5)::BIGINT AS pmi_q6
+FROM pc JOIN uni ua ON pc.a = ua.token
+        JOIN uni ub ON pc.b = ub.token
+        CROSS JOIN tot
+WHERE pc.pair_count >= 25
+"""
+
+
+@query("pmi_cooccurrence", _PMI_SQL)
+def pmi_cooccurrence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed (w=3) token co-occurrence with fixed-point PMI association
+    scores, min pair frequency 25 (operators/cooccurrence.py — collocation
+    mining tier of the text-analysis surface).  Pair generation is
+    scan-stage shifted-slice zips; only the two count aggregations
+    shuffle."""
+    from hnsw_spark.operators.cooccurrence import pmi_pairs
+
+    return pmi_pairs(
+        load_table(spark, sf_dir, "documents"), window=3, min_count=25
+    )
+
+
+_HH_GATE_SQL = (
+    "SELECT CAST(1 AS BOOLEAN) AS covered_ok, CAST(1 AS BOOLEAN) AS bound_ok,"
+    " CAST(1 AS BOOLEAN) AS underestimate_ok, CAST(1 AS BOOLEAN) AS size_ok"
+)
+
+_HH_N, _HH_VOCAB, _HH_K, _HH_SEED = 200_000, 10_000, 200, 7
+
+
+@query("heavy_hitters_gate", _HH_GATE_SQL)
+def heavy_hitters_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters (operators/sketches.py), gated against the
+    exact groupBy on a seeded Zipf stream (the fixture corpus is flat, so
+    the stream generator supplies the skew).  MG theory promises est ≤
+    true and true − est ≤ N/(k+1); the gate checks exactly that, plus
+    coverage of every true hitter above the bound and the ≤k size cap.
+    Same boolean-gate pattern as percentile_sketch_gate: deterministic
+    input → stable driver hash."""
+    from hnsw_spark.operators.sketches import misra_gries
+    from hnsw_spark.sources.synthetic import synthetic_zipf_tokens
+
+    stream = synthetic_zipf_tokens(spark, _HH_N, _HH_VOCAB, seed=_HH_SEED)
+    bound = _HH_N / (_HH_K + 1)
+    sk = misra_gries(stream, k=_HH_K)
+    exact = stream.groupBy("token").agg(F.count(F.lit(1)).alias("true_cnt"))
+    hitters = exact.filter(F.col("true_cnt") > bound)
+    uncovered = hitters.join(sk, "token", "left_anti").agg(
+        (F.count(F.lit(1)) == 0).alias("covered_ok")
+    )
+    joined = exact.join(sk, "token").agg(
+        (F.max(F.col("true_cnt") - F.col("est")) <= bound).alias("bound_ok"),
+        (F.min(F.col("true_cnt") - F.col("est")) >= 0).alias(
+            "underestimate_ok"
+        ),
+    )
+    size = sk.agg((F.count(F.lit(1)) <= _HH_K).alias("size_ok"))
+    return uncovered.crossJoin(joined).crossJoin(size)

@@ -73,6 +73,9 @@ _RUN_FIRST = (
     "boilerplate_spans",
     "knn_label_vote",
     "zipf_stats",
+    "pmi_cooccurrence",
+    "event_funnel",
+    "heavy_hitters_gate",
 )
 _RUN_LAST = (
     "ann_ivf_knn",

@@ -147,3 +147,23 @@ SELECT doc_id,
 FROM (SELECT range::BIGINT AS doc_id, ({src}) AS src
       FROM range({count}))
 """
+
+
+def synthetic_zipf_tokens(
+    spark: SparkSession, count: int, vocab_size: int, seed: int = 42
+) -> DataFrame:
+    """Seeded skewed token stream, DataFrame[(pos BIGINT, token STRING)].
+
+    Rank r(i) = floor(exp(u_i · ln V)) is log-uniform on 1..V, i.e. a
+    Zipf(s=1)-shaped frequency profile — rank r's share ≈ ln((r+1)/r)/ln V
+    — which is the adversarial input the heavy-hitter sketch gate needs
+    (the fixture corpus is deliberately flat).  Same no-shuffle,
+    hash-of-(seed,id) construction as the vector generators above:
+    deterministic under any partitioning.
+    """
+    base = spark.range(count).withColumnRenamed("id", "pos")
+    u = _unit(F.col("pos"), F.lit(0), seed, "z")
+    rank = F.floor(F.exp(u * float(math.log(vocab_size)))).cast("long")
+    return base.select(
+        "pos", F.concat(F.lit("t"), rank.cast("string")).alias("token")
+    )
