@@ -1,0 +1,145 @@
+"""Distributed BPE tokenizer training (byte-pair-encoding merge learning).
+
+Learns the merge table a BPE tokenizer is made of: repeatedly count
+adjacent symbol pairs across the corpus and merge the most frequent one
+(Sennrich, Haddow & Birch, ACL 2016, "Neural machine translation of rare
+words with subword units" — public knowledge).  Training the tokenizer is
+a first-class step of a large-scale training-data pipeline; no reference
+counterpart.
+
+Scale design
+------------
+The classic trick makes this tractable: merges operate on the DISTINCT
+word vocabulary weighted by word frequency, never on the raw corpus.  The
+corpus is scanned exactly once (the word-frequency groupBy); every one of
+the ``n_merges`` iterations then runs on the vocabulary frame — a
+pair-count aggregation (explode of zipped shifted slices, map-side
+combined) plus one argmax row collected for loop control (the
+``components.py`` convention: 1-row collects steer the loop, data never
+leaves the cluster).  The merge itself is a pure Catalyst ``aggregate``
+fold over each word's symbol array (greedy left-to-right, matching the
+sequential reference semantics), and ``localCheckpoint`` truncates the
+growing lineage each round exactly as the connected-components loop does.
+At 100 TB the vocabulary is ~10⁶-10⁸ rows — cluster-trivial — and the
+single corpus scan dominates, as it should.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hnsw_spark.functions.text import words
+
+
+def _adjacent_pairs(sym: Column) -> Column:
+    """array<struct<a,b>> of adjacent symbol pairs of one word."""
+    length = F.greatest(F.size(sym) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(sym, 1, length),
+        F.slice(sym, 2, length),
+        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+    )
+
+
+def _apply_merge(sym: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right merge of adjacent (a, b) into a||b — a fold:
+    append each symbol unless the accumulator ends in ``a`` and the symbol
+    is ``b``, in which case the tail is replaced by the merged token.
+    (After a replacement the tail IS the merged token, so overlapping
+    occurrences like 'aaa' under (a,a) merge left-first — the sequential
+    BPE semantics.)"""
+    return F.aggregate(
+        sym,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (s == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over the whitespace-tokenized corpus — the one
+    corpus-wide scan BPE training needs."""
+    return (
+        docs.select(F.explode(words(text_col)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 20,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Learn up to ``n_merges`` BPE merges from the corpus.
+
+    Returns DataFrame[merge_rank INT, left STRING, right STRING,
+    pair_count BIGINT] in merge order.  Ties break deterministically by
+    (count DESC, left ASC, right ASC).  Stops early when the best pair
+    falls under ``min_pair_count``.
+    """
+    spark = docs.sparkSession
+    vocab = word_frequencies(docs, text_col).select(
+        F.split("word", "").alias("sym"), "freq"
+    )
+    vocab = vocab.localCheckpoint()
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        top = (
+            vocab.select(F.explode(_adjacent_pairs(F.col("sym"))).alias("p"), "freq")
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0].cnt < min_pair_count:
+            break
+        a, b, cnt = top[0].a, top[0].b, int(top[0].cnt)
+        merges.append((rank, a, b, cnt))
+        vocab = vocab.select(
+            _apply_merge(F.col("sym"), a, b).alias("sym"), "freq"
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "merge_rank int, left string, right string, pair_count bigint"
+    )
+
+
+def bpe_train_py(
+    word_freq: dict[str, int], n_merges: int = 20, min_pair_count: int = 2
+) -> list[tuple[int, str, str, int]]:
+    """Sequential pure-Python reference of ``bpe_train`` (test oracle)."""
+    vocab = [(list(w), f) for w, f in word_freq.items()]
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for sym, f in vocab:
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_pair_count:
+            break
+        merges.append((rank, a, b, cnt))
+        new_vocab = []
+        for sym, f in vocab:
+            out: list[str] = []
+            for s in sym:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            new_vocab.append((out, f))
+        vocab = new_vocab
+    return merges

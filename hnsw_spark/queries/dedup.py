@@ -495,3 +495,69 @@ def boilerplate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boilerplate_spans(
         load_table(spark, sf_dir, "documents"), n=_BP_N, min_docs=_BP_MIN_DOCS
     )
+
+
+_SEMDEDUP_SQL = """
+SELECT e.vec_id, e.label FROM embeddings e
+WHERE NOT EXISTS (
+  SELECT 1 FROM embeddings a
+  WHERE a.vec_id < e.vec_id
+    AND list_dot_product(a.embedding::DOUBLE[], e.embedding::DOUBLE[])
+        / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) >= 0.3
+)
+"""
+
+
+@query("semantic_dedup", _SEMDEDUP_SQL)
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep-min-id survivors, exact tier (operators/semdedup.py):
+    a row survives iff no smaller-id embedding has cosine ≥ 0.3 with it.
+    The exact all-pairs degeneration is the oracle-parity path; the
+    clustered scale path is gated by semantic_dedup_gate."""
+    from hnsw_spark.operators.semdedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.3, exact=True).select(
+        "vec_id", "label"
+    )
+
+
+_SEMDEDUP_GATE_SQL = (
+    "SELECT CAST(1 AS BOOLEAN) AS superset_ok,"
+    " CAST(1 AS BOOLEAN) AS drop_recall_ok"
+)
+
+
+@query("semantic_dedup_gate", _SEMDEDUP_GATE_SQL)
+def semantic_dedup_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gates the CLUSTERED SemDeDup tier (k-means lists, n_probe=2 to
+    recover cluster-boundary pairs, Σ(probe·list)² candidates) against
+    the exact tier: clustered survivors
+    must contain every exact survivor (clustering can only LOSE near-dup
+    pairs, never invent them), and the clustered tier must still find
+    ≥ 80% of the exact dropped set — the dedup twin of the ANN recall
+    gates."""
+    from hnsw_spark.operators.semdedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = semantic_dedup(emb, threshold=0.3, exact=True).select("vec_id")
+    clus = semantic_dedup(
+        emb, threshold=0.3, n_clusters=8, n_probe=2, seed=42
+    ).select("vec_id")
+    n = emb.agg(F.count(F.lit(1)).alias("n_total"))
+    missing = exact.join(clus, "vec_id", "left_anti").agg(
+        (F.count(F.lit(1)) == 0).alias("superset_ok")
+    )
+    counts = (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(clus.agg(F.count(F.lit(1)).alias("n_clus")))
+        .crossJoin(n)
+    )
+    recall = counts.select(
+        (
+            (F.col("n_total") - F.col("n_clus"))
+            >= 0.8 * (F.col("n_total") - F.col("n_exact"))
+        ).alias("drop_recall_ok")
+    )
+    return missing.crossJoin(recall)

@@ -433,3 +433,16 @@ def heavy_hitters_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     size = sk.agg((F.count(F.lit(1)) <= _HH_K).alias("size_ok"))
     return uncovered.crossJoin(joined).crossJoin(size)
+
+
+@query("bpe_merges")  # rows-only: driver-loop merge learning is not ANSI-SQL-expressible
+def bpe_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (operators/bpe.py): the first 20 learned
+    merges with their pair counts.  Iterative driver-loop algorithm — no
+    SQL oracle exists; correctness is pinned by tests/test_bpe.py, which
+    replays the sequential pure-Python reference implementation over the
+    same corpus (including the fixture corpus) and requires exact merge-
+    table equality."""
+    from hnsw_spark.operators.bpe import bpe_train
+
+    return bpe_train(load_table(spark, sf_dir, "documents"), n_merges=20)

@@ -76,10 +76,13 @@ _RUN_FIRST = (
     "pmi_cooccurrence",
     "event_funnel",
     "heavy_hitters_gate",
+    "semantic_dedup",
+    "semantic_dedup_gate",
 )
 _RUN_LAST = (
     "ann_ivf_knn",
     "ann_hnsw_knn",
+    "bpe_merges",
 )
 
 
