@@ -73,6 +73,12 @@ HEADLINE = [
     "boilerplate_spans",
     "zipf_stats",
     "knn_label_vote",
+    "pmi_cooccurrence",
+    "event_funnel",
+    "heavy_hitters_gate",
+    "semantic_dedup",
+    "semantic_dedup_gate",
+    "bpe_merges",
 ]
 
 

@@ -79,11 +79,20 @@ def pmi_pairs(
     pmi = ln( (c_ab/P) / ((c_a/N)·(c_b/N)) ), N = total tokens, P = total
     windowed pairs; emitted fixed-point as pmi_q6 = floor(pmi·10⁶ + 0.5).
     """
-    pairs = cooccurrence_counts(docs, text_col, window)
+    from pyspark import StorageLevel
+
+    # persist the two vocabulary-scale aggregates: totals AND the scored
+    # output derive from them, and without the reuse point Catalyst would
+    # re-run each corpus scan + aggregation per consumer (the
+    # corpus_attrition lesson — 2 corpus scans total, not 4)
+    pairs = cooccurrence_counts(docs, text_col, window).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     uni = (
         docs.select(F.explode(words(text_col)).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     totals = pairs.agg(F.sum("pair_count").alias("p_total")).crossJoin(
         uni.agg(F.sum("cnt").alias("n_total"))

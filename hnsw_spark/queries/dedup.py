@@ -540,11 +540,21 @@ def semantic_dedup_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     gates."""
     from hnsw_spark.operators.semdedup import semantic_dedup
 
+    from pyspark import StorageLevel
+
     emb = load_table(spark, sf_dir, "embeddings")
-    exact = semantic_dedup(emb, threshold=0.3, exact=True).select("vec_id")
-    clus = semantic_dedup(
-        emb, threshold=0.3, n_clusters=8, n_probe=2, seed=42
-    ).select("vec_id")
+    # both survivor frames feed two consumers (anti-join + count); persist
+    # so neither dedup pipeline re-runs per consumer
+    exact = (
+        semantic_dedup(emb, threshold=0.3, exact=True)
+        .select("vec_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    clus = (
+        semantic_dedup(emb, threshold=0.3, n_clusters=8, n_probe=2, seed=42)
+        .select("vec_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     n = emb.agg(F.count(F.lit(1)).alias("n_total"))
     missing = exact.join(clus, "vec_id", "left_anti").agg(
         (F.count(F.lit(1)) == 0).alias("superset_ok")
