@@ -79,6 +79,8 @@ HEADLINE = [
     "semantic_dedup",
     "semantic_dedup_gate",
     "bpe_merges",
+    "pca_gate",
+    "curriculum_phases",
 ]
 
 

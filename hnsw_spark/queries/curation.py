@@ -388,3 +388,55 @@ def chunk_pooled_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k",
         F.round(F.col("s") / F.sqrt(F.col("s2")), 6).alias("value"),
     )
+
+
+_CURRICULUM_SQL = f"""
+WITH q AS (SELECT doc_id, {QUALITY_SQL} AS quality FROM documents),
+ord AS (SELECT quality, row_number() OVER (ORDER BY quality) - 1 AS rn FROM q),
+n AS (SELECT count(*)::BIGINT AS c FROM q),
+th AS (SELECT
+  (SELECT quality FROM ord, n WHERE rn = floor(33 * (c - 1) / 100.0)) AS t33,
+  (SELECT quality FROM ord, n WHERE rn = floor(66 * (c - 1) / 100.0)) AS t66)
+SELECT q.doc_id, q.quality,
+       CASE WHEN q.quality >= th.t66 THEN 'warmup'
+            WHEN q.quality >= th.t33 THEN 'main'
+            ELSE 'anneal' END AS phase,
+       substr(md5('cur' || q.doc_id::VARCHAR), 1, 16) AS order_key
+FROM q, th
+"""
+
+
+@query("curriculum_phases", _CURRICULUM_SQL)
+def curriculum_phases_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-curriculum phase assignment (easy→hard training order):
+    terciles of the heuristic quality score split the corpus into
+    warmup/main/anneal phases, and a deterministic md5 order key shuffles
+    WITHIN each phase (the global_shuffle convention).
+
+    Scale shape: phase assignment is a scan-stage CASE against a
+    broadcast 1-row threshold frame; curriculum ordering at 100 TB is
+    (phase, order_key) — a sort key, not a materialized global sort.
+    Thresholds here use the exact floor-index percentile operator (the
+    oracle-parity tier: one single-column global ranking); at corpus
+    scale the drop-in replacement is the one-pass approx_percentile
+    sketch, already gated within 5% by percentile_sketch_gate."""
+    from hnsw_spark.functions.text import quality_score_w, words
+    from hnsw_spark.operators.evaluation import percentile_floor
+
+    d = load_table(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id",
+        quality_score_w(F.col("text"), words("text")).alias("quality"),
+    )
+    th = percentile_floor(q, "quality", [33, 66])
+    return q.crossJoin(F.broadcast(th)).select(
+        "doc_id",
+        "quality",
+        F.when(F.col("quality") >= F.col("p66"), "warmup")
+        .when(F.col("quality") >= F.col("p33"), "main")
+        .otherwise("anneal")
+        .alias("phase"),
+        F.substring(
+            F.md5(F.concat(F.lit("cur"), F.col("doc_id").cast("string"))), 1, 16
+        ).alias("order_key"),
+    )

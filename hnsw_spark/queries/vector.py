@@ -310,3 +310,73 @@ def knn_label_vote_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_label_vote(
         load_table(spark, sf_dir, "embeddings"), n_queries=64, k=K
     )
+
+
+_PCA_GATE_SQL = (
+    "SELECT CAST(1 AS BOOLEAN) AS trace_ok,"
+    " CAST(1 AS BOOLEAN) AS spectrum_ok,"
+    " CAST(1 AS BOOLEAN) AS whiten_ok"
+)
+
+
+@query("pca_gate", _PCA_GATE_SQL)
+def pca_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA over the embedding column (operators/pca.py: one mergeable
+    covariance pass, driver-side d×d eigh, broadcast projection pass),
+    self-gated by three independent cross-checks, each computed
+    DISTRIBUTIVELY so both vectorized passes are exercised end-to-end:
+
+    - trace_ok: Σ eigenvalues equals the total per-dimension variance
+      computed by an INDEPENDENT Catalyst posexplode + var_pop plan
+      (validates the mapInPandas covariance accumulation);
+    - spectrum_ok: the var_pop of each of the k=8 projected components
+      equals the corresponding eigenvalue (validates the projection);
+    - whiten_ok: whitened components all have unit variance.
+
+    Deterministic input → stable booleans (the gates compare within
+    1e-6 relative, far above float64 reduce noise, far below any real
+    defect)."""
+    from hnsw_spark.operators.pca import pca_fit, pca_transform
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = 8
+    model = pca_fit(emb, k=k)
+    evals = model["eigenvalues"]
+
+    dim_var = (
+        emb.select(F.posexplode("embedding").alias("j", "x"))
+        .groupBy("j")
+        .agg(F.var_pop(F.col("x").cast("double")).alias("v"))
+        .agg(F.sum("v").alias("total_var"))
+    )
+    trace = float(evals.sum())
+    trace_ok = dim_var.select(
+        (F.abs(F.col("total_var") - trace) <= 1e-6 * trace).alias("trace_ok")
+    )
+
+    proj = pca_transform(emb, model, out_col="pca")
+    comp_var = (
+        proj.select(F.posexplode("pca").alias("j", "x"))
+        .groupBy("j")
+        .agg(F.var_pop(F.col("x").cast("double")).alias("v"))
+    )
+    ev = spark.createDataFrame(
+        [(j, float(evals[j])) for j in range(k)], "j int, ev double"
+    )
+    spectrum_ok = (
+        comp_var.join(F.broadcast(ev), "j")
+        .agg(
+            (
+                F.max(F.abs(F.col("v") - F.col("ev")) / F.col("ev")) <= 1e-4
+            ).alias("spectrum_ok")
+        )
+    )
+
+    white = pca_transform(emb, model, out_col="pca", whiten=True)
+    whiten_ok = (
+        white.select(F.posexplode("pca").alias("j", "x"))
+        .groupBy("j")
+        .agg(F.var_pop(F.col("x").cast("double")).alias("v"))
+        .agg((F.max(F.abs(F.col("v") - 1.0)) <= 1e-4).alias("whiten_ok"))
+    )
+    return trace_ok.crossJoin(spectrum_ok).crossJoin(whiten_ok)

@@ -78,6 +78,8 @@ _RUN_FIRST = (
     "heavy_hitters_gate",
     "semantic_dedup",
     "semantic_dedup_gate",
+    "pca_gate",
+    "curriculum_phases",
 )
 _RUN_LAST = (
     "ann_ivf_knn",
