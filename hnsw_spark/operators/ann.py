@@ -645,3 +645,42 @@ def build_ivf_index(
         ).select("list_id", "id", "codes")
         params.update(pq_m=pq_m, pq_nbits=pq_nbits, pq_codebooks=books)
     return IVFIndex(assigned, centroids, metric, params=params)
+
+
+def merge_ivf_indexes(a: IVFIndex, b: IVFIndex) -> IVFIndex:
+    """Compact two IVF indexes into one — the segment-merge every
+    long-lived index needs (ingest builds small per-batch indexes; a merge
+    folds them into the serving index without retraining).
+
+    The FAISS ``merge_from`` contract (public knowledge): the merged index
+    keeps ``a``'s trained coarse quantizer, and ``b``'s vectors are
+    re-assigned to ``a``'s centroids so every row lands in a list the
+    serving quantizer can route to.  The plan is one scan of ``b`` (the
+    re-assignment scoring is the same scan-stage Catalyst kernel as
+    ``assign_lists``) plus a metadata-only union with ``a``'s assignment
+    table — ``a``'s rows are not touched, so merging a small delta into a
+    100 TB base index costs O(delta), not O(base).
+
+    Float32 stores only: quantized stores (int8/pq) carry codebooks trained
+    per-index, so their codes are not mutually decodable — re-encode
+    through the float path instead.
+    """
+    if a.metric != b.metric:
+        raise ValueError(f"metric mismatch: {a.metric!r} != {b.metric!r}")
+    for ix, name in ((a, "a"), (b, "b")):
+        if ix.params.get("store", "float32") != "float32":
+            raise ValueError(
+                f"merge requires store='float32' on both sides; {name} is "
+                f"{ix.params.get('store')!r}"
+            )
+    reassigned = assign_lists(
+        b.index_df.select("id", "vector"), a.centroids, a.metric
+    )
+    merged = a.index_df.select("list_id", "id", "vector").unionByName(
+        reassigned.select("list_id", "id", "vector")
+    )
+    params = dict(a.params)
+    params["merged_segments"] = int(a.params.get("merged_segments", 1)) + int(
+        b.params.get("merged_segments", 1)
+    )
+    return IVFIndex(merged, a.centroids, a.metric, params=params)

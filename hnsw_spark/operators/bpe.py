@@ -143,3 +143,64 @@ def bpe_train_py(
             new_vocab.append((out, f))
         vocab = new_vocab
     return merges
+
+
+def bpe_encode_words(
+    vocab: DataFrame, merges: list[tuple[str, str]], word_col: str = "word"
+) -> DataFrame:
+    """Encode each distinct word with a trained merge table: split to
+    characters, then replay every merge in learned rank order (each one the
+    same greedy left-to-right Catalyst fold used during training, so
+    encode(train corpus) reproduces the training segmentation exactly).
+
+    The merge table is driver-side (it is ``n_merges`` rows — tiny by
+    construction), so the whole encoder is one scan-stage column expression:
+    no shuffle, no UDF, and at 100 TB it runs over the DISTINCT word frame
+    (10⁶–10⁸ rows), never the raw corpus.
+
+    Returns ``vocab`` plus ``tokens array<string>``.
+    """
+    sym = F.split(F.col(word_col), "")
+    for a, b in merges:
+        sym = _apply_merge(sym, a, b)
+    return vocab.withColumn("tokens", sym)
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize the corpus with a trained BPE merge table.
+
+    Two-level plan mirroring ``bpe_train``'s scale design: encode the
+    distinct word vocabulary once (``bpe_encode_words``), then broadcast-
+    join the segmentation back onto the position-indexed corpus words and
+    reassemble each document in order — the corpus is scanned once and
+    never shuffled (the per-doc groupBy shuffles (id, pos, tokens) rows,
+    whose volume is the tokenized corpus itself; at larger vocabularies the
+    broadcast degrades gracefully to a shuffle join by dropping the hint).
+
+    Returns DataFrame[id_col, tokens array<string>, n_tokens int].
+    """
+    wpos = docs.select(
+        F.col(id_col), F.posexplode(words(text_col)).alias("pos", "word")
+    ).filter(F.col("word") != "")
+    vocab = wpos.select("word").distinct()
+    encoded = bpe_encode_words(vocab, merges)
+    return (
+        wpos.join(F.broadcast(encoded), "word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "tokens"))
+                    ),
+                    lambda s: s["tokens"],
+                )
+            ).alias("tokens")
+        )
+        .withColumn("n_tokens", F.size("tokens").cast("int"))
+    )

@@ -851,3 +851,59 @@ def zipf_stats(
             ).alias("cum_share"),
         )
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "ws1",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis &
+    Spirakis 2006, "Weighted random sampling with a reservoir" — public
+    knowledge): each row draws an exponential key ``-ln(u)/w`` from a pure
+    hash of its id and the ``n`` smallest keys win, which selects each row
+    with probability proportional to its weight.
+
+    This is the curation step that upsamples high-value documents (long,
+    high-quality, rare-language) into a fixed-size budget.  Determinism
+    and scale come from the same two moves as ``stratified_sample``:
+
+    - ``u`` is the md5 unit hash of (id, salt) — no RNG stream, so re-runs,
+      retries, and the SQL oracle agree row-for-row, and a different
+      ``salt`` draws an independent sample.
+    - The key is quantized to 1e-12 fixed point BEFORE ordering and the
+      (key_fp, id) pair is a total order, so the selection is insensitive
+      to sub-quantum libm drift across engines; the raw key is never
+      emitted.
+    - The ``n``-row cut is ``orderBy(...).limit(n)`` — Spark plans
+      TakeOrderedAndProject (per-partition top-``n`` heaps merged on the
+      driver), never a global sort, so the plan is one scan at any scale.
+
+    Returns DataFrame[sel_rank INT, <id_col>, weight BIGINT] in key order.
+    """
+    w = F.greatest(F.col(weight_col).cast("bigint"), F.lit(1))
+    # u in (0, 1]: (h + 1) / 2^32 with h the 32-bit md5 prefix
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(_HASH_SPACE)
+    key_fp = F.floor(-F.ln(u) / w.cast("double") * F.lit(1e12) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    picked = (
+        df.select(F.col(id_col), w.alias("weight"), key_fp.alias("_key"))
+        .orderBy("_key", id_col)
+        .limit(int(n))
+    )
+    rank_w = Window.orderBy("_key", id_col)
+    return picked.select(
+        F.row_number().over(rank_w).cast("int").alias("sel_rank"),
+        id_col,
+        "weight",
+    )

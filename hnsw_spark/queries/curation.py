@@ -440,3 +440,36 @@ def curriculum_phases_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.concat(F.lit("cur"), F.col("doc_id").cast("string"))), 1, 16
         ).alias("order_key"),
     )
+
+
+_WSAMPLE_N = 200
+
+_WSAMPLE_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         greatest(n_chars, 1) AS weight,
+         floor(-ln((('0x' || substr(md5(doc_id::VARCHAR || 'ws1'), 1, 8))::BIGINT + 1)
+                   / 4294967296.0)
+               / greatest(n_chars, 1) * 1e12 + 0.5)::BIGINT AS key_fp
+  FROM documents
+)
+SELECT row_number() OVER (ORDER BY key_fp, doc_id) AS sel_rank, doc_id, weight
+FROM keyed
+ORDER BY key_fp, doc_id
+LIMIT {_WSAMPLE_N}
+"""
+
+
+@query("weighted_sample", _WSAMPLE_SQL)
+def weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling without replacement: a fixed
+    200-document budget drawn with probability proportional to document
+    length (operators/curation.py:weighted_sample).  The exponential key
+    comes from the md5 unit hash — no RNG stream — and is quantized to
+    1e-12 fixed point before the (key, id) total order, so both engines
+    make the identical cut; the plan is one scan + TakeOrderedAndProject,
+    no global sort."""
+    from hnsw_spark.operators.curation import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample(docs, _WSAMPLE_N, weight_col="n_chars", salt="ws1")

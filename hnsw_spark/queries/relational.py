@@ -548,3 +548,97 @@ def event_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return funnel(ev, ["view", "click", "purchase"])
+
+
+@query(
+    "trade_volume_nation_pairs",
+    """
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       year(l.l_shipdate)::INT AS ship_year,
+       (sum(floor((l.l_extendedprice * (1 - l.l_discount)) * 10000.0 + 0.5)::BIGINT))::DOUBLE
+         / 10000.0 AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+WHERE sn.n_name < cn.n_name
+GROUP BY supp_nation, cust_nation, ship_year
+""",
+)
+def trade_volume_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: revenue flow between distinct nation pairs by ship
+    year — the 6-way join the optimizer must order well.
+
+    The one unavoidable big shuffle is lineitem ⋈ orders (both fact-sized,
+    co-keyed on orderkey — bucketing both on orderkey at write time makes
+    it shuffle-free).  supplier and both nation aliases are broadcast
+    (dim-sized at every scale); customer rides the orders side of the
+    shuffle.  The ``sn.n_name < cn.n_name`` pair filter applies before the
+    aggregation, and the final groupBy shuffles only partial aggregates
+    over (nation², year) — a few hundred groups at any corpus size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    sn = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+    )
+    return joined.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("int").alias("ship_year"),
+    ).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@query(
+    "order_priority_checking",
+    """
+SELECT o_orderpriority, count(*)::BIGINT AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+)
+GROUP BY o_orderpriority
+""",
+)
+def order_priority_checking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders having at least one line shipped after the
+    order date, counted by priority — the EXISTS / left-semi-join operator.
+
+    Spark plans the correlated EXISTS as a left-semi hash join on orderkey
+    (each order emitted at most once, probe stops at first match — never a
+    multiplying inner join), then aggregates partial counts over the five
+    priority groups.  The ship-after-order predicate must join both sides'
+    columns, so it evaluates as the semi-join condition; the semi-join
+    shuffle on orderkey is the plan's only fact-sized exchange (bucketing
+    both tables on orderkey removes it)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    matched = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return matched.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count")
+    )

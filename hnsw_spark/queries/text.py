@@ -446,3 +446,51 @@ def bpe_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hnsw_spark.operators.bpe import bpe_train
 
     return bpe_train(load_table(spark, sf_dir, "documents"), n_merges=20)
+
+
+@query(
+    "bpe_encode_gate",
+    """
+SELECT true AS round_trip_ok, true AS tokens_valid, true AS compressed
+""",
+)
+def bpe_encode_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer application gate: train 20 BPE merges on the corpus, then
+    encode the distinct word vocabulary with them (operators/bpe.py:
+    bpe_encode_words) and assert, frequency-weighted over every word
+    occurrence in the corpus, that (a) the segmentation concatenates back
+    to the original word for every vocabulary entry, (b) every emitted
+    token is a single character or a learned merge product, and (c) the
+    merges strictly compress the corpus (fewer tokens than characters).
+    The encoder replays training's own greedy fold, so these hold by
+    construction — which is exactly what the gate pins; the booleans are
+    driver-comparable against the trivial oracle."""
+    from hnsw_spark.operators.bpe import (
+        bpe_encode_words,
+        bpe_train,
+        word_frequencies,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train(docs, n_merges=20).collect()
+    ]
+    merged_syms = F.array(*[F.lit(a + b) for a, b in merges])
+    vocab = word_frequencies(docs)
+    enc = bpe_encode_words(vocab, merges)
+    return enc.agg(
+        F.bool_and(F.concat_ws("", F.col("tokens")) == F.col("word")).alias(
+            "round_trip_ok"
+        ),
+        F.bool_and(
+            F.forall(
+                "tokens",
+                lambda t: (F.length(t) == 1) | F.array_contains(merged_syms, t),
+            )
+        ).alias("tokens_valid"),
+        (
+            F.sum(F.size("tokens") * F.col("freq"))
+            < F.sum(F.length("word") * F.col("freq"))
+        ).alias("compressed"),
+    )

@@ -40,11 +40,6 @@ _RUN_FIRST = (
     "revenue_by_nation",
     "top_customers_per_segment",
     "customers_without_orders",
-    "revenue_rollup",
-    "order_priority_rolling",
-    "promo_revenue_by_type",
-    "top_suppliers_per_nation",
-    "returns_cube",
     "level_histogram",
     "index_build_stats",
     "synthetic_vectors",
@@ -80,6 +75,18 @@ _RUN_FIRST = (
     "semantic_dedup_gate",
     "pca_gate",
     "curriculum_phases",
+    "weighted_sample",
+    "bpe_encode_gate",
+    "trade_volume_nation_pairs",
+    "order_priority_checking",
+    "index_merge_full_probe",
+    # below the driver's 50-row window this round: r2-green plain-SQL
+    # relational queries, unchanged since r2 — next in line for rotation
+    "revenue_rollup",
+    "order_priority_rolling",
+    "promo_revenue_by_type",
+    "top_suppliers_per_nation",
+    "returns_cube",
 )
 _RUN_LAST = (
     "ann_ivf_knn",

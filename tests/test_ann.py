@@ -220,3 +220,36 @@ def test_pq_rejects_euclidean_and_indivisible_dim(spark, corpus):
         build_ivf_index(corpus, metric="euclidean", store="pq")
     with _pytest.raises(ValueError, match="not divisible"):
         build_ivf_index(corpus, metric="cosine", store="pq", pq_m=5)
+
+
+def test_merge_preserves_base_and_reassigns_delta(spark, corpus, queries):
+    from hnsw_spark.operators.ann import merge_ivf_indexes
+
+    base = build_ivf_index(corpus.filter(F.col("vec_id") % 2 == 0), n_lists=8)
+    delta = build_ivf_index(corpus.filter(F.col("vec_id") % 2 == 1), n_lists=4)
+    merged = merge_ivf_indexes(base, delta)
+    # serving quantizer is the base's; every corpus row present exactly once
+    assert merged.n_lists == 8
+    assert (merged.centroids == base.centroids).all()
+    assert merged.index_df.count() == 2000
+    assert merged.index_df.select("id").distinct().count() == 2000
+    # base rows keep their original list assignment (O(delta) merge: the
+    # base side is unioned untouched)
+    base_rows = {(r.id, r.list_id) for r in base.index_df.collect()}
+    merged_rows = {(r.id, r.list_id) for r in merged.index_df.collect()}
+    assert base_rows <= merged_rows
+    assert merged.params["merged_segments"] == 2
+    # full probe over the merged index = exact kNN over the union
+    assert _recall(spark, corpus, queries, merged, n_probe=8) == pytest.approx(1.0)
+
+
+def test_merge_rejects_mismatched_metric_and_store(spark, corpus):
+    from hnsw_spark.operators.ann import merge_ivf_indexes
+
+    cos = build_ivf_index(corpus, n_lists=4, metric="cosine")
+    euc = build_ivf_index(corpus, n_lists=4, metric="euclidean")
+    with pytest.raises(ValueError, match="metric"):
+        merge_ivf_indexes(cos, euc)
+    int8 = build_ivf_index(corpus, n_lists=4, store="int8")
+    with pytest.raises(ValueError, match="float32"):
+        merge_ivf_indexes(cos, int8)

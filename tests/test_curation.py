@@ -310,3 +310,42 @@ def test_strip_html_kernels(spark):
     assert out[5][0] == "plain text, no markup" and out[5][1] == 0.0
     assert out[6] == ("", 0.0)          # empty input: no div-by-zero
     assert out[0][1] > 0.5              # mostly markup
+
+
+def test_weighted_sample_deterministic_and_weight_sensitive(spark):
+    from hnsw_spark.operators.curation import weighted_sample
+
+    rows = [(i, 1 if i else 10_000_000) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = weighted_sample(df, 50, weight_col="w", salt="t1")
+    a = [(r.sel_rank, r.doc_id, r.weight) for r in got.collect()]
+    b = [(r.sel_rank, r.doc_id, r.weight) for r in got.collect()]
+    assert a == b and len(a) == 50
+    assert [r[0] for r in a] == list(range(1, 51))
+    # a weight 10^7 times everyone else's is effectively always drawn
+    assert any(r[1] == 0 for r in a)
+    # an independent salt draws a different sample
+    other = {
+        r.doc_id
+        for r in weighted_sample(df, 50, weight_col="w", salt="t2").collect()
+    }
+    assert other != {r[1] for r in a}
+
+
+def test_weighted_sample_rate_tracks_weight_share(spark):
+    from hnsw_spark.operators.curation import weighted_sample
+
+    # two strata, weights 9:1 — selection frequency must follow weight.
+    rows = [(i, 9 if i < 500 else 1) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    heavy_hits = sum(
+        sum(
+            1
+            for r in weighted_sample(df, 100, "w", salt=f"s{s}").collect()
+            if r.doc_id < 500
+        )
+        for s in range(5)
+    )
+    # E[heavy per draw] ≈ 87 of 100 (without-replacement, w=9 vs 1);
+    # 5 independent salts tighten the check
+    assert heavy_hits / 5 > 70
