@@ -907,3 +907,69 @@ def weighted_sample(
         id_col,
         "weight",
     )
+
+
+def embedding_outliers(
+    emb: DataFrame,
+    k_sigma: float = 2.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Embedding-space outlier detection: flag vectors whose euclidean
+    distance to their group centroid exceeds mean + ``k_sigma``·σ of the
+    group's distance distribution — the standard first-pass screen for
+    mislabeled / corrupted rows before embeddings feed contrastive
+    training or ANN serving.
+
+    Three passes, all skinny: (1) centroids via posexplode + per-(label,
+    dim) fixed-point mean — the shuffle carries groups×dim partial
+    aggregates, not vectors; (2) distances as one scan with the centroid
+    table (groups×dim values) broadcast; (3) per-group mean/σ as a second
+    partial-agg shuffle of two quantized sums, broadcast back for the
+    flag.  Every aggregate uses the ``dsum`` fixed-point convention, so
+    the threshold — and therefore the flagged set — is engine-invariant
+    at any partitioning.
+
+    Returns DataFrame[id_col, label_col, dist, threshold] for flagged
+    rows (dist/threshold rounded to 6).
+    """
+    from hnsw_spark.functions.similarity import euclidean_distance
+    from hnsw_spark.operators.evaluation import davg
+
+    pos = emb.select(
+        F.col(label_col), F.col(id_col), F.posexplode(vec_col).alias("pos", "v")
+    )
+    cent = pos.groupBy(label_col, "pos").agg(davg("v", 6).alias("c"))
+    cent_arr = cent.groupBy(label_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("_cent")
+    )
+    d = emb.join(F.broadcast(cent_arr), label_col).select(
+        F.col(id_col),
+        F.col(label_col),
+        euclidean_distance(F.col(vec_col), F.col("_cent")).alias("_d"),
+    )
+    stats = (
+        d.groupBy(label_col)
+        .agg(
+            davg("_d", 6).alias("_mean"),
+            davg(F.col("_d") * F.col("_d"), 6).alias("_m2"),
+        )
+        .withColumn(
+            "_sd",
+            F.sqrt(F.greatest(F.col("_m2") - F.col("_mean") * F.col("_mean"), F.lit(0.0))),
+        )
+    )
+    thr = F.col("_mean") + F.lit(float(k_sigma)) * F.col("_sd")
+    return (
+        d.join(F.broadcast(stats), label_col)
+        .filter(F.col("_d") > thr)
+        .select(
+            id_col,
+            label_col,
+            F.round("_d", 6).alias("dist"),
+            F.round(thr, 6).alias("threshold"),
+        )
+    )

@@ -473,3 +473,52 @@ def weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return weighted_sample(docs, _WSAMPLE_N, weight_col="n_chars", salt="ws1")
+
+
+_OUTLIER_SQL = """
+WITH pos AS (
+  SELECT label, vec_id, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+),
+cent AS (
+  SELECT label, pos,
+         (sum(floor(v::DOUBLE * 1000000.0 + 0.5)::BIGINT))::DOUBLE / 1000000.0
+           / count(*) AS c
+  FROM pos GROUP BY label, pos
+),
+cent_arr AS (SELECT label, list(c ORDER BY pos) AS cent FROM cent GROUP BY label),
+d AS (
+  SELECT e.vec_id, e.label, list_distance(e.embedding::DOUBLE[], ca.cent) AS d
+  FROM embeddings e JOIN cent_arr ca ON e.label = ca.label
+),
+st AS (
+  SELECT label,
+         (sum(floor(d * 1000000.0 + 0.5)::BIGINT))::DOUBLE / 1000000.0
+           / count(*) AS mean_d,
+         (sum(floor(d * d * 1000000.0 + 0.5)::BIGINT))::DOUBLE / 1000000.0
+           / count(*) AS m2
+  FROM d GROUP BY label
+),
+thr AS (
+  SELECT label, mean_d, sqrt(greatest(m2 - mean_d * mean_d, 0.0)) AS sd FROM st
+)
+SELECT d.vec_id, d.label, round(d.d, 6) AS dist,
+       round(t.mean_d + 2.0 * t.sd, 6) AS threshold
+FROM d JOIN thr t ON d.label = t.label
+WHERE d.d > t.mean_d + 2.0 * t.sd
+"""
+
+
+@query("embedding_outliers", _OUTLIER_SQL)
+def embedding_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outlier screen (operators/curation.py:
+    embedding_outliers): vectors farther than mean + 2σ from their label
+    centroid.  Centroids, distance moments, and therefore the flag
+    threshold all use the dsum fixed-point convention, so the flagged set
+    is identical across engines and partitionings — the oracle recomputes
+    the whole chain from first principles."""
+    from hnsw_spark.operators.curation import embedding_outliers
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_outliers(emb, k_sigma=2.0)

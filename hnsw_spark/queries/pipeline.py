@@ -539,3 +539,64 @@ def crawl_pipeline_end_to_end_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(bpe_token_count("text")).alias("total_tokens"),
     )
+
+
+@query(
+    "pagerank_gate",
+    """
+SELECT true AS mass_ok, true AS all_positive, true AS contracting,
+       true AS stable_top
+""",
+)
+def pagerank_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph authority scoring (operators/pagerank.py): build the
+    k-NN similarity digraph over the embeddings (each vector links to its
+    5 nearest cosine neighbors — the similarity-graph stand-in for a crawl
+    link graph), run 8 dangling-aware power iterations plus two probe
+    steps warm-started off the chain, and assert the invariants that pin
+    the implementation: probability mass conserved (|Σr − 1| < 1e-9),
+    strict positivity, and the theoretical L1 contraction — each power
+    step must shrink the update by at least the damping factor
+    (‖r₁₀−r₉‖₁ ≤ 0.85·‖r₉−r₈‖₁), which holds for a correct
+    dangling-aware transition matrix and fails for mass-leaking ones —
+    plus a stable argmax across the probe.  Exact per-rank parity with a
+    sequential reference is pinned in tests/test_pagerank.py; the
+    booleans are driver-comparable against the trivial oracle."""
+    from hnsw_spark.operators.knn import knn_exact
+    from hnsw_spark.operators.pagerank import pagerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nn = knn_exact(emb, emb, k=6, metric="cosine").filter(
+        F.col("query_id") != F.col("id")
+    )
+    edges = nn.select(
+        F.col("query_id").alias("src"), F.col("id").alias("dst")
+    ).localCheckpoint()  # the graph is input to 3 pagerank calls — build once
+    r0 = pagerank(edges, n_iter=8).localCheckpoint()
+    r1 = pagerank(edges, n_iter=1, init=r0).localCheckpoint()
+    r2 = pagerank(edges, n_iter=1, init=r1).localCheckpoint()
+    joined = (
+        r0.withColumnRenamed("rank", "r0")
+        .join(r1.withColumnRenamed("rank", "r1"), "id")
+        .join(r2.withColumnRenamed("rank", "r2"), "id")
+    )
+    top1 = r1.orderBy(F.desc("rank"), "id").limit(1)
+    top2 = r2.orderBy(F.desc("rank"), "id").limit(1)
+    tops = top1.select(F.col("id").alias("ta")).crossJoin(
+        top2.select(F.col("id").alias("tb"))
+    )
+    return (
+        r2.agg(
+            (F.abs(F.sum("rank") - 1.0) < 1e-9).alias("mass_ok"),
+            (F.min("rank") > 0.0).alias("all_positive"),
+        )
+        .crossJoin(
+            joined.agg(
+                (
+                    F.sum(F.abs(F.col("r2") - F.col("r1")))
+                    <= 0.85 * F.sum(F.abs(F.col("r1") - F.col("r0"))) + 1e-12
+                ).alias("contracting")
+            )
+        )
+        .crossJoin(tops.select((F.col("ta") == F.col("tb")).alias("stable_top")))
+    )

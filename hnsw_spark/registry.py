@@ -38,8 +38,6 @@ _RUN_FIRST = (
     # r2-only evidence: relational block + index/source stats
     "tpch_q1_pricing_summary",
     "revenue_by_nation",
-    "top_customers_per_segment",
-    "customers_without_orders",
     "level_histogram",
     "index_build_stats",
     "synthetic_vectors",
@@ -80,8 +78,12 @@ _RUN_FIRST = (
     "trade_volume_nation_pairs",
     "order_priority_checking",
     "index_merge_full_probe",
+    "embedding_outliers",
+    "pagerank_gate",
     # below the driver's 50-row window this round: r2-green plain-SQL
     # relational queries, unchanged since r2 — next in line for rotation
+    "top_customers_per_segment",
+    "customers_without_orders",
     "revenue_rollup",
     "order_priority_rolling",
     "promo_revenue_by_type",
