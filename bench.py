@@ -81,6 +81,14 @@ HEADLINE = [
     "bpe_merges",
     "pca_gate",
     "curriculum_phases",
+    "weighted_sample",
+    "trade_volume_nation_pairs",
+    "order_priority_checking",
+    "embedding_outliers",
+    "index_merge_full_probe",
+    # NOT benched: bpe_encode_gate (BPE training cost already measured by
+    # the bpe_merges cell) and pagerank_gate (wall is the O(n²) exact-kNN
+    # graph build, not the operator under test)
 ]
 
 

@@ -946,10 +946,19 @@ def embedding_outliers(
             F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
         ).alias("_cent")
     )
-    d = emb.join(F.broadcast(cent_arr), label_col).select(
-        F.col(id_col),
-        F.col(label_col),
-        euclidean_distance(F.col(vec_col), F.col("_cent")).alias("_d"),
+    from pyspark.storagelevel import StorageLevel
+
+    # the skinny (id, label, dist) frame feeds BOTH the moment aggregation
+    # and the flag filter — persist it so the corpus is scanned once for
+    # distances, not once per consumer
+    d = (
+        emb.join(F.broadcast(cent_arr), label_col)
+        .select(
+            F.col(id_col),
+            F.col(label_col),
+            euclidean_distance(F.col(vec_col), F.col("_cent")).alias("_d"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     stats = (
         d.groupBy(label_col)
