@@ -51,3 +51,44 @@ def reconstruction_error(vec: Column | str, qvec: Column, scale: Column) -> Colu
             _dbl(vec), qvec, lambda a, b: F.abs(a - b.cast("double") * scale)
         )
     )
+
+
+BITS_PER_WORD = 32
+
+
+def binarize(vec: Column | str, dim: int) -> Column:
+    """Sign-bit pack: ``array<bigint>`` of ⌈dim/32⌉ 32-bit words; bit j of
+    word w is set iff v[32w+j] > 0.
+
+    1 bit/dim is the extreme ANN compression tier (32× vs float32): a 100 TB
+    float corpus becomes ~3 TB of codes that fit executor memory, and Hamming
+    distance over the codes is pure integer XOR+popcount inside whole-stage
+    codegen — no Python, no floats, no shuffle.  32-bit words (not 64) keep
+    every per-word value < 2³¹ so the same packing is exactly reproducible
+    in engines whose only integer is a signed BIGINT.
+    """
+    n_words = (dim + BITS_PER_WORD - 1) // BITS_PER_WORD
+    v = _dbl(vec)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_words - 1)),
+        lambda w: F.aggregate(
+            F.sequence(F.lit(0), F.lit(BITS_PER_WORD - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, j: F.when(
+                (w * BITS_PER_WORD + j < F.size(v))
+                & (F.get(v, w * BITS_PER_WORD + j) > 0.0),
+                acc + F.pow(F.lit(2.0), j).cast("long"),
+            ).otherwise(acc),
+        ),
+    )
+
+
+def hamming_distance(a: Column | str, b: Column | str) -> Column:
+    """Hamming distance between two packed codes: Σ popcount(aᵢ ⊕ bᵢ)."""
+    ac = F.col(a) if isinstance(a, str) else a
+    bc = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(ac, bc, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x.cast("long"),
+    )

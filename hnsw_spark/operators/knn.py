@@ -268,3 +268,104 @@ def knn_label_vote(
             F.round("_best", 6).alias("best_score"),
         )
     )
+
+
+def knn_hamming_rerank(
+    base: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    rerank: int = 50,
+    dim: int = 64,
+    metric: str = "cosine",
+    *,
+    base_id: str = "vec_id",
+    base_vec: str = "embedding",
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+) -> DataFrame:
+    """Binary-quantized two-stage search: Hamming-distance candidate scan
+    over 1-bit sign codes, then exact re-rank of the top ``rerank``
+    candidates per query.  DataFrame[(query_id, id, hamming, score)].
+
+    This is the 32×-compression tier of the ANN ladder (codes for a 100 TB
+    float32 corpus fit in ~3 TB): stage 1 touches only ``array<bigint>``
+    codes with XOR+popcount inside whole-stage codegen — the float vectors
+    are read ONLY for the Q×rerank candidate rows in stage 2, never for the
+    full corpus.  Both stages break ties by ascending id (Hamming ties by
+    id in stage 1; score ties by id in stage 2), so the result is exactly
+    reproducible by any engine from the same codes.
+    """
+    from hnsw_spark.functions.quantize import binarize, hamming_distance
+    from hnsw_spark.functions.similarity import get_metric
+
+    if k <= 0:
+        return base.sparkSession.createDataFrame([], _RESULT_SCHEMA)
+    sim = get_metric(metric)
+    b = base.select(
+        F.col(base_id).cast("long").alias("id"),
+        F.col(base_vec).alias("_bvec"),
+        binarize(base_vec, dim).alias("_bcode"),
+    )
+    q = queries.select(
+        F.col(query_id).cast("long").alias("query_id"),
+        F.col(query_vec).alias("_qvec"),
+        binarize(query_vec, dim).alias("_qcode"),
+    )
+    cand = b.crossJoin(F.broadcast(q)).select(
+        "query_id", "id", "_qvec", "_bvec",
+        hamming_distance("_qcode", "_bcode").alias("hamming"),
+    )
+    cw = Window.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("id"))
+    shortlist = (
+        cand.withColumn("_cr", F.row_number().over(cw))
+        .filter(F.col("_cr") <= rerank)
+        .drop("_cr")
+    )
+    rescored = shortlist.select(
+        "query_id", "id", "hamming", sim("_qvec", "_bvec").alias("score")
+    )
+    return _topk_window(rescored, k).select("query_id", "id", "hamming", "score")
+
+
+def mutual_knn_pairs(
+    emb: DataFrame,
+    k: int = 10,
+    metric: str = "cosine",
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Reciprocal-nearest-neighbor graph: unordered pairs (id_a < id_b)
+    where each vector is in the OTHER's top-k (self excluded).
+    DataFrame[(id_a, id_b, rank_ab, rank_ba, score)].
+
+    Mutual-kNN is the standard noise-robust edge set for embedding
+    clustering and semantic dedup (a one-directional top-k edge to a hub
+    vector is usually spurious; a reciprocal edge rarely is).  Plan: one
+    top-(k+1) pass (self-match dropped, re-ranked to k), then an
+    equi-self-join on the reversed key — the join is on (query_id, id),
+    cardinality N×k, never N².  At scale the first stage swaps to the
+    ANN/local_merge tier unchanged.
+    """
+    top = knn_exact(
+        emb, emb, k=k + 1, metric=metric,
+        base_id=id_col, base_vec=vec_col, query_id=id_col, query_vec=vec_col,
+    ).filter(F.col("id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("id"))
+    ranked = top.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    fwd = ranked.select(
+        F.col("query_id").alias("id_a"),
+        F.col("id").alias("id_b"),
+        F.col("rank").alias("rank_ab"),
+        "score",
+    ).filter(F.col("id_a") < F.col("id_b"))
+    rev = ranked.select(
+        F.col("id").alias("id_a"),
+        F.col("query_id").alias("id_b"),
+        F.col("rank").alias("rank_ba"),
+    ).filter(F.col("id_a") < F.col("id_b"))
+    return fwd.join(rev, ["id_a", "id_b"]).select(
+        "id_a", "id_b", "rank_ab", "rank_ba", "score"
+    )

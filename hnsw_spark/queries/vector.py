@@ -380,3 +380,105 @@ def pca_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.max(F.abs(F.col("v") - 1.0)) <= 1e-4).alias("whiten_ok"))
     )
     return trace_ok.crossJoin(spectrum_ok).crossJoin(whiten_ok)
+
+
+_HAMMING_NW = (_JL_DIN + 31) // 32
+_HAMMING_RERANK = 50
+
+_HAMMING_SQL = f"""
+WITH b AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+), c AS (
+  SELECT id, v,
+         list_transform(generate_series(0, {_HAMMING_NW - 1}), w ->
+           list_sum(list_transform(generate_series(0, 31), j ->
+             CASE WHEN w*32 + j + 1 <= len(v) AND v[w*32 + j + 1] > 0
+                  THEN power(2, j)::BIGINT ELSE 0 END))::BIGINT) AS code
+  FROM b
+), q AS (
+  SELECT id AS query_id, v AS qv, code AS qc FROM c WHERE id < {N_QUERIES}
+), h AS (
+  SELECT q.query_id, c.id, c.v AS bv, q.qv,
+         list_sum(list_transform(generate_series(1, {_HAMMING_NW}), i ->
+           bit_count(xor(q.qc[i], c.code[i]))))::BIGINT AS hamming
+  FROM q CROSS JOIN c
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY hamming, id) AS rn
+  FROM h
+), cand AS (
+  SELECT * FROM r WHERE rn <= {_HAMMING_RERANK}
+), s AS (
+  SELECT query_id, id, hamming, {_COSINE_EXPR} AS sc FROM cand
+), f AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sc DESC, id) AS fr
+  FROM s
+)
+SELECT query_id, id, hamming, round(sc, 6) AS score
+FROM f WHERE fr <= {K}
+"""
+
+
+@query("knn_hamming_rerank", _HAMMING_SQL)
+def knn_hamming_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization search tier: 1-bit sign codes (32× compression,
+    functions/quantize.py:binarize), Hamming-distance candidate scan via
+    XOR+popcount entirely in whole-stage codegen, exact cosine re-rank of
+    the top-50 shortlist.  Stage 1 never touches a float; stage 2 touches
+    floats for only Q×50 rows.  Both stages tie-break by ascending id, so
+    the DuckDB oracle reproduces the exact candidate set and ranking from
+    the same packed words (32-bit words keep values < 2³¹ — BIGINT-safe in
+    both engines)."""
+    from hnsw_spark.operators.knn import knn_hamming_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < N_QUERIES)
+    res = knn_hamming_rerank(
+        emb, qs, k=K, rerank=_HAMMING_RERANK, dim=_JL_DIN
+    )
+    return res.select(
+        "query_id", "id", "hamming", F.round("score", 6).alias("score")
+    )
+
+
+_MUTUAL_SQL = """
+WITH base AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+), s AS (
+  SELECT x.id AS qid, y.id AS nid,
+         list_dot_product(x.v, y.v)
+           / (sqrt(list_dot_product(x.v, x.v))
+              * sqrt(list_dot_product(y.v, y.v))) AS sc
+  FROM base x JOIN base y ON y.id <> x.id
+), r AS (
+  SELECT qid, nid, sc,
+         row_number() OVER (PARTITION BY qid ORDER BY sc DESC, nid) AS rn
+  FROM s
+), t AS (
+  SELECT * FROM r WHERE rn <= 10
+), fwd AS (
+  SELECT qid AS id_a, nid AS id_b, rn AS rank_ab, sc FROM t WHERE qid < nid
+), rev AS (
+  SELECT nid AS id_a, qid AS id_b, rn AS rank_ba FROM t WHERE nid < qid
+)
+SELECT id_a, id_b, rank_ab, rank_ba, round(sc, 6) AS score
+FROM fwd JOIN rev USING (id_a, id_b)
+"""
+
+
+@query("mutual_knn_pairs", _MUTUAL_SQL)
+def mutual_knn_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-nearest-neighbor graph over the whole embedding table
+    (k=10 cosine, self excluded): pairs where each side is in the other's
+    top-k — the noise-robust edge set for embedding clustering / semantic
+    dedup (operators/knn.py:mutual_knn_pairs).  One top-k pass, then an
+    (id, id) equi-self-join of cardinality N×k — never N²."""
+    from hnsw_spark.operators.knn import mutual_knn_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = mutual_knn_pairs(emb, k=K)
+    return res.select(
+        "id_a", "id_b", "rank_ab", "rank_ba",
+        F.round("score", 6).alias("score"),
+    )
