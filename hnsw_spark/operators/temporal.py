@@ -135,3 +135,65 @@ def funnel(
         cur = cur.join(nxt, by, "left")
         prev_t = f"t_{step}"
     return cur
+
+
+def interval_join(
+    left: DataFrame,
+    windows: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "w_start",
+    end_col: str = "w_end",
+    bin_seconds: int = 3600,
+    broadcast_windows: bool = True,
+) -> DataFrame:
+    """Interval (range) join: each left row joins every window with
+    ``start <= ts < end`` — the point-in-interval enrichment primitive
+    (events → campaign windows, sessions, maintenance periods, SLA bands).
+    Windows may overlap; a left row can match several.
+
+    Scale design: the naive non-equi join is a BroadcastNestedLoopJoin —
+    every event probes every window, O(N·W).  Instead both sides gain an
+    integer time-bin key: a window EXPLODES to one row per ``bin_seconds``
+    bucket it covers, an event maps to exactly ONE bucket, and the join
+    becomes an equi-join on the bin followed by the residual range
+    predicate.  Each matching (event, window) pair meets in exactly one
+    bin — the event's — so no post-join dedup is needed.  Cost:
+    O(N + W·span/bin) join input instead of O(N·W) comparisons; with
+    ``broadcast_windows`` (the common case — window tables are tiny) the
+    plan is shuffle-free on the event side.  Pick ``bin_seconds`` near the
+    typical window span so windows explode to O(1) buckets each.
+    """
+    lt = left.schema[ts_col].dataType.simpleString()
+    epoch0 = (
+        "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+        if lt == "timestamp_ntz"
+        else "TIMESTAMP '1970-01-01 00:00:00'"
+    )
+
+    def _bin(col_name: str) -> Column:
+        return F.floor(
+            F.expr(f"timestampdiff(SECOND, {epoch0}, {col_name})")
+            / F.lit(bin_seconds)
+        )
+
+    w_exploded = windows.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                _bin(start_col),
+                # end-exclusive: a window ending exactly on a bin boundary
+                # does not reach into that bin
+                F.floor(
+                    (F.expr(f"timestampdiff(SECOND, {epoch0}, {end_col})") - 1)
+                    / F.lit(bin_seconds)
+                ),
+            )
+        ),
+    )
+    if broadcast_windows:
+        w_exploded = F.broadcast(w_exploded)
+    ev = left.withColumn("_bin", _bin(ts_col))
+    joined = ev.join(w_exploded, "_bin").filter(
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+    )
+    return joined.drop("_bin")

@@ -642,3 +642,112 @@ def order_priority_checking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matched.groupBy("o_orderpriority").agg(
         F.count("*").alias("order_count")
     )
+
+
+_WINDOWS_N = 24
+
+_INTERVAL_JOIN_SQL = f"""
+WITH m AS (SELECT min(ts) AS t0 FROM events),
+w AS (
+  SELECT g.i AS window_id,
+         t0 + to_minutes((g.i * 30)::BIGINT) AS ws,
+         t0 + to_minutes((g.i * 30 + 60)::BIGINT) AS we
+  FROM m, (SELECT unnest(generate_series(0, {_WINDOWS_N - 1})) AS i) g
+),
+j AS (
+  SELECT w.window_id, e.value
+  FROM w JOIN events e ON e.ts >= w.ws AND e.ts < w.we
+)
+SELECT window_id, count(*)::BIGINT AS n_events,
+       (sum(floor(value * 10000.0 + 0.5)::BIGINT))::DOUBLE / 10000.0 AS sum_value
+FROM j GROUP BY window_id
+"""
+
+
+@query("events_in_windows", _INTERVAL_JOIN_SQL)
+def events_in_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: events against 24 OVERLAPPING one-hour
+    windows starting every 30 minutes from the corpus min timestamp, then
+    a per-window rollup (operators/temporal.py:interval_join).
+
+    The scale story is the plan shape: instead of the non-equi-join
+    BroadcastNestedLoop (every event × every window), both sides get an
+    integer time-bin key — windows explode to the bins they cover and are
+    broadcast; events map to exactly one bin — so the join is a broadcast
+    equi-join plus a residual range filter, shuffle-free on the event side.
+    Overlap factor 2 proves the operator handles genuinely interval (not
+    bucketable-by-floor) semantics; the fixed-point sum keeps the rollup
+    engine-invariant."""
+    from hnsw_spark.operators.temporal import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    t0 = ev.agg(F.min("ts").alias("t0"))
+    wins = (
+        spark.range(_WINDOWS_N)
+        .withColumnRenamed("id", "window_id")
+        .crossJoin(F.broadcast(t0))
+        .select(
+            "window_id",
+            F.expr(
+                "timestampadd(MINUTE, CAST(window_id * 30 AS INT), t0)"
+            ).alias("w_start"),
+            F.expr(
+                "timestampadd(MINUTE, CAST(window_id * 30 + 60 AS INT), t0)"
+            ).alias("w_end"),
+        )
+    )
+    joined = interval_join(ev, wins, bin_seconds=1800)
+    return joined.groupBy("window_id").agg(
+        F.count("*").alias("n_events"),
+        dsum("value").alias("sum_value"),
+    )
+
+
+_Q19_SQL = """
+SELECT (sum(floor((l_extendedprice * (1 - l_discount)) * 10000.0 + 0.5)::BIGINT))::DOUBLE / 10000.0 AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@query("discounted_revenue_filters", _Q19_SQL)
+def discounted_revenue_filters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate that spans
+    BOTH join sides (brand/size from part, quantity from lineitem).
+
+    Catalyst cannot push a cross-table disjunction below the join, so the
+    operator derives the IMPLIED single-side prefilters by hand — the
+    classic Q19 rewrite: brand ∈ {12,23,3} ∧ size ∈ [1,35] prunes the part
+    scan, quantity ∈ [1,30] prunes the lineitem scan — then re-applies the
+    exact disjunction post-join.  At 100 TB the prefilters are the whole
+    game: they reach the parquet scans (PushedFilters), cutting the join
+    input by ~an order of magnitude before a single row is joined; the
+    part side stays a broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").between(1, 30)
+    )
+    pt = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#3")
+        & F.col("p_size").between(1, 35)
+    )
+    qty, brand, size = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    branch = (
+        ((brand == "Brand#12") & size.between(1, 15) & qty.between(1, 11))
+        | ((brand == "Brand#23") & size.between(1, 25) & qty.between(10, 20))
+        | ((brand == "Brand#3") & size.between(1, 35) & qty.between(20, 30))
+    )
+    joined = li.join(
+        F.broadcast(pt), F.col("p_partkey") == F.col("l_partkey")
+    ).filter(branch)
+    return joined.agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_items"),
+    )

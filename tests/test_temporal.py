@@ -76,3 +76,80 @@ def test_asof_struct_payload_is_atomic(spark):
     )
     row = asof_join(left, right, on="ts", by="k").collect()[0]
     assert row.tag == "new" and row.score is None
+
+
+def _ts_df(spark, rows, schema):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    return spark.createDataFrame(rows, schema)
+
+
+def test_interval_join_matches_naive_range_join(spark):
+    """Bin-bucketed plan == naive non-equi join, windows overlapping and
+    spanning multiple bins."""
+    import datetime as dt
+
+    from hnsw_spark.operators.temporal import interval_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    events = spark.createDataFrame(
+        [(i, t0 + dt.timedelta(minutes=7 * i)) for i in range(40)],
+        "event_id long, ts timestamp_ntz",
+    )
+    wins = spark.createDataFrame(
+        [
+            (w, t0 + dt.timedelta(minutes=30 * w), t0 + dt.timedelta(minutes=30 * w + 75))
+            for w in range(6)
+        ],
+        "window_id long, w_start timestamp_ntz, w_end timestamp_ntz",
+    )
+    got = {
+        (r.event_id, r.window_id)
+        for r in interval_join(events, wins, bin_seconds=600).collect()
+    }
+    naive = {
+        (r.event_id, r.window_id)
+        for r in events.join(
+            wins,
+            (events.ts >= wins.w_start) & (events.ts < wins.w_end),
+        ).collect()
+    }
+    assert got == naive and len(got) > 40  # overlap: avg >1 window/event
+
+
+def test_interval_join_end_exclusive_on_bin_boundary(spark):
+    import datetime as dt
+
+    from hnsw_spark.operators.temporal import interval_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    events = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(seconds=3600))], "event_id long, ts timestamp_ntz"
+    )
+    # window ends exactly at the event's timestamp -> no match (end-exclusive)
+    wins = spark.createDataFrame(
+        [(1, t0, t0 + dt.timedelta(seconds=3600))],
+        "window_id long, w_start timestamp_ntz, w_end timestamp_ntz",
+    )
+    assert interval_join(events, wins, bin_seconds=600).count() == 0
+
+
+def test_interval_join_plan_has_no_nested_loop(spark):
+    """The scale contract: equi-join on the bin key, not
+    BroadcastNestedLoopJoin."""
+    import datetime as dt
+
+    from hnsw_spark.operators.temporal import interval_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    events = spark.createDataFrame(
+        [(i, t0 + dt.timedelta(minutes=i)) for i in range(10)],
+        "event_id long, ts timestamp_ntz",
+    )
+    wins = spark.createDataFrame(
+        [(0, t0, t0 + dt.timedelta(hours=1))],
+        "window_id long, w_start timestamp_ntz, w_end timestamp_ntz",
+    )
+    plan = interval_join(events, wins)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
