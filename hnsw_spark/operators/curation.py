@@ -982,3 +982,95 @@ def embedding_outliers(
             F.round(thr, 6).alias("threshold"),
         )
     )
+
+
+def token_budget_select(
+    docs: DataFrame,
+    budget_fraction: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1000,
+) -> DataFrame:
+    """Quality-greedy corpus selection under a token budget: take documents
+    in (quality DESC, id ASC) order while the running token total stays
+    within ``budget_fraction`` of the corpus total — the "best N tokens"
+    step that sizes a training mix.  Returns every document with
+    DataFrame[(id, tokens, quality, selected)].
+
+    Scale design: the textbook formulation is a GLOBAL sort + running sum —
+    a total-order window that single-threads 100 TB through one task.
+    Instead, selection-by-threshold in two cheap passes, still EXACT:
+
+    1. bucket each doc by quantized quality (``floor(q·buckets)``, ≤ 1001
+       keys) and aggregate per-bucket token totals — one partial-agg
+       shuffle of ≤ 1001 skinny rows, collected to the driver (bounded);
+    2. walk buckets best-first to find the boundary bucket where the
+       cumulative total crosses the budget: better buckets are selected
+       wholesale, worse rejected wholesale — no per-row ordering at all;
+       only the boundary bucket (~1/buckets of the corpus) pays a window,
+       ordered by (quality DESC, id), seeded with the better-buckets'
+       running total.
+
+    Exact because bucket order refines quality order (quality is already
+    quantized to 1e-6 by ``quality_score``), and the in-bucket window
+    reproduces the global greedy order within the one bucket where the
+    cut falls.
+    """
+    from hnsw_spark.functions.text import quality_score_w, words
+
+    base = docs.select(
+        F.col(id_col),
+        F.size(words(text_col)).cast("long").alias("tokens"),
+        quality_score_w(F.col(text_col), words(text_col)).alias("quality"),
+    ).withColumn(
+        "_bucket", F.floor(F.col("quality") * n_buckets).cast("int")
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # pass 1: <= n_buckets+1 rows to the driver (bounded by construction)
+    totals = {
+        r._bucket: r.t
+        for r in base.groupBy("_bucket")
+        .agg(F.sum("tokens").alias("t"))
+        .collect()
+    }
+    grand_total = sum(totals.values())
+    budget = int(grand_total * budget_fraction)
+
+    cum = 0
+    boundary, prefix = None, 0
+    for b in sorted(totals, reverse=True):
+        if cum + totals[b] > budget:
+            boundary, prefix = b, cum
+            break
+        cum += totals[b]
+    if boundary is None:
+        # the whole corpus fits: everything is selected
+        return base.select(
+            id_col, "tokens", "quality", F.lit(True).alias("selected")
+        )
+
+    # pass 2: window over ONLY the boundary bucket's rows (the filters cut
+    # the other buckets before the exchange), seeded with the
+    # already-accepted prefix total
+    cols = [id_col, "tokens", "quality"]
+    sel_hi = base.filter(F.col("_bucket") > boundary).select(
+        *cols, F.lit(True).alias("selected")
+    )
+    sel_lo = base.filter(F.col("_bucket") < boundary).select(
+        *cols, F.lit(False).alias("selected")
+    )
+    bw = (
+        Window.partitionBy(F.lit(0))
+        .orderBy(F.desc("quality"), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bnd = base.filter(F.col("_bucket") == boundary).select(
+        *cols,
+        ((F.sum("tokens").over(bw) + F.lit(prefix)) <= F.lit(budget)).alias(
+            "selected"
+        ),
+    )
+    return sel_hi.unionByName(bnd).unionByName(sel_lo)

@@ -522,3 +522,34 @@ def embedding_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_outliers(emb, k_sigma=2.0)
+
+
+_TOKEN_BUDGET_SQL = f"""
+WITH d AS (
+  SELECT doc_id, len({_W})::BIGINT AS tokens, {QUALITY_SQL} AS quality
+  FROM documents
+), b AS (
+  SELECT (sum(tokens)::BIGINT // 2) AS budget FROM d
+), o AS (
+  SELECT doc_id, tokens, quality,
+         sum(tokens) OVER (ORDER BY quality DESC, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)::BIGINT AS cum
+  FROM d
+)
+SELECT doc_id, tokens, quality, (cum <= budget) AS selected FROM o, b
+"""
+
+
+@query("token_budget_selection", _TOKEN_BUDGET_SQL)
+def token_budget_selection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-greedy selection of the best half of the corpus by token
+    budget (operators/curation.py:token_budget_select).  The oracle is the
+    textbook global-sort running sum; the Spark plan is the two-pass
+    bucket-threshold equivalent — per-bucket totals (≤1001 driver rows) to
+    locate the cut, a window over ONLY the boundary bucket — which selects
+    the EXACT same set without ever totally ordering the corpus."""
+    from hnsw_spark.operators.curation import token_budget_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_budget_select(docs, budget_fraction=0.5)

@@ -349,3 +349,34 @@ def test_weighted_sample_rate_tracks_weight_share(spark):
     # E[heavy per draw] ≈ 87 of 100 (without-replacement, w=9 vs 1);
     # 5 independent salts tighten the check
     assert heavy_hits / 5 > 70
+
+
+def test_token_budget_select_matches_global_greedy(spark):
+    """Bucket-threshold plan == brute-force global greedy, including the
+    boundary-bucket cut."""
+    from hnsw_spark.operators.curation import token_budget_select
+
+    texts = [
+        (i, ("the quick brown fox " * (1 + i % 7)).strip())
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    out = token_budget_select(docs, budget_fraction=0.5).collect()
+    rows = sorted(out, key=lambda r: (-r.quality, r.doc_id))
+    budget = sum(r.tokens for r in rows) // 2
+    cum, want = 0, {}
+    for r in rows:
+        cum += r.tokens
+        want[r.doc_id] = cum <= budget
+    assert {r.doc_id: r.selected for r in out} == want
+    assert 0 < sum(r.selected for r in out) < len(out)
+
+
+def test_token_budget_select_all_fit(spark):
+    from hnsw_spark.operators.curation import token_budget_select
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e")], "doc_id long, text string"
+    )
+    out = token_budget_select(docs, budget_fraction=1.0).collect()
+    assert all(r.selected for r in out)
