@@ -99,3 +99,100 @@ def rrf_fuse(
         F.coalesce(F.col("_s0"), F.lit(0.0)),
     )
     return joined.select("id", rrf.alias("rrf"))
+
+
+def diversify_mmr(
+    candidates: DataFrame,
+    pair_sims: DataFrame,
+    k: int = 10,
+    lam_num: int = 7,
+    lam_den: int = 10,
+    scale: int = 9,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    greedily pick, per query, the candidate maximizing
+    ``λ·relevance − (1−λ)·max_similarity_to_already_picked`` — the standard
+    diversity pass between retrieval and an LLM context window (near-dup
+    passages waste the token budget that MMR reclaims).
+
+    Inputs: ``candidates`` = DataFrame[(query_id, id, rel)] — a SHORTLIST
+    (top-R from the exact/ANN tier, R ~ tens); ``pair_sims`` =
+    DataFrame[(query_id, id_a, id_b, sim)] — candidate-candidate
+    similarities within each query's shortlist (R² rows/query).
+
+    Exactness design: greedy argmax chains are where cross-engine float
+    drift compounds — one 1-ulp flip at step 3 changes every later pick.
+    So the operator quantizes rel and sim to ``10^-scale`` fixed-point
+    BIGINTs IN CATALYST (the same kernels the SQL oracle reproduces
+    hash-exactly), and the greedy loop — an applyInPandas per query group,
+    numpy integer matrix, zero Python-per-row — compares only integers
+    with (score DESC, id ASC) tie-breaks.  λ is the rational lam_num/lam_den
+    so scores stay integral: score_q = lam_num·rel_q − (lam_den−lam_num)·max_sim_q.
+
+    Scale: the corpus never enters — both inputs are Q×R(²) shortlist
+    frames; the groupBy(query_id) shuffle carries R² skinny rows per query
+    and each group's greedy is O(k·R) numpy.
+
+    Returns DataFrame[(query_id, id, mmr_rank, score_q)] — score_q is the
+    integral MMR score at scale ``10^-scale·lam_den`` (divide to taste).
+    """
+    import pandas as pd
+
+    from hnsw_spark.operators.evaluation import dquant
+
+    cand_q = candidates.select(
+        F.col("query_id").cast("long"),
+        F.col("id").cast("long"),
+        dquant("rel", scale).alias("rel_q"),
+    )
+    sims_q = pair_sims.select(
+        F.col("query_id").cast("long"),
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        dquant("sim", scale).alias("sim_q"),
+    )
+    sim_lists = sims_q.groupBy(
+        F.col("query_id").alias("qid"), F.col("id_a").alias("aid")
+    ).agg(F.collect_list(F.struct("id_b", "sim_q")).alias("_sims"))
+    merged = cand_q.join(
+        sim_lists,
+        (cand_q["query_id"] == sim_lists["qid"]) & (cand_q["id"] == sim_lists["aid"]),
+        "left",
+    ).select("query_id", "id", "rel_q", "_sims")
+
+    pen_num = lam_den - lam_num
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        n = len(pdf)
+        ids = pdf["id"].to_numpy()
+        rel = pdf["rel_q"].to_numpy(dtype=np.int64)
+        index = {v: i for i, v in enumerate(ids)}
+        sim = np.zeros((n, n), dtype=np.int64)
+        for i, lst in enumerate(pdf["_sims"]):
+            if lst is None:
+                continue
+            for entry in lst:
+                j = index.get(entry["id_b"])
+                if j is not None:
+                    sim[i, j] = entry["sim_q"]
+        picked, max_sim = [], np.zeros(n, dtype=np.int64)
+        alive = np.ones(n, dtype=bool)
+        out = []
+        for step in range(1, min(k, n) + 1):
+            score = lam_num * rel - (pen_num * max_sim if picked else 0)
+            score = np.where(alive, score, np.iinfo(np.int64).min)
+            # argmax with id-asc tie-break: ids are sorted, argmax takes first
+            best = int(np.argmax(score))
+            picked.append(best)
+            alive[best] = False
+            max_sim = np.maximum(max_sim, sim[:, best])
+            out.append((int(pdf["query_id"].iloc[0]), int(ids[best]), step,
+                        int(score[best])))
+        return pd.DataFrame(out, columns=["query_id", "id", "mmr_rank", "score_q"])
+
+    return merged.groupBy("query_id").applyInPandas(
+        greedy, "query_id long, id long, mmr_rank int, score_q long"
+    )

@@ -163,3 +163,123 @@ def bm25_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return bm25_scores(docs, qtok)
+
+
+_MMR_R, _MMR_K, _MMR_LN, _MMR_LD, _MMR_SCALE = 20, 10, 7, 10, 9
+_MMR_COS = (
+    "list_dot_product({a}, {b})"
+    " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+def _mmr_sql() -> str:
+    """Unrolled greedy MMR oracle: one CTE pair per step, integer scores."""
+    q = lambda e: f"floor(({e}) * 1e{_MMR_SCALE} + 0.5)::BIGINT"  # noqa: E731
+    pen = _MMR_LD - _MMR_LN
+    cos_qb = _MMR_COS.format(a="q.qv", b="b.bv")
+    cos_ab = _MMR_COS.format(a="x.av", b="y.bv")
+    parts = [
+        f"""
+WITH qset AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 8
+), base AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS bv FROM embeddings
+), scored AS MATERIALIZED (
+  SELECT q.query_id, b.id, b.bv, {cos_qb} AS sc
+  FROM qset q CROSS JOIN base b
+), cand AS MATERIALIZED (
+  SELECT query_id, id, bv, {q('sc')} AS rel_q
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sc DESC, id) AS rn
+        FROM scored)
+  WHERE rn <= {_MMR_R}
+), sims AS MATERIALIZED (
+  SELECT x.query_id, x.id AS id_a, y.id AS id_b, {q(cos_ab)} AS sim_q
+  FROM (SELECT query_id, id, bv AS av FROM cand) x
+  JOIN (SELECT query_id, id, bv FROM cand) y USING (query_id)
+), pick1 AS MATERIALIZED (
+  SELECT query_id, id, 1 AS mmr_rank, {_MMR_LN} * rel_q AS score_q
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY {_MMR_LN} * rel_q DESC, id) AS rn
+        FROM cand)
+  WHERE rn = 1
+)"""
+    ]
+    prev_union = "SELECT query_id, id FROM pick1"
+    for step in range(2, _MMR_K + 1):
+        parts.append(
+            f""", p{step} AS MATERIALIZED ({prev_union}
+), s{step} AS MATERIALIZED (
+  SELECT c.query_id, c.id,
+         {_MMR_LN} * c.rel_q - {pen} * coalesce(mx.m, 0) AS score_q
+  FROM cand c
+  LEFT JOIN (SELECT s.query_id, s.id_a AS id, max(s.sim_q) AS m
+             FROM sims s JOIN p{step} p
+               ON p.query_id = s.query_id AND p.id = s.id_b
+             GROUP BY s.query_id, s.id_a) mx
+    ON mx.query_id = c.query_id AND mx.id = c.id
+  WHERE NOT EXISTS (SELECT 1 FROM p{step} p
+                    WHERE p.query_id = c.query_id AND p.id = c.id)
+), pick{step} AS MATERIALIZED (
+  SELECT query_id, id, {step} AS mmr_rank, score_q
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score_q DESC, id) AS rn
+        FROM s{step})
+  WHERE rn = 1
+)"""
+        )
+        prev_union += f" UNION ALL SELECT query_id, id FROM pick{step}"
+    final = " UNION ALL ".join(
+        f"SELECT * FROM pick{s}" for s in range(1, _MMR_K + 1)
+    )
+    parts.append(
+        f"""
+SELECT query_id, id, mmr_rank,
+       round(score_q / 1e{_MMR_SCALE + 1}, 6) AS score
+FROM ({final})"""
+    )
+    return "".join(parts)
+
+
+@query("mmr_diversified", _mmr_sql())
+def mmr_diversified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-rank of the top-20 cosine shortlist per query
+    (λ=0.7, k=10; operators/retrieval.py:diversify_mmr).  Greedy argmax
+    chains amplify any cross-engine float drift, so rel and pairwise sims
+    are fixed-point-quantized in Catalyst BEFORE the greedy loop — Spark's
+    applyInPandas integer greedy and the oracle's unrolled 10-step CTE
+    chain then provably agree step for step.  The corpus appears only in
+    the shortlist stage; MMR itself touches Q×R² skinny rows."""
+    from hnsw_spark.operators.knn import knn_exact
+    from hnsw_spark.operators.retrieval import diversify_mmr
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 8)
+    cand = knn_exact(emb, qs, k=_MMR_R).select(
+        "query_id", "id", F.col("score").alias("rel")
+    )
+    vecs = emb.select(F.col("vec_id").alias("id"), "embedding")
+    cvec = cand.join(vecs, "id").select("query_id", "id", "embedding")
+    a = cvec.select(
+        "query_id", F.col("id").alias("id_a"), F.col("embedding").alias("_va")
+    )
+    b = cvec.select(
+        F.col("query_id").alias("_qb"),
+        F.col("id").alias("id_b"),
+        F.col("embedding").alias("_vb"),
+    )
+    pairs = a.join(b, a["query_id"] == b["_qb"]).select(
+        "query_id", "id_a", "id_b",
+        cosine_similarity("_va", "_vb").alias("sim"),
+    )
+    res = diversify_mmr(
+        cand, pairs, k=_MMR_K, lam_num=_MMR_LN, lam_den=_MMR_LD,
+        scale=_MMR_SCALE,
+    )
+    return res.select(
+        "query_id", "id", "mmr_rank",
+        F.round(F.col("score_q") / F.lit(float(10 ** (_MMR_SCALE + 1))), 6).alias(
+            "score"
+        ),
+    )
