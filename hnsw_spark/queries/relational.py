@@ -751,3 +751,63 @@ def discounted_revenue_filters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n_items"),
     )
+
+
+_ZSCORE_SQL = """
+WITH s AS (
+  SELECT event_type,
+         (sum(floor(value * 1000000.0 + 0.5)::BIGINT))::DOUBLE / 1000000.0
+           / count(*) AS mean,
+         (sum(floor(value * value * 1000000.0 + 0.5)::BIGINT))::DOUBLE / 1000000.0
+           / count(*) AS m2
+  FROM events GROUP BY event_type
+), t AS (
+  SELECT event_type, mean,
+         sqrt(greatest(m2 - mean * mean, 0.0)) AS sd
+  FROM s
+)
+SELECT e.event_id, e.event_type, round(e.value, 6) AS value,
+       round((e.value - t.mean) / t.sd, 6) AS zscore
+FROM events e JOIN t USING (event_type)
+WHERE t.sd > 0 AND abs((e.value - t.mean) / t.sd) > 2.0
+"""
+
+
+@query("event_anomaly_zscore", _ZSCORE_SQL)
+def event_anomaly_zscore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type anomaly screen: flag events whose value deviates more than
+    2σ from their event_type's mean — the monitoring primitive for a
+    telemetry stream.  Moments come from one partial-agg shuffle of two
+    fixed-point sums per type (engine-invariant at any partitioning, see
+    operators/evaluation.dsum); the per-type (mean, sd) table is tiny and
+    broadcast back over the scan, so flagging is a second scan with zero
+    additional shuffles."""
+    from hnsw_spark.operators.evaluation import davg
+
+    ev = load_table(spark, sf_dir, "events")
+    stats = (
+        ev.groupBy("event_type")
+        .agg(
+            davg("value", 6).alias("mean"),
+            davg(F.col("value") * F.col("value"), 6).alias("m2"),
+        )
+        .withColumn(
+            "sd",
+            F.sqrt(
+                F.greatest(
+                    F.col("m2") - F.col("mean") * F.col("mean"), F.lit(0.0)
+                )
+            ),
+        )
+    )
+    z = (F.col("value") - F.col("mean")) / F.col("sd")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter((F.col("sd") > 0) & (F.abs(z) > 2.0))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round(z, 6).alias("zscore"),
+        )
+    )

@@ -482,3 +482,63 @@ def mutual_knn_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b", "rank_ab", "rank_ba",
         F.round("score", 6).alias("score"),
     )
+
+
+_TRUNC_D = 16
+
+_TRUNC_COS = (
+    "list_dot_product(qv[1:{d}], bv[1:{d}])"
+    " / (sqrt(list_dot_product(qv[1:{d}], qv[1:{d}]))"
+    " * sqrt(list_dot_product(bv[1:{d}], bv[1:{d}])))"
+).format(d=_TRUNC_D)
+
+_TRUNC_RECALL_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), b AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS bv FROM embeddings
+), full_r AS (
+  SELECT query_id, id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {_COSINE_EXPR} DESC, id) AS rn
+  FROM q CROSS JOIN b
+), trunc_r AS (
+  SELECT query_id, id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {_TRUNC_COS} DESC, id) AS rn
+  FROM q CROSS JOIN b
+), e AS (SELECT query_id, id FROM full_r WHERE rn <= {K}),
+a AS (SELECT query_id, id FROM trunc_r WHERE rn <= {K}),
+h AS (
+  SELECT e.query_id, count(a.id)::BIGINT AS hits
+  FROM e LEFT JOIN a ON a.query_id = e.query_id AND a.id = e.id
+  GROUP BY e.query_id
+)
+SELECT query_id, hits, {K}::BIGINT AS total,
+       round(hits / {K}.0, 6) AS recall
+FROM h
+"""
+
+
+@query("matryoshka_recall", _TRUNC_RECALL_SQL)
+def matryoshka_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka / truncated-dimension retrieval quality: top-k cosine
+    using only the FIRST 16 of 64 dims, scored against the full-dim exact
+    top-k (recall@k per query).  Prefix truncation is the zero-reindex
+    4× shrink for memory-bound ANN serving — this query measures exactly
+    what it costs.  Composes existing operators: F.slice feeds the same
+    knn_exact tier, recall_table (reference src/bench/metrics.ts:26-44)
+    scores the overlap."""
+    from hnsw_spark.operators.evaluation import recall_table
+    from hnsw_spark.operators.knn import knn_exact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = knn_exact(emb, qs, k=K)
+    trunc = emb.withColumn("embedding", F.slice("embedding", 1, _TRUNC_D))
+    tq = trunc.filter(F.col("vec_id") < N_QUERIES)
+    approx = knn_exact(trunc, tq, k=K)
+    return recall_table(approx, exact).select(
+        "query_id", "hits", "total", F.round("recall", 6).alias("recall")
+    )
