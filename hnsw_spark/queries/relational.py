@@ -811,3 +811,52 @@ def event_anomaly_zscore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 6).alias("zscore"),
         )
     )
+
+
+_ALERT_HIGH, _ALERT_LOW = 150.0, 50.0
+
+_ALERTS_SQL = f"""
+WITH m AS (
+  SELECT event_type, event_id, ts, value,
+         CASE WHEN value >= {_ALERT_HIGH} THEN 1
+              WHEN value <= {_ALERT_LOW} THEN 0 END AS mk
+  FROM events
+), st AS (
+  SELECT *, coalesce(last_value(mk IGNORE NULLS) OVER w, 0) AS state
+  FROM m WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), pv AS (
+  SELECT *, coalesce(lag(state) OVER (PARTITION BY event_type
+                                      ORDER BY ts, event_id), 0) AS prev
+  FROM st
+), ep AS (
+  SELECT *, (sum(CASE WHEN state = 1 AND prev = 0 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::INT
+              AS episode
+  FROM pv
+)
+SELECT event_type, episode,
+       min(CASE WHEN state = 1 THEN ts END) AS alert_start,
+       min(CASE WHEN state = 0 THEN ts END) AS alert_end,
+       (count(*) FILTER (WHERE state = 1))::BIGINT AS n_events,
+       round(max(CASE WHEN state = 1 THEN value END), 6) AS peak_value
+FROM ep
+WHERE state = 1 OR (state = 0 AND prev = 1)
+GROUP BY event_type, episode
+"""
+
+
+@query("threshold_alert_episodes", _ALERTS_SQL)
+def threshold_alert_episodes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hysteresis alerting over the event stream (open at value ≥ 150,
+    close at ≤ 50 — two thresholds stop alert flapping), batch form:
+    the state machine unrolled as gaps-and-islands window functions
+    (streaming/alerts.py:threshold_alerts).  One shuffle on the alert key;
+    the same semantics run incrementally as a GroupState operator
+    (stream_threshold_alerts), pinned to this batch form by a
+    stream-parity pytest."""
+    from hnsw_spark.streaming.alerts import threshold_alerts
+
+    ev = load_table(spark, sf_dir, "events")
+    return threshold_alerts(ev, high=_ALERT_HIGH, low=_ALERT_LOW)
