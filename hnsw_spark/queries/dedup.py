@@ -571,3 +571,95 @@ def semantic_dedup_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("drop_recall_ok")
     )
     return missing.crossJoin(recall)
+
+
+_QUAL_T = 0.3
+
+_LSH_QUALITY_SQL = (
+    _minhash_ctes()
+    + f""", sh_set AS (
+  SELECT DISTINCT doc_id AS id, shingle FROM (
+    SELECT doc_id, unnest({_shingle_sql(3)}) AS shingle FROM docs)
+), sizes AS (SELECT id, count(*)::BIGINT AS sz FROM sh_set GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS n_common
+  FROM sh_set a JOIN sh_set b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+), exact AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON id_a = sa.id
+  JOIN sizes sb ON id_b = sb.id
+  WHERE n_common / (sa.sz + sb.sz - n_common) >= {_QUAL_T}
+), buckets AS (
+"""
+    + "\n  UNION ALL\n".join(
+        "  SELECT id, {bi} AS band_idx, md5({key}) AS band_key FROM sig".format(
+            bi=bi,
+            key=" || ',' || ".join(
+                f"m{bi * (NUM_PERM // BANDS) + j}::VARCHAR"
+                for j in range(NUM_PERM // BANDS)
+            ),
+        )
+        for bi in range(BANDS)
+    )
+    + f"""
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM buckets a
+  JOIN buckets b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               AND a.id < b.id
+), hits AS (
+  SELECT count(*)::BIGINT AS n_hits
+  FROM cand JOIN exact USING (id_a, id_b)
+)
+SELECT (SELECT count(*)::BIGINT FROM exact) AS n_exact,
+       (SELECT count(*)::BIGINT FROM cand) AS n_candidates,
+       n_hits,
+       round(n_hits / greatest((SELECT count(*) FROM exact), 1), 6) AS recall,
+       round(n_hits / greatest((SELECT count(*) FROM cand), 1), 6) AS precision
+FROM hits
+"""
+)
+
+
+@query("lsh_quality_report", _LSH_QUALITY_SQL)
+def lsh_quality_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality evaluation of the banded-LSH tier against exact
+    3-gram Jaccard ground truth at θ=0.3 (the standard recall/precision
+    scorecard a pipeline owner reads before trusting LSH at scale):
+    candidate pairs from the 4×2 banding vs the true ≥θ pair set over the
+    same 200-doc subset.  Both arms are existing registered operators —
+    this query pins their COMPOSITION: exact-pair arm via the shingle
+    equi-join, candidate arm via the bucket join, intersected on the pair
+    key.  One row: (n_exact, n_candidates, n_hits, recall, precision)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < SUBSET
+    )
+    exact = ngram_jaccard_pairs(docs, n=3, threshold=_QUAL_T).select(
+        "id_a", "id_b"
+    )
+    cand = lsh_candidate_pairs(
+        docs, num_perm=NUM_PERM, bands=BANDS, n=3, max_bucket=None
+    ).select("id_a", "id_b")
+    ex = exact.agg(F.count("*").alias("n_exact"))
+    cd = cand.agg(F.count("*").alias("n_candidates"))
+    ht = cand.join(exact, ["id_a", "id_b"]).agg(
+        F.count("*").alias("n_hits")
+    )
+    return (
+        ex.crossJoin(cd)
+        .crossJoin(ht)
+        .select(
+            "n_exact",
+            "n_candidates",
+            "n_hits",
+            F.round(
+                F.col("n_hits") / F.greatest(F.col("n_exact"), F.lit(1)), 6
+            ).alias("recall"),
+            F.round(
+                F.col("n_hits") / F.greatest(F.col("n_candidates"), F.lit(1)),
+                6,
+            ).alias("precision"),
+        )
+    )

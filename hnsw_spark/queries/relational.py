@@ -860,3 +860,62 @@ def threshold_alert_episodes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return threshold_alerts(ev, high=_ALERT_HIGH, low=_ALERT_LOW)
+
+
+_PRUNE_GATE_SQL = """
+SELECT count(*)::BIGINT AS total_rows,
+       (count(*) FILTER (WHERE l_quantity < 5.0))::BIGINT AS n_matching,
+       CAST(1 AS BOOLEAN) AS stats_ok
+FROM lineitem
+"""
+
+
+@query("rowgroup_pruning_gate", _PRUNE_GATE_SQL)
+def rowgroup_pruning_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet footer-metadata audit (sources/metadata.py): the row-group
+    manifest — (file, row_group, num_rows, min, max) read from footers ON
+    EXECUTORS, never data pages — is gated three ways:
+
+    - total_rows: Σ footer num_rows, hash-checked against the oracle's
+      count(*) — footers must account for every row;
+    - stats_ok: every footer (num_rows, min, max) equals the ground truth
+      recomputed by column-pruned row-group reads — the statistics a
+      pruning decision would trust are DISTRIBUTIVELY verified;
+    - n_matching: a real predicate count (quantity < 5) through the normal
+      pruned scan, pinning that pruning never changes results.
+
+    This is the manifest layer a 100 TB table needs for selectivity
+    estimation and layout audits (are row groups prunable for our
+    predicates?); a 100k-file table fans footer reads out as one task per
+    file batch."""
+    import os
+
+    from hnsw_spark.sources.metadata import rowgroup_exact_stats, rowgroup_stats
+
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    footer = rowgroup_stats(spark, path, "l_quantity")
+    exact = rowgroup_exact_stats(spark, path, "l_quantity").select(
+        "file",
+        "row_group",
+        F.col("num_rows").alias("x_num"),
+        F.col("stat_min").alias("x_min"),
+        F.col("stat_max").alias("x_max"),
+    )
+    agree = (
+        footer.join(exact, ["file", "row_group"], "full")
+        .agg(
+            F.min(
+                (F.col("num_rows") == F.col("x_num"))
+                & (F.col("stat_min") == F.col("x_min"))
+                & (F.col("stat_max") == F.col("x_max"))
+            ).alias("stats_ok"),
+            F.sum("num_rows").alias("total_rows"),
+        )
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    matching = li.filter(F.col("l_quantity") < 5.0).agg(
+        F.count("*").alias("n_matching")
+    )
+    return agree.crossJoin(matching).select(
+        "total_rows", "n_matching", "stats_ok"
+    )

@@ -135,3 +135,33 @@ def test_synthetic_documents_deterministic_with_planted_dups(spark):
         re.repartition(7).orderBy("doc_id").collect()
         == docs.orderBy("doc_id").collect()
     )
+
+
+def test_rowgroup_stats_multifile_dir(spark, tmp_path):
+    """Footer manifest covers every file/row-group of a multi-file table
+    and matches the exact per-group recomputation."""
+    from pyspark.sql import functions as F
+
+    from hnsw_spark.sources.metadata import rowgroup_exact_stats, rowgroup_stats
+
+    path = str(tmp_path / "multi")
+    spark.range(1000).withColumn("v", (F.col("id") % 97).cast("double")).repartition(
+        4
+    ).write.parquet(path)
+    footer = rowgroup_stats(spark, path, "v")
+    exact = rowgroup_exact_stats(spark, path, "v")
+    f = {(r.file, r.row_group): (r.num_rows, r.stat_min, r.stat_max)
+         for r in footer.collect()}
+    e = {(r.file, r.row_group): (r.num_rows, r.stat_min, r.stat_max)
+         for r in exact.collect()}
+    assert f == e and len(f) >= 4
+    assert sum(v[0] for v in f.values()) == 1000
+
+
+def test_rowgroup_stats_missing_path_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    from hnsw_spark.sources.metadata import rowgroup_stats
+
+    with _pytest.raises(FileNotFoundError):
+        rowgroup_stats(spark, str(tmp_path / "nope"), "v")
