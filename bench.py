@@ -86,6 +86,18 @@ HEADLINE = [
     "order_priority_checking",
     "embedding_outliers",
     "index_merge_full_probe",
+    "knn_hamming_rerank",
+    "mutual_knn_pairs",
+    "matryoshka_recall",
+    "mmr_diversified",
+    "events_in_windows",
+    "discounted_revenue_filters",
+    "event_anomaly_zscore",
+    "threshold_alert_episodes",
+    "token_budget_selection",
+    "lsh_quality_report",
+    "rowgroup_pruning_gate",
+    "market_share_by_year",
     # NOT benched: bpe_encode_gate (BPE training cost already measured by
     # the bpe_merges cell) and pagerank_gate (wall is the O(n²) exact-kNN
     # graph build, not the operator under test)

@@ -919,3 +919,106 @@ def rowgroup_pruning_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agree.crossJoin(matching).select(
         "total_rows", "n_matching", "stats_ok"
     )
+
+
+_MKT_SUPP_NATION, _MKT_REGION, _MKT_TYPE = "NATION_2", "ASIA", "PROMO"
+
+_MKT_SHARE_SQL = f"""
+WITH vol AS (
+  SELECT year(o.o_orderdate)::INT AS o_year,
+         sn.n_name AS supp_nation,
+         l.l_extendedprice * (1 - l.l_discount) AS volume
+  FROM lineitem l
+  JOIN part p     ON p.p_partkey = l.l_partkey
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+  JOIN region r   ON r.r_regionkey = cn.n_regionkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+  WHERE r.r_name = '{_MKT_REGION}'
+    AND p.p_type = '{_MKT_TYPE}'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+)
+SELECT o_year,
+       (sum(floor(CASE WHEN supp_nation = '{_MKT_SUPP_NATION}' THEN volume
+                       ELSE 0 END * 10000.0 + 0.5)::BIGINT))::DOUBLE / 10000.0
+         AS nation_volume,
+       (sum(floor(volume * 10000.0 + 0.5)::BIGINT))::DOUBLE / 10000.0
+         AS total_volume,
+       round(((sum(floor(CASE WHEN supp_nation = '{_MKT_SUPP_NATION}'
+                              THEN volume ELSE 0 END * 10000.0 + 0.5)::BIGINT))::DOUBLE
+              / 10000.0)
+             / ((sum(floor(volume * 10000.0 + 0.5)::BIGINT))::DOUBLE / 10000.0),
+             6) AS mkt_share
+FROM vol GROUP BY o_year
+"""
+
+
+@query("market_share_by_year", _MKT_SHARE_SQL)
+def market_share_by_year_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of PROMO-part revenue
+    sold into the ASIA region, by order year — the widest join tree in the
+    relational surface (lineitem ⋈ part ⋈ orders ⋈ customer ⋈ nation ⋈
+    region ⋈ supplier ⋈ nation).
+
+    Scale shape: every dimension (part-filtered, customer, both nation
+    legs, region, supplier) broadcasts; the only shuffle joins are the one
+    fact-fact edge (lineitem ⋈ orders on the order key — at 100 TB both
+    sides are large, so a key shuffle or co-bucketing is the correct plan,
+    and the date filter prunes orders BEFORE it) and the final 2-group
+    aggregation.  Both numerator and denominator use fixed-point sums so
+    the ratio is engine-invariant."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part").filter(F.col("p_type") == _MKT_TYPE)
+    od = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    re_ = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == _MKT_REGION
+    )
+    su = load_table(spark, sf_dir, "supplier")
+    cn = na.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = na.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = (
+        li.join(F.broadcast(pt), F.col("p_partkey") == F.col("l_partkey"))
+        .join(od, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cu), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(cn), F.col("cn_key") == F.col("c_nationkey"))
+        .join(F.broadcast(re_), F.col("r_regionkey") == F.col("cn_region"))
+        .join(F.broadcast(su), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            "supp_nation",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "volume"
+            ),
+        )
+    )
+    nation_vol = F.when(
+        F.col("supp_nation") == _MKT_SUPP_NATION, F.col("volume")
+    ).otherwise(F.lit(0.0))
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            dsum(nation_vol).alias("nation_volume"),
+            dsum("volume").alias("total_volume"),
+        )
+        .select(
+            "o_year",
+            "nation_volume",
+            "total_volume",
+            F.round(
+                F.col("nation_volume") / F.col("total_volume"), 6
+            ).alias("mkt_share"),
+        )
+    )

@@ -24,6 +24,12 @@ ORACLES: dict[str, str] = {}
 # Round-4 rotation: the 4 events-eval queries that ERRed in r3 on the loader
 # dtype bug, the 17 oracle queries the r3 prefix never sampled (r2-only
 # evidence), then any round-4 additions; the 46 r3-green queries ride behind.
+# Late-round-4 additions (knn_hamming_rerank, mutual_knn_pairs,
+# matryoshka_recall, mmr_diversified, events_in_windows,
+# discounted_revenue_filters, event_anomaly_zscore, threshold_alert_episodes,
+# token_budget_selection, lsh_quality_report, rowgroup_pruning_gate) land
+# mid-pack — the window was already full of never-verified queries — and are
+# FIRST in line for the round-5 window.
 _RUN_FIRST = (
     # erred in r3 (events loader) — fixed, must re-earn green rows
     "latency_summary",

@@ -129,3 +129,40 @@ def test_dedup_incremental_bounded_shuffles(spark):
     # fingerprint window + anti-join reuse one key: ≤2 exchanges
     f = _facts("dedup_incremental", spark)
     assert f.shuffles <= 2
+
+
+def test_hamming_rerank_single_shuffle_broadcast_queries(spark):
+    f = _facts("knn_hamming_rerank", spark)
+    assert f.broadcast_joins >= 1  # packed queries broadcast
+    assert f.sort_merge_joins == 0
+    assert f.shuffles <= 1  # candidate window only
+    assert f.python_stages == 0  # XOR+popcount all in codegen
+
+
+def test_interval_join_query_broadcasts_windows(spark):
+    f = _facts("events_in_windows", spark)
+    assert f.broadcast_joins >= 1  # exploded windows broadcast
+    assert f.sort_merge_joins == 0  # bin equi-join, never nested-loop
+    assert f.shuffles <= 2  # min-ts agg + final rollup
+
+
+def test_q19_prefilters_reach_both_scans(spark):
+    f = _facts("discounted_revenue_filters", spark)
+    assert f.broadcast_joins >= 1
+    assert f.sort_merge_joins == 0
+    # the derived single-side predicates must appear as pushed filters
+    text = f.text
+    assert "l_quantity" in text and "p_brand" in text
+
+
+def test_market_share_broadcasts_all_dimensions(spark):
+    f = _facts("market_share_by_year", spark)
+    assert f.broadcast_joins >= 6  # part, customer, 2x nation, region, supplier
+    # only fact-fact edge (lineitem-orders) + final agg may shuffle
+    assert f.sort_merge_joins <= 1
+
+
+def test_token_budget_single_scan_single_shuffle(spark):
+    f = _facts("token_budget_selection", spark)
+    assert f.scans <= 1  # persisted flag frame reused, not recomputed
+    assert f.shuffles <= 1  # boundary-bucket window only
