@@ -98,6 +98,7 @@ HEADLINE = [
     "lsh_quality_report",
     "rowgroup_pruning_gate",
     "market_share_by_year",
+    "sorted_export_gate",
     # NOT benched: bpe_encode_gate (BPE training cost already measured by
     # the bpe_merges cell) and pagerank_gate (wall is the O(n²) exact-kNN
     # graph build, not the operator under test)

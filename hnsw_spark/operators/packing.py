@@ -248,3 +248,86 @@ def packing_summary(packed: DataFrame, budget: int) -> DataFrame:
             F.round(F.col("bin_tokens") / F.lit(float(budget)), 6),
         )
     )
+
+
+def sorted_export(
+    df: DataFrame,
+    order_col: str,
+    num_shards: int,
+    path: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Globally-ordered export: range-partition on ``order_col`` into
+    ``num_shards`` shards, sort within each — reading shards in id order
+    yields a TOTALLY ordered dataset without ever funneling rows through
+    one task (the scalable form of ``ORDER BY`` output; Spark samples the
+    key distribution to pick balanced range boundaries).
+
+    Returns the sharded frame with a ``part_id`` column (``path`` given →
+    also written as parquet, one file per range).  Ties on ``order_col``
+    are sub-ordered by ``id_col`` so the layout is deterministic given the
+    sampled boundaries.
+    """
+    from pyspark.sql.functions import spark_partition_id
+
+    ranged = (
+        df.repartitionByRange(num_shards, F.col(order_col), F.col(id_col))
+        .sortWithinPartitions(order_col, id_col)
+        .withColumn("part_id", spark_partition_id())
+    )
+    if path is not None:
+        ranged.write.mode("overwrite").partitionBy("part_id").parquet(path)
+    return ranged
+
+
+def sorted_export_gate(
+    df: DataFrame,
+    order_col: str,
+    num_shards: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Self-gate for ``sorted_export``: one row proving total order.
+
+    - ``n_rows``: count survives the repartition (oracle: count(*));
+    - ``within_sorted``: inside every shard, each row's (order, id) is
+      ≥ its predecessor (per-partition window, no global collect);
+    - ``ranges_disjoint``: shard p's max key ≤ shard p+1's min key — the
+      per-shard (min, max) table is ``num_shards`` rows, checked with one
+      lag window over that tiny frame.
+
+    Boundaries come from Spark's reservoir sampling, so shard SIZES are
+    not oracle-pinned (nondeterministic) — the gate pins the property that
+    matters: concatenating shards in part order IS the global sort.
+    """
+    ranged = sorted_export(df, order_col, num_shards, id_col=id_col)
+    ranged = ranged.select(
+        F.col(order_col).alias("_k"), F.col(id_col).alias("_id"), "part_id"
+    )
+
+    w = Window.partitionBy("part_id").orderBy("_k", "_id")
+    within = ranged.withColumn(
+        "_ok",
+        F.coalesce(
+            (F.col("_k") > F.lag("_k").over(w))
+            | (
+                (F.col("_k") == F.lag("_k").over(w))
+                & (F.col("_id") >= F.lag("_id").over(w))
+            ),
+            F.lit(True),
+        ),
+    ).agg(
+        F.count("*").alias("n_rows"), F.min("_ok").alias("within_sorted")
+    )
+
+    bounds = ranged.groupBy("part_id").agg(
+        F.min("_k").alias("_lo"), F.max("_k").alias("_hi")
+    )
+    bw = Window.orderBy("part_id")
+    disjoint = bounds.withColumn(
+        "_ok",
+        F.coalesce(F.lag("_hi").over(bw) <= F.col("_lo"), F.lit(True)),
+    ).agg(F.min("_ok").alias("ranges_disjoint"))
+
+    return within.crossJoin(disjoint).select(
+        "n_rows", "within_sorted", "ranges_disjoint"
+    )

@@ -600,3 +600,26 @@ def pagerank_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(tops.select((F.col("ta") == F.col("tb")).alias("stable_top")))
     )
+
+
+_SORTED_EXPORT_SQL = """
+SELECT count(*)::BIGINT AS n_rows,
+       CAST(1 AS BOOLEAN) AS within_sorted,
+       CAST(1 AS BOOLEAN) AS ranges_disjoint
+FROM documents
+"""
+
+
+@query("sorted_export_gate", _SORTED_EXPORT_SQL)
+def sorted_export_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Globally-ordered export gate (operators/packing.py:sorted_export):
+    range-partition documents by n_chars into 8 shards, sort within each,
+    then DISTRIBUTIVELY prove the concatenation is the global sort —
+    per-shard monotonicity via a per-partition window, shard-range
+    disjointness via one lag over the 8-row (min, max) bounds table, and
+    row conservation hash-checked against count(*).  This is the scalable
+    ORDER BY-output path: no single task ever holds the full dataset."""
+    from hnsw_spark.operators.packing import sorted_export_gate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sorted_export_gate(docs, "n_chars", 8)

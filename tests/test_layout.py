@@ -65,3 +65,29 @@ def test_salted_join_left_outer(spark):
     out = salted_join(skewed, dim, "k", n_salts=3, how="left")
     assert out.count() == 100
     assert out.filter(F.col("m").isNull()).count() == 50
+
+
+def test_sorted_export_total_order_and_conservation(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from hnsw_spark.operators.packing import sorted_export, sorted_export_gate
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") * 37) % 101).alias("k"),
+    )
+    gate = sorted_export_gate(df, "k", 6, id_col="doc_id").collect()[0]
+    assert gate.n_rows == 2000
+    assert gate.within_sorted and gate.ranges_disjoint
+
+    # written form: reading part dirs in order yields the global sort
+    path = str(tmp_path / "sorted")
+    sorted_export(df, "k", 4, path=path, id_col="doc_id")
+    back = spark.read.parquet(path)
+    rows = [
+        (r.part_id, r.k, r.doc_id)
+        for r in back.orderBy("part_id", "k", "doc_id").collect()
+    ]
+    keys = [(k, d) for _, k, d in rows]
+    assert keys == sorted(keys)
+    assert len(rows) == 2000
