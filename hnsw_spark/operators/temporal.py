@@ -197,3 +197,48 @@ def interval_join(
         (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
     )
     return joined.drop("_bin")
+
+
+def recency_weighted_scores(
+    df: DataFrame,
+    by: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    halflife_seconds: int = 86400,
+) -> DataFrame:
+    """Recency-weighted activity scores: per key,
+    Σ value · 2^−⌊age/halflife⌋ with age measured from the corpus max
+    timestamp — the freshness-weighting primitive (recent activity counts
+    full, each halflife past halves it) used for recency-weighted corpus
+    sampling and user-activity ranking.
+
+    Exactness design: the decay exponent is an INTEGER bucket count
+    (microsecond age, floor-divided), so the weight is a power of two —
+    and multiplying a double by 2^−k only shifts the exponent, which every
+    IEEE engine reproduces bit-identically (a fractional-exponent decay
+    like e^−λt would differ in the last ulp across libm implementations
+    and poison the sum).  Decayed terms then accumulate with the
+    fixed-point ``dsum`` convention.
+
+    Shape: one 1-row max-timestamp aggregate broadcast over the scan, one
+    groupBy on the key.  Output: (by, n_events, last_ts, recency_score).
+    """
+    from hnsw_spark.operators.evaluation import dsum
+
+    hl_us = halflife_seconds * 1_000_000
+    now = df.agg(F.max(ts_col).alias("_now"))
+    aged = df.crossJoin(F.broadcast(now)).withColumn(
+        "_k",
+        F.floor(
+            F.expr(f"timestampdiff(MICROSECOND, {ts_col}, _now)")
+            / F.lit(hl_us)
+        ),
+    )
+    decayed = aged.withColumn(
+        "_dv", F.col(value_col) * F.pow(F.lit(2.0), -F.col("_k"))
+    )
+    return decayed.groupBy(by).agg(
+        F.count("*").alias("n_events"),
+        F.max(ts_col).alias("last_ts"),
+        dsum("_dv", 6).alias("recency_score"),
+    )

@@ -1022,3 +1022,33 @@ def market_share_by_year_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mkt_share"),
         )
     )
+
+
+_RECENCY_SQL = """
+WITH m AS (SELECT max(ts) AS now FROM events),
+a AS (
+  SELECT user_id, ts, value,
+         (date_diff('microsecond', ts, now) // 86400000000) AS k
+  FROM events, m
+), d AS (
+  SELECT user_id, ts, value / power(2.0, k) AS dv FROM a
+)
+SELECT user_id, count(*)::BIGINT AS n_events, max(ts) AS last_ts,
+       (sum(floor(dv * 1000000.0 + 0.5)::BIGINT))::DOUBLE / 1000000.0
+         AS recency_score
+FROM d GROUP BY user_id
+"""
+
+
+@query("user_recency_scores", _RECENCY_SQL)
+def user_recency_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user recency-weighted activity (halflife = 1 day from the
+    corpus max timestamp; operators/temporal.py:recency_weighted_scores).
+    The decay weight is 2^−⌊age/halflife⌋ — an exponent-only scaling every
+    IEEE engine reproduces bit-identically, unlike fractional e^−λt —
+    then fixed-point-summed, so the scores hash-match at any partitioning.
+    One broadcast 1-row max, one key groupBy."""
+    from hnsw_spark.operators.temporal import recency_weighted_scores
+
+    ev = load_table(spark, sf_dir, "events")
+    return recency_weighted_scores(ev, halflife_seconds=86400)

@@ -153,3 +153,24 @@ def test_interval_join_plan_has_no_nested_loop(spark):
     plan = interval_join(events, wins)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_recency_weighted_scores_halving(spark):
+    """One event per halflife step: weights must be exactly 1, 1/2, 1/4..."""
+    import datetime as dt
+
+    from hnsw_spark.operators.temporal import recency_weighted_scores
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + dt.timedelta(days=i), 100, 8.0) for i in range(4)
+    ]  # ages 3,2,1,0 days from max
+    df = spark.createDataFrame(
+        [(u, ts, e, v) for u, ts, e, v in rows],
+        "user_id long, ts timestamp_ntz, event_id long, value double",
+    )
+    out = recency_weighted_scores(df, halflife_seconds=86400).collect()[0]
+    assert out.n_events == 4
+    assert out.last_ts == t0 + dt.timedelta(days=3)
+    # 8*(1 + 1/2 + 1/4 + 1/8) = 15.0
+    assert out.recency_score == 15.0
