@@ -623,3 +623,63 @@ def sorted_export_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return sorted_export_gate(docs, "n_chars", 8)
+
+
+_UPSERT_SQL = """
+WITH base AS (
+  SELECT doc_id, 1 AS version, text, 0 AS side FROM documents
+), upd AS (
+  SELECT doc_id, 2 AS version, upper(substr(text, 1, 50)) AS text, 1 AS side
+  FROM documents WHERE doc_id % 7 = 0
+), ins AS (
+  SELECT doc_id + 1000000 AS doc_id, 1 AS version,
+         'new:' || substr(text, 1, 20) AS text, 1 AS side
+  FROM documents WHERE doc_id % 13 = 0
+), unioned AS (
+  SELECT * FROM base UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins
+), ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY version DESC, side DESC) AS rn,
+         sum(CASE WHEN side = 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id) AS n_base
+  FROM unioned
+)
+SELECT doc_id, version,
+       substr(md5(text), 1, 16) AS fp,
+       CASE WHEN n_base = 0 THEN 'inserted'
+            WHEN side = 1 THEN 'updated'
+            ELSE 'unchanged' END AS action
+FROM ranked WHERE rn = 1
+"""
+
+
+@query("upsert_compaction", _UPSERT_SQL)
+def upsert_compaction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE/compaction (operators/upsert.py:upsert_latest): a derived
+    update stream (every 7th doc re-written at version 2) plus an insert
+    stream (every 13th doc cloned under a new key) merges into the base
+    snapshot, latest-version-wins.  Union + ONE ranking window on the key —
+    no join; the survivor set (keyed by md5 fingerprint) and the per-row
+    inserted/updated/unchanged action are both hash-pinned."""
+    from hnsw_spark.operators.upsert import upsert_latest
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.lit(1).alias("version"), "text")
+    upd = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        F.lit(2).alias("version"),
+        F.upper(F.substring("text", 1, 50)).alias("text"),
+    )
+    ins = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.lit(1).alias("version"),
+        F.concat(F.lit("new:"), F.substring("text", 1, 20)).alias("text"),
+    )
+    merged = upsert_latest(base, upd.unionByName(ins))
+    return merged.select(
+        "doc_id",
+        "version",
+        F.substring(F.md5("text"), 1, 16).alias("fp"),
+        "action",
+    )

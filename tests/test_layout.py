@@ -91,3 +91,55 @@ def test_sorted_export_total_order_and_conservation(spark, tmp_path):
     keys = [(k, d) for _, k, d in rows]
     assert keys == sorted(keys)
     assert len(rows) == 2000
+
+
+def test_bucketed_join_has_no_shuffle_exchange(spark, tmp_path):
+    """Same-bucketed tables join with ZERO exchanges (the write paid the
+    shuffle once); results match a plain join."""
+    from pyspark.sql import functions as F
+
+    from hnsw_spark.sources.bucketed import bucketed_join, write_bucketed
+
+    left = spark.range(5000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("a")
+    )
+    right = spark.range(0, 5000, 2).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("b")
+    )
+    write_bucketed(left, "t_bleft", str(tmp_path / "bl"), "k", buckets=8)
+    write_bucketed(right, "t_bright", str(tmp_path / "br"), "k", buckets=8)
+    try:
+        # force the large-table path: no broadcast fallback
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = bucketed_join(spark, "t_bleft", "t_bright", "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan
+        assert j.count() == 2500
+        # parity with the plain (shuffling) join
+        plain = left.join(right, "k")
+        assert sorted((r.k, r.a, r.b) for r in j.collect()) == sorted(
+            (r.k, r.a, r.b) for r in plain.collect()
+        )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_bleft")
+        spark.sql("DROP TABLE IF EXISTS t_bright")
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """mergeSchema read across files written before/after a column was
+    added — the schema-drift survival path for long-lived tables."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "evolving")
+    spark.range(10).select(F.col("id").alias("doc_id")).write.parquet(
+        path + "/p=1"
+    )
+    spark.range(10, 20).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang")
+    ).write.parquet(path + "/p=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) >= {"doc_id", "lang"}
+    rows = merged.orderBy("doc_id").collect()
+    assert len(rows) == 20
+    assert rows[0].lang is None and rows[-1].lang == "en"
