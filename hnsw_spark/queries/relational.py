@@ -1052,3 +1052,55 @@ def user_recency_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return recency_weighted_scores(ev, halflife_seconds=86400)
+
+
+@query(
+    "incremental_rollup",
+    """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*)::BIGINT AS n,
+       (sum(floor((value) * 10000.0 + 0.5)::BIGINT))::DOUBLE / 10000.0
+         AS total_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+""",
+)
+def incremental_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: the hourly rollup computed as a MERGE
+    of three independent partial aggregates (events split by
+    event_id % 3 — standing in for yesterday's materialized state plus two
+    new deltas), re-aggregated by summing counts and the QUANTIZED integer
+    partial sums.  The oracle recomputes from scratch; an exact hash match
+    proves the aggregation state is losslessly mergeable — the property
+    that lets a 100 TB rollup absorb a delta without rescanning history,
+    and it holds only because quantization happens per ROW (dquant) before
+    any summation: partial-then-merge and full-scan orderings are then the
+    same integer arithmetic."""
+    from hnsw_spark.operators.evaluation import dquant
+
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.expr(
+        "make_timestamp_ntz(year(ts), month(ts), day(ts), hour(ts), 0, 0)"
+    )
+    partials = [
+        ev.filter(F.col("event_id") % 3 == i)
+        .groupBy(hour.alias("hour"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum(dquant("value", 4).cast("decimal(38,0)")).alias("_q"),
+        )
+        for i in range(3)
+    ]
+    merged = partials[0].unionByName(partials[1]).unionByName(partials[2])
+    return (
+        merged.groupBy("hour", "event_type")
+        .agg(F.sum("_n").alias("n"), F.sum("_q").alias("_qsum"))
+        .select(
+            "hour",
+            "event_type",
+            "n",
+            (F.col("_qsum").cast("double") / F.lit(10000.0)).alias(
+                "total_value"
+            ),
+        )
+    )

@@ -128,3 +128,32 @@ def test_stream_sessionize_matches_batch_user_sessions(spark, tmp_path):
     for uid, n_sessions in batch.items():
         # every user with events has exactly one open (unemitted) session
         assert closed_map.get(uid, 0) + 1 == n_sessions, uid
+
+
+def test_builtin_session_window_matches_custom_gap_sessions(spark):
+    """Spark's built-in session_window(ts, gap) must count the same
+    per-user sessions as the custom lag-window gap logic in the
+    user_sessions query (same 30-min gap, real events fixture)."""
+    from pyspark.sql import functions as F
+
+    from hnsw_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").filter(
+        F.col("user_id") < 500
+    )
+    builtin = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n").alias("n_events"),
+        )
+    )
+    from hnsw_spark.registry import QUERIES, load_all_queries
+
+    load_all_queries()
+    custom = QUERIES["user_sessions"](spark, "/root/testdata/sf0.001")
+    got = {(r.user_id, r.n_sessions, r.n_events) for r in builtin.collect()}
+    want = {(r.user_id, r.n_sessions, r.n_events) for r in custom.collect()}
+    assert got == want and len(got) > 10
