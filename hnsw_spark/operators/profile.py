@@ -13,7 +13,7 @@ at the call site when 2% error is acceptable and the Expand matters.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType
 
@@ -60,4 +60,43 @@ def table_profile(
     return wide.selectExpr(
         f"stack({len(cols)}, {stack_args})"
         " as (column, n, n_null, n_distinct, min_num, max_num)"
+    )
+
+
+def skew_report(
+    df: DataFrame,
+    key: str,
+    top_n: int = 10,
+) -> DataFrame:
+    """Join-key skew diagnosis: the numbers an engineer reads before
+    shuffling 100 TB on ``key`` — the ``top_n`` heaviest keys with their
+    row share and skew factor (count / mean-count-per-key).  A skew factor
+    in the hundreds means the biggest key's shuffle partition is that many
+    times the average: salt it, broadcast the other side, or let AQE's
+    skew-join split it; a flat report means a plain hash shuffle is fine.
+
+    Output: (rank, key, cnt, share, skew_factor), rank by (count DESC,
+    key ASC).  One partial-agg shuffle on the key; totals ride as a
+    broadcast 1-row aggregate; ratios are integer-derived then rounded, so
+    the report is engine-exact.
+    """
+    counts = df.groupBy(F.col(key).cast("string").alias("key")).agg(
+        F.count("*").alias("cnt")
+    )
+    totals = counts.agg(
+        F.sum("cnt").alias("_total"), F.count("*").alias("_n_keys")
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("key"))
+    top = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+    )
+    return top.crossJoin(F.broadcast(totals)).select(
+        "rank",
+        "key",
+        "cnt",
+        F.round(F.col("cnt") / F.col("_total"), 6).alias("share"),
+        F.round(
+            F.col("cnt") * F.col("_n_keys") / F.col("_total"), 6
+        ).alias("skew_factor"),
     )

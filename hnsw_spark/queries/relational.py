@@ -1104,3 +1104,34 @@ def incremental_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_SKEW_SQL = """
+WITH c AS (
+  SELECT l_partkey::VARCHAR AS key, count(*)::BIGINT AS cnt
+  FROM lineitem GROUP BY l_partkey
+), t AS (
+  SELECT sum(cnt)::BIGINT AS total, count(*)::BIGINT AS n_keys FROM c
+), r AS (
+  SELECT key, cnt,
+         row_number() OVER (ORDER BY cnt DESC, key ASC)::INT AS rank
+  FROM c
+)
+SELECT rank, key, cnt,
+       round(cnt / total, 6) AS share,
+       round(cnt * n_keys / total, 6) AS skew_factor
+FROM r, t WHERE rank <= 10
+"""
+
+
+@query("join_skew_report", _SKEW_SQL)
+def join_skew_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis over lineitem.l_partkey
+    (operators/profile.py:skew_report): the top-10 heaviest keys with row
+    share and skew factor — what you read BEFORE shuffling 100 TB on a
+    key.  One partial-agg shuffle; totals broadcast; integer-derived
+    ratios."""
+    from hnsw_spark.operators.profile import skew_report
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return skew_report(li, "l_partkey", top_n=10)
