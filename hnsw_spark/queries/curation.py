@@ -5,7 +5,7 @@ text-analysis oracles, so every rule fires identically in both engines."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hnsw_spark.functions.hashing import P31, md5_bigint_sql
@@ -553,3 +553,85 @@ def token_budget_selection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return token_budget_select(docs, budget_fraction=0.5)
+
+
+_KS_A = tuple(f"src{i}" for i in range(10))
+
+_KS_SQL = f"""
+WITH q AS (
+  SELECT CASE WHEN source IN ({", ".join(f"'{s}'" for s in _KS_A)})
+              THEN 0 ELSE 1 END AS grp,
+         {QUALITY_SQL} AS quality
+  FROM documents
+), c AS (
+  SELECT quality, 
+         count(*) FILTER (WHERE grp = 0)::BIGINT AS c0,
+         count(*) FILTER (WHERE grp = 1)::BIGINT AS c1
+  FROM q GROUP BY quality
+), n AS (
+  SELECT sum(c0)::BIGINT AS n0, sum(c1)::BIGINT AS n1 FROM c
+), cum AS (
+  SELECT quality,
+         sum(c0) OVER (ORDER BY quality
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS f0,
+         sum(c1) OVER (ORDER BY quality
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS f1
+  FROM c
+)
+SELECT n0, n1,
+       round(max(abs(f0 * n1 - f1 * n0)) / (n0 * n1), 6) AS ks_stat
+FROM cum, n
+GROUP BY n0, n1
+"""
+
+
+@query("quality_drift_ks", _KS_SQL)
+def quality_drift_ks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: the two-sample Kolmogorov-Smirnov
+    statistic between the quality-score distributions of two source
+    cohorts (src0-9 vs src10-19) — the standard gate for "did this week's
+    crawl change quality?".
+
+    Exactness: KS is max |CDF₀ − CDF₁|; both CDFs are INTEGER cumulative
+    counts, so the statistic is computed as max |f0·n1 − f1·n0| / (n0·n1)
+    — one integer cross-multiplication, divided once at the end — and is
+    therefore engine-exact with no float accumulation at all.
+
+    Scale shape: one groupBy on the (already 1e-6-quantized) quality value
+    collapses the corpus to ≤ #distinct-values aggregate rows; the
+    ordered cumulative window runs over THAT skinny frame, never the
+    corpus."""
+    from hnsw_spark.functions.text import quality_score_w, words
+
+    docs = load_table(spark, sf_dir, "documents")
+    grp = F.when(F.col("source").isin(*_KS_A), F.lit(0)).otherwise(F.lit(1))
+    q = docs.select(
+        grp.alias("grp"),
+        quality_score_w(F.col("text"), words("text")).alias("quality"),
+    )
+    c = q.groupBy("quality").agg(
+        F.sum((F.col("grp") == 0).cast("long")).alias("c0"),
+        F.sum((F.col("grp") == 1).cast("long")).alias("c1"),
+    )
+    n = c.agg(F.sum("c0").alias("n0"), F.sum("c1").alias("n1"))
+    w = Window.orderBy("quality").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = c.select(
+        F.sum("c0").over(w).alias("f0"), F.sum("c1").over(w).alias("f1")
+    )
+    return (
+        cum.crossJoin(F.broadcast(n))
+        .groupBy("n0", "n1")
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("f0") * F.col("n1") - F.col("f1") * F.col("n0")
+                    )
+                )
+                / (F.col("n0") * F.col("n1")),
+                6,
+            ).alias("ks_stat")
+        )
+    )

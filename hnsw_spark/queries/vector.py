@@ -542,3 +542,77 @@ def matryoshka_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recall_table(approx, exact).select(
         "query_id", "hits", "total", F.round("recall", 6).alias("recall")
     )
+
+
+_CENTROID_DIST_SQL = """
+WITH pos AS (
+  SELECT label, j.j AS pos, embedding[j.j]::DOUBLE AS v
+  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS j) j
+), cent AS (
+  SELECT label, pos,
+         ((sum(floor(v * 1000000.0 + 0.5)::BIGINT))::DOUBLE / 1000000.0)
+           / count(*) AS c
+  FROM pos GROUP BY label, pos
+), pair AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         sqrt(sum((a.c - b.c) * (a.c - b.c))) AS dist
+  FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+  GROUP BY a.label, b.label
+)
+SELECT label_a::INT AS label_a, label_b::INT AS label_b,
+       round(dist, 6) AS dist
+FROM pair
+"""
+
+
+@query("label_centroid_distances", _CENTROID_DIST_SQL)
+def label_centroid_distances_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-separation diagnostics: pairwise euclidean distances between
+    per-label embedding centroids — the compactness/separation numbers read
+    before trusting labels for contrastive training or the SemDeDup tier.
+
+    Scale shape: centroids via posexplode + per-(label, dim) fixed-point
+    mean — the shuffle carries labels×64 partial aggregates, never vectors
+    (same pattern as embedding_outliers); the pairwise stage runs on the
+    labels×64 centroid table, which is broadcast-tiny at any corpus size.
+    Per-dimension means use the dsum convention, so centroids — and hence
+    distances — are engine-exact.  The distance sum accumulates over the
+    ORDERED dim join in both engines; with 64 dims and exact inputs the
+    float sum is identical."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from hnsw_spark.operators.evaluation import davg
+
+    pos = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    )
+    cent = pos.groupBy("label", "pos").agg(
+        davg(F.col("v").cast("double"), 6).alias("c")
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "pos", F.col("c").alias("ca")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"),
+        F.col("pos").alias("pos_b"),
+        F.col("c").alias("cb"),
+    )
+    pair = (
+        a.join(
+            b,
+            (F.col("pos") == F.col("pos_b"))
+            & (F.col("label_a") < F.col("label_b")),
+        )
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sqrt(
+                F.sum(
+                    (F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb"))
+                )
+            ).alias("dist")
+        )
+    )
+    return pair.select(
+        F.col("label_a").cast("int").alias("label_a"),
+        F.col("label_b").cast("int").alias("label_b"),
+        F.round("dist", 6).alias("dist"),
+    )
