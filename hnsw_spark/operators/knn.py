@@ -342,18 +342,26 @@ def mutual_knn_pairs(
     Mutual-kNN is the standard noise-robust edge set for embedding
     clustering and semantic dedup (a one-directional top-k edge to a hub
     vector is usually spurious; a reciprocal edge rarely is).  Plan: one
-    top-(k+1) pass (self-match dropped, re-ranked to k), then an
-    equi-self-join on the reversed key — the join is on (query_id, id),
-    cardinality N×k, never N².  At scale the first stage swaps to the
-    ANN/local_merge tier unchanged.
+    top-(k+1) pass via the vectorized ``local_merge`` tier (every row is a
+    query, so the Q×N scored-row shuffle of the window tier is exactly the
+    blowup local_merge exists to avoid — BLAS block scoring, per-batch
+    top-k, Q×k×batches shuffle input), self-match dropped, re-ranked to k,
+    PERSISTED (both join sides consume it — without the persist the whole
+    scoring pipeline runs twice), then an equi-self-join on the reversed
+    key — the join carries N×k rows, never N².
     """
+    from pyspark.storagelevel import StorageLevel
+
     top = knn_exact(
         emb, emb, k=k + 1, metric=metric,
         base_id=id_col, base_vec=vec_col, query_id=id_col, query_vec=vec_col,
+        strategy="local_merge",
     ).filter(F.col("id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("id"))
-    ranked = top.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
+    ranked = (
+        top.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     fwd = ranked.select(
         F.col("query_id").alias("id_a"),

@@ -7,7 +7,7 @@ the oracle.  Scores are rounded to 6 decimals on both sides.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hnsw_spark.operators.knn import knn_exact, similarity_scores
@@ -615,4 +615,75 @@ def label_centroid_distances_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label_a").cast("int").alias("label_a"),
         F.col("label_b").cast("int").alias("label_b"),
         F.round("dist", 6).alias("dist"),
+    )
+
+
+_HARD_NEG_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS qlabel
+  FROM embeddings WHERE vec_id < 32
+), b AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS bv, label FROM embeddings
+), s AS (
+  SELECT q.query_id, q.qlabel, b.id, b.label, {_COSINE_EXPR} AS sc
+  FROM q CROSS JOIN b
+  WHERE b.label <> q.qlabel
+), r AS (
+  SELECT query_id, id, label, sc,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sc DESC, id ASC) AS rn
+  FROM s
+)
+SELECT query_id, id, label::INT AS neg_label, rn::INT AS rank,
+       round(sc, 6) AS score
+FROM r WHERE rn <= {K}
+"""
+
+
+@query("hard_negatives", _HARD_NEG_SQL)
+def hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor (first 32
+    vectors), the top-10 most similar vectors with a DIFFERENT label —
+    the negatives that actually move an embedding model, versus the
+    uninformative random ones (`contrastive_pairs` supplies those).
+
+    Plan: the label predicate composes with the exact kNN tier as a
+    pre-scoring filter — pushed into the corpus scan side of the broadcast
+    join, so wrong-label candidates are never even scored... the inverse
+    of `knn_filtered`'s allow-list.  At scale the scoring stage swaps to
+    the ANN tier with the same per-anchor label-exclusion predicate."""
+    from hnsw_spark.operators.knn import _topk_window
+    from hnsw_spark.functions.similarity import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_qv"),
+        F.col("label").alias("_qlabel"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("_bv"),
+        F.col("label"),
+    )
+    scored = (
+        corpus.join(F.broadcast(qs), F.col("label") != F.col("_qlabel"))
+        .select(
+            "query_id",
+            "id",
+            "label",
+            cosine_similarity("_qv", "_bv").alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+        .select(
+            "query_id",
+            "id",
+            F.col("label").cast("int").alias("neg_label"),
+            F.col("rank").cast("int").alias("rank"),
+            F.round("score", 6).alias("score"),
+        )
     )
