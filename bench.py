@@ -99,6 +99,13 @@ HEADLINE = [
     "rowgroup_pruning_gate",
     "market_share_by_year",
     "sorted_export_gate",
+    "user_recency_scores",
+    "upsert_compaction",
+    "incremental_rollup",
+    "join_skew_report",
+    "quality_drift_ks",
+    "label_centroid_distances",
+    "hard_negatives",
     # NOT benched: bpe_encode_gate (BPE training cost already measured by
     # the bpe_merges cell) and pagerank_gate (wall is the O(n²) exact-kNN
     # graph build, not the operator under test)
