@@ -332,3 +332,26 @@ def test_chunk_documents_coverage_overlap_and_edges(spark):
 
     with _p.raises(ValueError, match="overlap"):
         chunk_documents(df, chunk_size=32, overlap=32)
+
+
+def test_upsert_latest_version_and_side_tiebreak(spark):
+    """Higher version wins; at EQUAL version the update side wins (MERGE
+    re-write semantics); untouched keys survive unchanged."""
+    from hnsw_spark.operators.upsert import upsert_latest
+
+    base = spark.createDataFrame(
+        [(1, 1, "a"), (2, 3, "b"), (3, 1, "c")],
+        "doc_id long, version int, text string",
+    )
+    upd = spark.createDataFrame(
+        [(1, 2, "a2"), (2, 3, "b2"), (4, 1, "d")],
+        "doc_id long, version int, text string",
+    )
+    out = {r.doc_id: (r.version, r.text, r.action)
+           for r in upsert_latest(base, upd).collect()}
+    assert out == {
+        1: (2, "a2", "updated"),    # higher version
+        2: (3, "b2", "updated"),    # equal version -> update side wins
+        3: (1, "c", "unchanged"),
+        4: (1, "d", "inserted"),
+    }
