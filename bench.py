@@ -451,7 +451,7 @@ def _protocol_axes(spark, sf_dir: str, qs) -> dict:
     emb2 = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q2 = emb2.filter(F.col("vec_id") < 8)
     sizes, search_walls, results = {}, {}, {}
-    for store in ("float32", "int8", "pq"):
+    for store in ("float32", "int8", "pq", "binary"):
         idx = build_ivf_index(
             emb2, n_lists=ANN_N_LISTS, metric="cosine", store=store, pq_m=16
         )
@@ -471,8 +471,10 @@ def _protocol_axes(spark, sf_dir: str, qs) -> dict:
         search_walls[store] = time.time() - t0
         results[store] = {(r.query_id, r.id) for r in res.collect()}
         idx.index_df.unpersist()
-        if store == "pq":
-            # the two-stage refine path: ADC shortlist → exact re-rank
+        if store in ("pq", "binary"):
+            # the two-stage refine path: lossy shortlist → exact re-rank
+            # (ADC for pq; Hamming with the registered wide shortlist for
+            # binary — see queries/index.py:ann_binary_recall)
             full = emb2.select(
                 F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
             )
@@ -480,11 +482,14 @@ def _protocol_axes(spark, sf_dir: str, qs) -> dict:
             idx.index_df.count()
             t0 = time.time()
             rr = idx.search(
-                q2, k=10, n_probe=ANN_N_PROBE, rerank_with=full, rerank_factor=5
+                q2, k=10, n_probe=ANN_N_PROBE, rerank_with=full,
+                rerank_factor=5 if store == "pq" else 80,
             )
             rr.write.format("noop").mode("overwrite").save()
-            search_walls["pq_rerank"] = time.time() - t0
-            results["pq_rerank"] = {(r.query_id, r.id) for r in rr.collect()}
+            search_walls[f"{store}_rerank"] = time.time() - t0
+            results[f"{store}_rerank"] = {
+                (r.query_id, r.id) for r in rr.collect()
+            }
             idx.index_df.unpersist()
         shutil.rmtree(tmp, ignore_errors=True)
     agree = len(results["int8"] & results["float32"]) / max(
@@ -518,6 +523,24 @@ def _protocol_axes(spark, sf_dir: str, qs) -> dict:
             ),
             "topk_agreement_rerank": round(
                 len(results["pq_rerank"] & results["float32"])
+                / max(len(results["float32"]), 1),
+                4,
+            ),
+        },
+        "ivf_binary_store": {
+            "n_lists": ANN_N_LISTS,
+            "n_probe": ANN_N_PROBE,
+            "bytes_float32": sizes["float32"],
+            "bytes_binary": sizes["binary"],
+            "compression_ratio": round(
+                sizes["float32"] / max(sizes["binary"], 1), 2
+            ),
+            "search_ms_hamming": round(search_walls["binary"] * 1000, 1),
+            "search_ms_rerank": round(
+                search_walls["binary_rerank"] * 1000, 1
+            ),
+            "topk_agreement_rerank": round(
+                len(results["binary_rerank"] & results["float32"])
                 / max(len(results["float32"]), 1),
                 4,
             ),

@@ -161,6 +161,32 @@ class IVFIndex:
                 _topk_window(scored, shortlist_k), queries, k,
                 query_id, query_vec, rerank_with,
             )
+        if "bcode" in index_df.columns:
+            # binary-stored index (store='binary'): 1-bit sign codes, the
+            # lossiest/cheapest tier (32× vs float32).  Candidates score by
+            # integer Hamming distance — XOR+popcount inside whole-stage
+            # codegen, negated so the shared top-k convention (score DESC,
+            # id ASC) applies; the per-candidate-row query-code packing is a
+            # few dozen fused bit-ops, cheaper than materializing a code
+            # column through the join.  Meaningful final ranking requires
+            # ``rerank_with`` (Hamming ties are massive at low dim).
+            from hnsw_spark.functions.quantize import binarize, hamming_distance
+
+            cand = index_df.join(probes, "list_id")
+            scored = cand.select(
+                "query_id",
+                "id",
+                (
+                    -hamming_distance(
+                        binarize("qvec", int(self.params["dim"])),
+                        F.col("bcode"),
+                    )
+                ).cast("double").alias("score"),
+            )
+            return self._maybe_rerank(
+                _topk_window(scored, shortlist_k), queries, k,
+                query_id, query_vec, rerank_with,
+            )
         if "vector" not in index_df.columns:
             # int8-stored index (store='int8'): reconstruct vectors inline —
             # a Catalyst transform that fuses into the same codegen span as
@@ -607,7 +633,7 @@ def build_ivf_index(
     use for the first pass at 100 TB and re-rank survivors with the exact
     operator."""
     get_metric(metric)  # validate early (reference src/main.ts:42-44)
-    if store not in ("float32", "int8", "pq"):
+    if store not in ("float32", "int8", "pq", "binary"):
         raise ValueError(f"unknown store: {store!r}")
     if store == "pq" and metric != "cosine":
         raise ValueError("store='pq' supports cosine only")
@@ -633,6 +659,16 @@ def build_ivf_index(
             .withColumn("qvec", quantize("vector", F.col("scale")))
             .drop("vector")
         )
+    elif store == "binary":
+        from hnsw_spark.functions.quantize import binarize
+
+        # 1-bit sign codes: 32x compression, integer-only scan; the dim is
+        # pinned in params so search can pack query codes identically
+        dim = int(base.select(F.size("vector")).first()[0])
+        params["dim"] = dim
+        assigned = assigned.withColumn(
+            "bcode", binarize("vector", dim)
+        ).drop("vector")
     elif store == "pq":
         from hnsw_spark.operators.pq import pq_encode, train_pq_codebooks
 

@@ -253,3 +253,50 @@ def test_merge_rejects_mismatched_metric_and_store(spark, corpus):
     int8 = build_ivf_index(corpus, n_lists=4, store="int8")
     with pytest.raises(ValueError, match="float32"):
         merge_ivf_indexes(cos, int8)
+
+
+def test_binary_store_full_probe_rerank_equals_exact(spark):
+    """store='binary', every list probed, shortlist past the corpus, exact
+    re-rank => identical to exact kNN."""
+    from pyspark.sql import functions as F
+
+    from hnsw_spark.operators.ann import build_ivf_index
+    from hnsw_spark.operators.knn import knn_exact
+    from hnsw_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qs = emb.filter(F.col("vec_id") < 4)
+    idx = build_ivf_index(emb, n_lists=4, metric="cosine", store="binary")
+    assert "bcode" in idx.index_df.columns
+    assert "vector" not in idx.index_df.columns
+    assert idx.params["dim"] == 64
+    full = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    got = {
+        (r.query_id, r.id, round(r.score, 6))
+        for r in idx.search(
+            qs, k=5, n_probe=4, rerank_with=full, rerank_factor=10_000
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.id, round(r.score, 6))
+        for r in knn_exact(emb, qs, k=5).collect()
+    }
+    assert got == want
+
+
+def test_binary_store_hamming_only_scores_are_negated_distances(spark):
+    from pyspark.sql import functions as F
+
+    from hnsw_spark.operators.ann import build_ivf_index
+    from hnsw_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qs = emb.filter(F.col("vec_id") < 2)
+    idx = build_ivf_index(emb, n_lists=4, metric="cosine", store="binary")
+    rows = idx.search(qs, k=5, n_probe=4).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.score <= 0 and r.score == int(r.score)  # -hamming, integer
+        assert -64 <= r.score  # bounded by code width
