@@ -27,7 +27,11 @@ ORACLES: dict[str, str] = {}
 # Late-round-4 additions (knn_hamming_rerank, mutual_knn_pairs,
 # matryoshka_recall, mmr_diversified, events_in_windows,
 # discounted_revenue_filters, event_anomaly_zscore, threshold_alert_episodes,
-# token_budget_selection, lsh_quality_report, rowgroup_pruning_gate) land
+# token_budget_selection, lsh_quality_report, rowgroup_pruning_gate,
+# market_share_by_year, sorted_export_gate, user_recency_scores,
+# upsert_compaction, incremental_rollup, join_skew_report, quality_drift_ks,
+# label_centroid_distances, hard_negatives, ann_binary_full_probe,
+# ann_binary_recall) land
 # mid-pack — the window was already full of never-verified queries — and are
 # FIRST in line for the round-5 window.
 _RUN_FIRST = (
