@@ -165,3 +165,45 @@ def test_rowgroup_stats_missing_path_raises(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         rowgroup_stats(spark, str(tmp_path / "nope"), "v")
+
+
+def test_jsonl_permissive_quarantines_corrupt_lines(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from hnsw_spark.sources.jsonl import read_jsonl, split_corrupt
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world"}\n'
+        '{"doc_id": 2, "text": "ok"}\n'
+        "{truncated garbage\n"
+        '{"doc_id": "not-a-number", "text": "type drift"}\n'
+        '{"doc_id": 3, "text": "fine"}\n'
+    )
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    df = read_jsonl(spark, str(p), schema)
+    clean, quarantine = split_corrupt(df)
+    assert {r.doc_id for r in clean.collect()} == {1, 2, 3}
+    bad = [r.raw_line for r in quarantine.collect()]
+    assert len(bad) == 2
+    assert any("truncated" in b for b in bad)
+    assert any("not-a-number" in b for b in bad)
+
+
+def test_jsonl_roundtrip_matches_parquet_fixture(spark, tmp_path):
+    """documents written as JSONL and read back with the explicit schema
+    equal the parquet original."""
+    from hnsw_spark.sources.jsonl import read_jsonl, split_corrupt
+    from hnsw_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = str(tmp_path / "docs_jsonl")
+    docs.write.mode("overwrite").json(out)
+    back = read_jsonl(spark, out, docs.schema)
+    clean, quarantine = split_corrupt(back)
+    assert quarantine.count() == 0
+    a = {tuple(r) for r in docs.collect()}
+    b = {tuple(r) for r in clean.select(*docs.columns).collect()}
+    assert a == b
