@@ -1,0 +1,164 @@
+"""Property-based tests for the late-round operators: each example checks
+a whole batch in one Spark job (examples kept low — every example pays a
+job), against pure-Python models.
+
+- binarize/hamming: Catalyst packing+popcount == numpy sign-mismatch count
+  for random vectors and dims (incl. non-multiple-of-32 dims);
+- token_budget_select: bucket-threshold plan == global greedy for random
+  corpora and budget fractions;
+- interval_join: bin-bucketed equi-join == naive range predicate for
+  random overlapping windows and bin widths;
+- recency weights: fixed-point decayed sum == Python model with exact
+  2^-k scaling.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def spark_session_cached(spark):
+    return spark
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    dim=st.integers(min_value=1, max_value=96),
+)
+@settings(suppress_health_check=[HealthCheck.function_scoped_fixture], max_examples=12, deadline=None)
+def test_binarize_hamming_matches_numpy(spark_session_cached, seed, dim):
+    from hnsw_spark.functions.quantize import binarize, hamming_distance
+
+    spark = spark_session_cached
+    rng = np.random.default_rng(seed)
+    mats = rng.standard_normal((6, dim))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(mats)],
+        "vec_id long, embedding array<float>",
+    )
+    codes = df.select("vec_id", binarize("embedding", dim).alias("c"))
+    a = codes.select(F.col("vec_id").alias("ia"), F.col("c").alias("ca"))
+    b = codes.select(F.col("vec_id").alias("ib"), F.col("c").alias("cb"))
+    got = {
+        (r.ia, r.ib): r.h
+        for r in a.crossJoin(b)
+        .select("ia", "ib", hamming_distance("ca", "cb").alias("h"))
+        .collect()
+    }
+    # the sign test runs on the float32-stored values
+    bits = mats.astype(np.float32) > 0
+    for (i, j), h in got.items():
+        assert h == int(np.sum(bits[i] != bits[j]))
+        assert got[(i, j)] == got[(j, i)]
+    assert all(got[(i, i)] == 0 for i in range(6))
+
+
+@given(
+    tokens=st.lists(st.integers(min_value=1, max_value=40), min_size=3, max_size=25),
+    frac_pct=st.integers(min_value=10, max_value=90),
+)
+@settings(suppress_health_check=[HealthCheck.function_scoped_fixture], max_examples=10, deadline=None)
+def test_token_budget_matches_python_greedy(
+    spark_session_cached, tokens, frac_pct
+):
+    from hnsw_spark.operators.curation import token_budget_select
+
+    spark = spark_session_cached
+    docs = spark.createDataFrame(
+        [(i, "w " * t) for i, t in enumerate(tokens)],
+        "doc_id long, text string",
+    )
+    out = token_budget_select(docs, budget_fraction=frac_pct / 100).collect()
+    budget = int(sum(r.tokens for r in out) * frac_pct / 100)
+    cum, want = 0, {}
+    for r in sorted(out, key=lambda r: (-r.quality, r.doc_id)):
+        cum += r.tokens
+        want[r.doc_id] = cum <= budget
+    assert {r.doc_id: r.selected for r in out} == want
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    bin_minutes=st.integers(min_value=1, max_value=90),
+)
+@settings(suppress_health_check=[HealthCheck.function_scoped_fixture], max_examples=10, deadline=None)
+def test_interval_join_matches_naive(spark_session_cached, seed, bin_minutes):
+    from hnsw_spark.operators.temporal import interval_join
+
+    spark = spark_session_cached
+    rng = np.random.default_rng(seed)
+    t0 = dt.datetime(2024, 1, 1)
+    events = spark.createDataFrame(
+        [
+            (int(i), t0 + dt.timedelta(minutes=int(m)))
+            for i, m in enumerate(rng.integers(0, 300, size=25))
+        ],
+        "event_id long, ts timestamp_ntz",
+    )
+    wins = []
+    for w in range(6):
+        start = int(rng.integers(0, 280))
+        wins.append(
+            (
+                w,
+                t0 + dt.timedelta(minutes=start),
+                t0 + dt.timedelta(minutes=start + int(rng.integers(1, 120))),
+            )
+        )
+    windows = spark.createDataFrame(
+        wins, "window_id long, w_start timestamp_ntz, w_end timestamp_ntz"
+    )
+    got = {
+        (r.event_id, r.window_id)
+        for r in interval_join(
+            events, windows, bin_seconds=bin_minutes * 60
+        ).collect()
+    }
+    want = {
+        (r.event_id, r.window_id)
+        for r in events.join(
+            windows, (events.ts >= windows.w_start) & (events.ts < windows.w_end)
+        ).collect()
+    }
+    assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=0.01, max_value=500, allow_nan=False),
+        min_size=1,
+        max_size=20,
+    ),
+    seed=st.integers(min_value=0, max_value=1000),
+)
+@settings(suppress_health_check=[HealthCheck.function_scoped_fixture], max_examples=10, deadline=None)
+def test_recency_scores_match_python_model(spark_session_cached, vals, seed):
+    from hnsw_spark.operators.temporal import recency_weighted_scores
+
+    spark = spark_session_cached
+    rng = np.random.default_rng(seed)
+    t0 = dt.datetime(2024, 1, 1)
+    offsets = sorted(int(x) for x in rng.integers(0, 10_000, size=len(vals)))
+    df = spark.createDataFrame(
+        [
+            (1, t0 + dt.timedelta(minutes=o), float(v))
+            for o, v in zip(offsets, vals)
+        ],
+        "user_id long, ts timestamp_ntz, value double",
+    )
+    hl = 3600  # 1 hour
+    out = recency_weighted_scores(df, halflife_seconds=hl).collect()[0]
+    now_min = max(offsets)
+    total = 0
+    for o, v in zip(offsets, vals):
+        k = (now_min - o) * 60 // hl
+        # model the operator exactly: quantize each decayed term at 1e-6
+        total += int(np.floor(float(v) * 2.0 ** -int(k) * 1e6 + 0.5))
+    assert out.recency_score == total / 1e6
+    assert out.n_events == len(vals)
