@@ -1135,3 +1135,124 @@ def join_skew_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return skew_report(li, "l_partkey", top_n=10)
+
+
+_GAPFILL_SQL = """
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+  FROM events
+), hours AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM bounds
+), types AS (
+  SELECT DISTINCT event_type FROM events
+), grid AS (
+  SELECT hour, event_type FROM hours CROSS JOIN types
+), agg AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         count(*)::BIGINT AS n,
+         (sum(floor(value * 10000.0 + 0.5)::BIGINT))::DOUBLE / 10000.0
+           AS total_value
+  FROM events GROUP BY 1, 2
+)
+SELECT g.hour, g.event_type,
+       coalesce(a.n, 0)::BIGINT AS n,
+       coalesce(a.total_value, 0.0) AS total_value
+FROM grid g LEFT JOIN agg a ON a.hour = g.hour AND a.event_type = g.event_type
+"""
+
+
+@query("events_gapfilled_hourly", _GAPFILL_SQL)
+def events_gapfilled_hourly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled resampling: the hourly rollup DENSIFIED onto the full
+    (hour × event_type) grid with explicit zeros — what every downstream
+    time-series consumer (anomaly models, charts, forecasting) needs,
+    since a missing row and a zero row mean different things.
+
+    Scale shape: the grid is generated, not scanned — a sequence() over
+    the corpus [min, max] hour range (one 1-row bounds aggregate) crossed
+    with the distinct type table, then one left join against the ordinary
+    rollup.  Grid cardinality is hours×types — tiny forever — so the join
+    broadcasts the grid and the corpus still shuffles exactly once (the
+    rollup's own aggregation)."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.expr(
+        "make_timestamp_ntz(year(ts), month(ts), day(ts), hour(ts), 0, 0)"
+    )
+    agg = ev.groupBy(hour.alias("hour"), F.col("event_type")).agg(
+        F.count("*").alias("n"), dsum("value").alias("total_value")
+    )
+    bounds = ev.agg(
+        F.expr(
+            "make_timestamp_ntz(year(min(ts)), month(min(ts)), day(min(ts)),"
+            " hour(min(ts)), 0, 0)"
+        ).alias("h0"),
+        F.expr(
+            "make_timestamp_ntz(year(max(ts)), month(max(ts)), day(max(ts)),"
+            " hour(max(ts)), 0, 0)"
+        ).alias("h1"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.expr("sequence(h0, h1, INTERVAL 1 HOUR)")
+        ).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    grid = F.broadcast(hours.crossJoin(types))
+    return grid.join(agg, ["hour", "event_type"], "left").select(
+        "hour",
+        "event_type",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(F.col("total_value"), F.lit(0.0)).alias("total_value"),
+    )
+
+
+_MARKOV_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+), trans AS (
+  SELECT prev_type, event_type AS next_type, count(*)::BIGINT AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+), tot AS (
+  SELECT prev_type, sum(n)::BIGINT AS row_total FROM trans GROUP BY prev_type
+)
+SELECT t.prev_type, t.next_type, t.n,
+       round(t.n / tot.row_total, 6) AS p
+FROM trans t JOIN tot ON t.prev_type = tot.prev_type
+"""
+
+
+@query("event_transition_matrix", _MARKOV_SQL)
+def event_transition_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences
+    (prev_type → next_type counts and probabilities) — the behavioral
+    model behind next-action prediction and funnel anomaly detection.
+
+    One shuffle on user_id serves the sequence window (same partitioning
+    discipline as user_sessions); the transition aggregation then runs on
+    the types² key space — constant size at any corpus scale — and the
+    row-normalization totals join is broadcast-tiny.  Probabilities are an
+    integer ratio rounded once, engine-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count("*").alias("n"))
+    tot = trans.groupBy(F.col("prev_type").alias("_pt")).agg(
+        F.sum("n").alias("row_total")
+    )
+    return (
+        trans.join(F.broadcast(tot), trans.prev_type == tot._pt)
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.round(F.col("n") / F.col("row_total"), 6).alias("p"),
+        )
+    )
