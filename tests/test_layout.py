@@ -143,3 +143,61 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     rows = merged.orderBy("doc_id").collect()
     assert len(rows) == 20
     assert rows[0].lang is None and rows[-1].lang == "en"
+
+
+def test_zorder_layout_prunes_2d_boxes_better_than_1d_sort(spark, tmp_path):
+    """Footer-manifest proof that z-ordering buys 2-d pruning: for a box
+    predicate on (x, y), the z-ordered layout leaves fewer candidate files
+    than a layout sorted on x alone — and both return identical rows."""
+    from pyspark.sql import functions as F
+
+    from hnsw_spark.functions.zorder import write_zordered, z_value
+    from hnsw_spark.sources.metadata import rowgroup_stats
+
+    df = (
+        spark.range(40_000)
+        .select(
+            F.col("id"),
+            ((F.col("id") * 48271) % 1024).alias("x"),
+            ((F.col("id") * 69621) % 1024).alias("y"),
+        )
+    )
+    p_x = str(tmp_path / "xsorted")
+    df.repartitionByRange(32, "x").sortWithinPartitions("x").write.mode(
+        "overwrite"
+    ).parquet(p_x)
+    p_z = str(tmp_path / "zordered")
+    write_zordered(df, p_z, "x", "y", num_files=32, bits=10)
+
+    def candidates(path):
+        sx = {r.file: (r.stat_min, r.stat_max)
+              for r in rowgroup_stats(spark, path, "x").collect()}
+        sy = {r.file: (r.stat_min, r.stat_max)
+              for r in rowgroup_stats(spark, path, "y").collect()}
+        # box: x in [0, 511] (wide - half the domain), y in [300, 400]
+        # (narrow).  A 1-d x-sort can only halve the files; interleaving
+        # lets the y constraint prune too
+        return {
+            f for f in sx
+            if not (sx[f][1] < 0 or sx[f][0] > 511)
+            and not (sy[f][1] < 300 or sy[f][0] > 400)
+        }
+
+    cand_x, cand_z = candidates(p_x), candidates(p_z)
+    assert len(cand_z) < len(cand_x)
+
+    box = (F.col("x").between(0, 511)) & (F.col("y").between(300, 400))
+    rows_x = {r.id for r in spark.read.parquet(p_x).filter(box).collect()}
+    rows_z = {r.id for r in spark.read.parquet(p_z).filter(box).collect()}
+    assert rows_x == rows_z and len(rows_x) > 0
+
+
+def test_z_value_interleaves_bits(spark):
+    from pyspark.sql import functions as F
+
+    from hnsw_spark.functions.zorder import z_value
+
+    df = spark.createDataFrame([(0b101, 0b011)], "a long, b long")
+    got = df.select(z_value("a", "b", bits=3).alias("z")).first().z
+    # a bits at even positions: 1,0,1 -> 1 + 0 + 16; b bits at odd: 1,1,0 -> 2 + 8
+    assert got == (1 + 16) + (2 + 8)
