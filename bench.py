@@ -106,6 +106,9 @@ HEADLINE = [
     "quality_drift_ks",
     "label_centroid_distances",
     "hard_negatives",
+    "events_gapfilled_hourly",
+    "event_transition_matrix",
+    "ann_binary_recall",
     # NOT benched: bpe_encode_gate (BPE training cost already measured by
     # the bpe_merges cell) and pagerank_gate (wall is the O(n²) exact-kNN
     # graph build, not the operator under test)

@@ -31,7 +31,7 @@ ORACLES: dict[str, str] = {}
 # market_share_by_year, sorted_export_gate, user_recency_scores,
 # upsert_compaction, incremental_rollup, join_skew_report, quality_drift_ks,
 # label_centroid_distances, hard_negatives, ann_binary_full_probe,
-# ann_binary_recall) land
+# ann_binary_recall, events_gapfilled_hourly, event_transition_matrix) land
 # mid-pack — the window was already full of never-verified queries — and are
 # FIRST in line for the round-5 window.
 _RUN_FIRST = (
