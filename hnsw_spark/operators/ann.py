@@ -163,25 +163,27 @@ class IVFIndex:
             )
         if "bcode" in index_df.columns:
             # binary-stored index (store='binary'): 1-bit sign codes, the
-            # lossiest/cheapest tier (32× vs float32).  Candidates score by
-            # integer Hamming distance — XOR+popcount inside whole-stage
-            # codegen, negated so the shared top-k convention (score DESC,
-            # id ASC) applies; the per-candidate-row query-code packing is a
-            # few dozen fused bit-ops, cheaper than materializing a code
-            # column through the join.  Meaningful final ranking requires
-            # ``rerank_with`` (Hamming ties are massive at low dim).
+            # lossiest/cheapest tier (32× vs float32).  The query code is
+            # packed ONCE on the probes frame (Q×n_probe rows) BEFORE the
+            # join — higher-order functions evaluate interpreted, not in
+            # codegen, so packing per candidate row instead cost ~5× the
+            # whole search (measured).  Candidates then score by integer
+            # Hamming (XOR+popcount), negated so the shared top-k
+            # convention (score DESC, id ASC) applies.  Meaningful final
+            # ranking requires ``rerank_with`` (Hamming ties are massive
+            # at low dim).
             from hnsw_spark.functions.quantize import binarize, hamming_distance
 
-            cand = index_df.join(probes, "list_id")
+            probes_coded = probes.withColumn(
+                "_qcode", binarize("qvec", int(self.params["dim"]))
+            )
+            cand = index_df.join(probes_coded, "list_id")
             scored = cand.select(
                 "query_id",
                 "id",
-                (
-                    -hamming_distance(
-                        binarize("qvec", int(self.params["dim"])),
-                        F.col("bcode"),
-                    )
-                ).cast("double").alias("score"),
+                (-hamming_distance(F.col("_qcode"), F.col("bcode")))
+                .cast("double")
+                .alias("score"),
             )
             return self._maybe_rerank(
                 _topk_window(scored, shortlist_k), queries, k,

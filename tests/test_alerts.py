@@ -132,3 +132,51 @@ def test_stream_alerts_match_batch_on_fixture(spark, tmp_path):
     finally:
         q.stop()
     assert got == batch_closed
+
+
+def test_stateful_alerts_survive_checkpoint_restart(spark, tmp_path):
+    """Exactly-once across a restart: an alert that OPENS before the query
+    stops must close correctly after a new query resumes from the same
+    checkpoint, with no duplicate or lost episodes.  (foreachBatch sink —
+    the memory sink does not support checkpoint recovery.)"""
+    src = str(tmp_path / "ckpt_events")
+    ckpt = str(tmp_path / "ckpt_state")
+    base = time.time() - 1000
+    _land(spark, src, "f1", _ev(spark, [("a", 1, 0, 300.0), ("a", 2, 10, 90.0)]), base)
+
+    emitted = []
+
+    def run_query():
+        stream = (
+            spark.readStream.schema(_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return (
+            stream_threshold_alerts(stream, high=150, low=50)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(lambda df, eid: emitted.extend(df.collect()))
+            .start()
+        )
+
+    q = run_query()
+    try:
+        q.processAllAvailable()
+        assert emitted == []  # episode still open, nothing emitted
+    finally:
+        q.stop()
+
+    # new data lands while the query is DOWN; the restart must resume from
+    # checkpointed GroupState (episode still open) and close it
+    _land(spark, src, "f2", _ev(spark, [("a", 3, 20, 20.0), ("a", 4, 30, 250.0)]), base + 10)
+    q = run_query()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert [
+        (r.event_type, r.episode, r.n_events, r.peak_value) for r in emitted
+    ] == [("a", 1, 2, 300.0)]
+    assert emitted[0].alert_start == dt.datetime(2024, 1, 1, 0, 0, 0)
+    assert emitted[0].alert_end == dt.datetime(2024, 1, 1, 0, 0, 20)
