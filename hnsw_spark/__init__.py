@@ -107,8 +107,37 @@ from hnsw_spark.operators.retrieval import (  # noqa: E402
     rrf_fuse,
 )
 from hnsw_spark.functions.pii import pii_counts, redact_pii  # noqa: E402
-from hnsw_spark.operators.knn import knn_exact  # noqa: E402
-from hnsw_spark.operators.temporal import asof_join  # noqa: E402
+from hnsw_spark.operators.knn import (  # noqa: E402
+    knn_exact,
+    knn_hamming_rerank,
+    mutual_knn_pairs,
+)
+from hnsw_spark.operators.temporal import (  # noqa: E402
+    asof_join,
+    interval_join,
+    recency_weighted_scores,
+)
+from hnsw_spark.operators.curation import token_budget_select  # noqa: E402
+from hnsw_spark.operators.retrieval import diversify_mmr  # noqa: E402
+from hnsw_spark.operators.upsert import upsert_latest  # noqa: E402
+from hnsw_spark.operators.profile import skew_report  # noqa: E402
+from hnsw_spark.operators.packing import (  # noqa: E402,F811
+    sorted_export,
+    sorted_export_gate,
+)
+from hnsw_spark.functions.zorder import write_zordered, z_value  # noqa: E402
+from hnsw_spark.functions.quantize import (  # noqa: E402,F811
+    binarize,
+    hamming_distance,
+)
+from hnsw_spark.sources.jsonl import read_jsonl, split_corrupt  # noqa: E402
+from hnsw_spark.sources.metadata import rowgroup_stats  # noqa: E402
+from hnsw_spark.sources.bucketed import bucketed_join, write_bucketed  # noqa: E402
+from hnsw_spark.streaming.alerts import (  # noqa: E402
+    stream_threshold_alerts,
+    threshold_alerts,
+)
+from hnsw_spark.plans.matview import MatviewCatalog  # noqa: E402
 from hnsw_spark.operators.validate import validate_vectors  # noqa: E402
 from hnsw_spark.functions.quantize import (  # noqa: E402
     dequantize,
@@ -170,4 +199,26 @@ __all__ = [
     "quant_scale",
     "quantize",
     "dequantize",
+    "knn_hamming_rerank",
+    "mutual_knn_pairs",
+    "interval_join",
+    "recency_weighted_scores",
+    "token_budget_select",
+    "diversify_mmr",
+    "upsert_latest",
+    "skew_report",
+    "sorted_export",
+    "sorted_export_gate",
+    "write_zordered",
+    "z_value",
+    "binarize",
+    "hamming_distance",
+    "read_jsonl",
+    "split_corrupt",
+    "rowgroup_stats",
+    "bucketed_join",
+    "write_bucketed",
+    "stream_threshold_alerts",
+    "threshold_alerts",
+    "MatviewCatalog",
 ]
