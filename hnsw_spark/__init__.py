@@ -36,6 +36,14 @@ DataFrame programs:
   packing + deterministic sharding + global shuffle order, PII scrubbing,
   mixture materialization (``operators.curation.apply_mixing``).
 - ``operators.retrieval``   — Okapi BM25 and hybrid reciprocal-rank fusion.
+- ``operators.upsert`` / ``plans.matview`` — lakehouse maintenance: latest-wins
+  CDC merge compaction; materialized-view navigation over mergeable summaries.
+- ``sources.jsonl`` / ``sources.metadata`` / ``sources.bucketed`` /
+  ``functions.zorder`` — raw-corpus landing (corrupt-record quarantine),
+  parquet footer manifests for row-group pruning, bucketed zero-exchange
+  joins, Z-order multi-dimensional layout.
+- ``streaming.alerts`` / ``streaming.trending`` — hysteresis threshold
+  alerting (GroupState) and continuous trending top-N (foreachBatch rank).
 - ``operators.pq``          — product quantization (PQ codes, ADC search).
 - ``operators.profile``     — single-pass ANALYZE-style dataset profiling
   (exact or HyperLogLog distinct).
