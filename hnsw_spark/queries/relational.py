@@ -1256,3 +1256,105 @@ def event_transition_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n") / F.col("row_total"), 6).alias("p"),
         )
     )
+
+
+_RETENTION_SQL = """
+WITH activity AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+), first_seen AS (
+  SELECT user_id, min(day) AS cohort_day FROM activity GROUP BY user_id
+), cohort_sizes AS (
+  SELECT cohort_day, count(*)::BIGINT AS cohort_size
+  FROM first_seen GROUP BY cohort_day
+), joined AS (
+  SELECT f.cohort_day, date_diff('day', f.cohort_day, a.day) AS day_offset,
+         a.user_id
+  FROM activity a JOIN first_seen f USING (user_id)
+)
+SELECT j.cohort_day, j.day_offset::INT AS day_offset,
+       count(DISTINCT j.user_id)::BIGINT AS n_active,
+       s.cohort_size,
+       round(count(DISTINCT j.user_id) / s.cohort_size, 6) AS retention
+FROM joined j JOIN cohort_sizes s ON s.cohort_day = j.cohort_day
+GROUP BY j.cohort_day, j.day_offset, s.cohort_size
+"""
+
+
+@query("retention_cohorts", _RETENTION_SQL)
+def retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users grouped by first-active day, with
+    the fraction still active at each day offset — THE product-analytics
+    table, and a shape worth pinning because naive formulations self-join
+    raw events.
+
+    Scale shape: the corpus collapses immediately to distinct
+    (user, day) activity — one dedup shuffle keyed on user_id — and
+    everything after runs on that skinny frame: first-seen is a reuse of
+    the same user_id partitioning, cohort sizes are a tiny broadcast, and
+    the matrix aggregation's key space is days × offsets.  Retention is
+    an integer ratio rounded once — engine-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("make_timestamp_ntz(year(ts), month(ts), day(ts), 0, 0, 0)")
+    activity = ev.select("user_id", day.alias("day")).distinct()
+    first_seen = activity.groupBy("user_id").agg(
+        F.min("day").alias("cohort_day")
+    )
+    cohort_sizes = first_seen.groupBy("cohort_day").agg(
+        F.count("*").alias("cohort_size")
+    )
+    joined = activity.join(first_seen, "user_id").select(
+        "cohort_day",
+        F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        "user_id",
+    )
+    return (
+        joined.groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .join(F.broadcast(cohort_sizes), "cohort_day")
+        .select(
+            "cohort_day",
+            F.col("day_offset").cast("int").alias("day_offset"),
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") / F.col("cohort_size"), 6).alias(
+                "retention"
+            ),
+        )
+    )
+
+
+_SEASONAL_SQL = f"""
+WITH grid AS ({_GAPFILL_SQL.strip()}),
+lagged AS (
+  SELECT event_type, n,
+         lag(n, 24) OVER (PARTITION BY event_type ORDER BY hour) AS pred
+  FROM grid
+)
+SELECT event_type, count(*)::BIGINT AS n_evaluated,
+       round(sum(abs(n - pred)) / count(*), 6) AS mae
+FROM lagged WHERE pred IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@query("seasonal_naive_forecast", _SEASONAL_SQL)
+def seasonal_naive_forecast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecasting baseline: predict each hour's event count
+    with the same hour yesterday (lag 24 over the GAP-FILLED hourly grid —
+    on the raw rollup, missing hours silently misalign the lag), scored as
+    per-type MAE.  This is the floor every real forecast must beat, and
+    the gap-filled composition is the point: resample → densify → lag is
+    the canonical time-series pipeline shape.  MAE is an integer ratio
+    rounded once — engine-exact.  One corpus shuffle (the rollup);
+    the lag window runs on the tiny dense grid."""
+    grid = events_gapfilled_hourly_q(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("hour")
+    lagged = grid.withColumn("pred", F.lag("n", 24).over(w)).filter(
+        F.col("pred").isNotNull()
+    )
+    return lagged.groupBy("event_type").agg(
+        F.count("*").alias("n_evaluated"),
+        F.round(
+            F.sum(F.abs(F.col("n") - F.col("pred"))) / F.count("*"), 6
+        ).alias("mae"),
+    )
