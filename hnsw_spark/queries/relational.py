@@ -1358,3 +1358,61 @@ def seasonal_naive_forecast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.abs(F.col("n") - F.col("pred"))) / F.count("*"), 6
         ).alias("mae"),
     )
+
+
+_ENTROPY_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, count(*)::BIGINT AS c
+  FROM events GROUP BY user_id, event_type
+), t AS (
+  SELECT user_id, sum(c)::BIGINT AS total, count(*)::BIGINT AS n_types
+  FROM c GROUP BY user_id
+), q AS (
+  SELECT c.user_id,
+         floor((c.c / t.total) * ln(c.c / t.total) * 1000000000.0 + 0.5)::BIGINT
+           AS term_q
+  FROM c JOIN t USING (user_id)
+)
+SELECT q.user_id, t.total AS n_events, t.n_types,
+       round(-sum(q.term_q) / 1000000000.0, 6) AS entropy
+FROM q JOIN t USING (user_id)
+GROUP BY q.user_id, t.total, t.n_types
+"""
+
+
+@query("user_behavior_entropy", _ENTROPY_SQL)
+def user_behavior_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity: Shannon entropy of each user's event-type
+    distribution (0 = single-action bots, ln(5) ≈ 1.61 = uniform across
+    all types) — the standard feature for bot screening and engagement
+    segmentation.
+
+    Engine-exactness via the corpus-LM convention (unigram_logprob): each
+    (user, type) contributes floor(p·ln p·10⁹ + 0.5) as an INTEGER —
+    p is an exact integer ratio and ln of the same double is identical
+    everywhere — so the per-user sum is integer arithmetic, divided and
+    rounded once.  Two keyed aggregations over (user, type) counts; the
+    raw corpus shuffles once."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    t = c.groupBy("user_id").agg(
+        F.sum("c").alias("total"), F.count("*").alias("n_types")
+    )
+    p = F.col("c") / F.col("total")
+    q = c.join(t, "user_id").select(
+        "user_id",
+        F.floor(p * F.log(p) * F.lit(1e9) + F.lit(0.5))
+        .cast("long")
+        .alias("term_q"),
+    )
+    return (
+        q.groupBy("user_id")
+        .agg(F.sum("term_q").alias("_s"))
+        .join(t, "user_id")
+        .select(
+            "user_id",
+            F.col("total").alias("n_events"),
+            "n_types",
+            F.round(-F.col("_s") / F.lit(1e9), 6).alias("entropy"),
+        )
+    )
