@@ -109,6 +109,9 @@ HEADLINE = [
     "events_gapfilled_hourly",
     "event_transition_matrix",
     "ann_binary_recall",
+    "retention_cohorts",
+    "seasonal_naive_forecast",
+    "user_behavior_entropy",
     # NOT benched: bpe_encode_gate (BPE training cost already measured by
     # the bpe_merges cell) and pagerank_gate (wall is the O(n²) exact-kNN
     # graph build, not the operator under test)
