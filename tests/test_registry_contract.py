@@ -1,0 +1,58 @@
+"""Driver-contract meta-tests over the whole registry: the classes of
+silent failure the per-query oracles can't see.
+
+- the hash harness sorts columns by name and hashes scalars — an
+  array/map/struct output column would break comparison for that query, so
+  no registered query may emit one;
+- duplicate or empty output column names make the sorted-column hash
+  ambiguous;
+- every name in the rotation lists must resolve to a registered query (a
+  typo would silently drop a query from the driver's evidence window);
+- every oracle belongs to a registered query.
+
+Schema-only: plans are analyzed, nothing executes, so sweeping all ~130
+queries stays cheap.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hnsw_spark import registry
+from hnsw_spark.registry import QUERIES, ORACLES, _RUN_FIRST, _RUN_LAST
+
+registry.load_all_queries()
+
+SF = "/root/testdata/sf0.001"
+
+_COMPLEX = ("array", "map", "struct")
+
+
+def test_rotation_lists_name_only_registered_queries():
+    missing_first = [n for n in _RUN_FIRST if n not in QUERIES]
+    missing_last = [n for n in _RUN_LAST if n not in QUERIES]
+    assert missing_first == [] and missing_last == []
+
+
+def test_every_oracle_has_a_query():
+    assert [n for n in ORACLES if n not in QUERIES] == []
+
+
+def test_run_first_fills_but_does_not_overflow_driver_window():
+    # the driver records the first 50 registered queries; _RUN_FIRST's
+    # in-window prefix is the evidence policy, so it must cover the window
+    assert len([n for n in _RUN_FIRST if n in QUERIES]) >= 50
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_output_schema_is_hashable(spark, name):
+    df = QUERIES[name](spark, SF)
+    cols = df.columns
+    assert len(cols) == len(set(cols)), f"{name}: duplicate column names"
+    assert all(c.strip() for c in cols), f"{name}: empty column name"
+    for f in df.schema.fields:
+        t = f.dataType.simpleString()
+        assert not t.startswith(_COMPLEX), (
+            f"{name}.{f.name} is {t}: the driver's value hash cannot sort "
+            "array/map/struct columns - scalarize it"
+        )
