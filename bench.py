@@ -112,6 +112,8 @@ HEADLINE = [
     "retention_cohorts",
     "seasonal_naive_forecast",
     "user_behavior_entropy",
+    "repeat_purchase_intervals",
+    "basket_type_pairs",
     # NOT benched: bpe_encode_gate (BPE training cost already measured by
     # the bpe_merges cell) and pagerank_gate (wall is the O(n²) exact-kNN
     # graph build, not the operator under test)

@@ -1416,3 +1416,104 @@ def user_behavior_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.col("_s") / F.lit(1e9), 6).alias("entropy"),
         )
     )
+
+
+_PURCHASE_GAP_SQL = """
+WITH p AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events WHERE event_type = 'purchase'
+), g AS (
+  SELECT user_id, date_diff('microsecond', prev, ts) AS gap_us
+  FROM p WHERE prev IS NOT NULL
+)
+SELECT user_id, count(*)::BIGINT AS n_intervals,
+       round((sum(gap_us) / count(*)) / 3600000000.0, 6) AS avg_gap_hours
+FROM g GROUP BY user_id
+"""
+
+
+@query("repeat_purchase_intervals", _PURCHASE_GAP_SQL)
+def repeat_purchase_intervals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase intervals per user (mean hours between consecutive
+    purchases) — the repeat-behavior feature behind churn and LTV models.
+    The event_type predicate pushes to the parquet scan, so the lag window
+    partitions only the purchase slice; gaps are exact integer
+    microseconds summed then divided once — engine-exact."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.withColumn("prev", F.lag("ts").over(w)).filter(
+        F.col("prev").isNotNull()
+    )
+    gap_us = F.expr("timestampdiff(MICROSECOND, prev, ts)")
+    return g.groupBy("user_id").agg(
+        F.count("*").alias("n_intervals"),
+        F.round(
+            (F.sum(gap_us) / F.count("*")) / F.lit(3600000000.0), 6
+        ).alias("avg_gap_hours"),
+    )
+
+
+_BASKET_SQL = """
+WITH b AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day, event_type
+  FROM events
+), n AS (
+  SELECT count(DISTINCT (user_id, day))::BIGINT AS total_baskets FROM b
+), pairs AS (
+  SELECT x.event_type AS type_a, y.event_type AS type_b,
+         count(*)::BIGINT AS n_baskets
+  FROM b x JOIN b y
+    ON x.user_id = y.user_id AND x.day = y.day
+   AND x.event_type < y.event_type
+  GROUP BY x.event_type, y.event_type
+)
+SELECT type_a, type_b, n_baskets,
+       round(n_baskets / total_baskets, 6) AS support
+FROM pairs, n
+"""
+
+
+@query("basket_type_pairs", _BASKET_SQL)
+def basket_type_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence over (user, day) baskets: for every
+    unordered event-type pair, how many baskets contain both and the
+    support fraction — the first pass of association mining.
+
+    Scale shape: the corpus collapses to distinct (user, day, type) rows
+    first — basket cardinality × ≤5 types, never raw events — and the
+    self-join runs on that skinny frame keyed by (user, day), with output
+    bounded by types² regardless of corpus size.  Support is an integer
+    ratio rounded once."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("make_timestamp_ntz(year(ts), month(ts), day(ts), 0, 0, 0)")
+    b = ev.select("user_id", day.alias("day"), "event_type").distinct()
+    n = b.select("user_id", "day").distinct().agg(
+        F.count("*").alias("total_baskets")
+    )
+    x = b.select("user_id", "day", F.col("event_type").alias("type_a"))
+    y = b.select(
+        F.col("user_id").alias("_u"),
+        F.col("day").alias("_d"),
+        F.col("event_type").alias("type_b"),
+    )
+    pairs = (
+        x.join(
+            y,
+            (F.col("user_id") == F.col("_u"))
+            & (F.col("day") == F.col("_d"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_baskets"))
+    )
+    return pairs.crossJoin(F.broadcast(n)).select(
+        "type_a",
+        "type_b",
+        "n_baskets",
+        F.round(F.col("n_baskets") / F.col("total_baskets"), 6).alias(
+            "support"
+        ),
+    )

@@ -56,3 +56,26 @@ def test_output_schema_is_hashable(spark, name):
             f"{name}.{f.name} is {t}: the driver's value hash cannot sort "
             "array/map/struct columns - scalarize it"
         )
+
+
+def test_every_oracle_parses_and_plans_in_duckdb():
+    """EXPLAIN every oracle against the sf0.001 views: catches dialect
+    typos and schema drift in oracles that a given round's builder-side
+    replay might not have exercised.  Planning only — nothing executes."""
+    import duckdb
+
+    from hnsw_spark.sources.tables import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'/root/testdata/sf0.001/{t}.parquet'"
+        )
+    bad = {}
+    for name, sql in ORACLES.items():
+        try:
+            con.execute(f"EXPLAIN {sql}")
+        except Exception as e:
+            bad[name] = repr(e)[:120]
+    assert bad == {}
