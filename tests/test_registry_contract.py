@@ -79,3 +79,22 @@ def test_every_oracle_parses_and_plans_in_duckdb():
         except Exception as e:
             bad[name] = repr(e)[:120]
     assert bad == {}
+
+
+def test_committed_bench_sidecar_is_healthy():
+    """The committed BENCH_PROTOCOL.json must never regress to the
+    BENCH_r03 failure mode: it needs real cells, no per-cell errors, a
+    populated calibration block, and recall knees at or above the
+    registered floor."""
+    import json
+
+    with open("/root/repo/BENCH_PROTOCOL.json") as f:
+        d = json.load(f)
+    line = d["line"]
+    assert len(line["queries"]) >= 80
+    assert not line.get("errors")
+    assert isinstance(line["calib"], dict) and "matmul_1024_ms" in line["calib"]
+    from hnsw_spark.queries.index import ANN_RECALL_FLOOR
+
+    for tier, r in line["recall10"].items():
+        assert r is not None and r >= ANN_RECALL_FLOOR, tier
