@@ -1168,37 +1168,35 @@ def events_gapfilled_hourly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     time-series consumer (anomaly models, charts, forecasting) needs,
     since a missing row and a zero row mean different things.
 
-    Scale shape: the grid is generated, not scanned — a sequence() over
-    the corpus [min, max] hour range (one 1-row bounds aggregate) crossed
-    with the distinct type table, then one left join against the ordinary
-    rollup.  Grid cardinality is hours×types — tiny forever — so the join
-    broadcasts the grid and the corpus still shuffles exactly once (the
-    rollup's own aggregation)."""
+    Scale shape: the grid is generated, not scanned — and its bounds and
+    type list come from the ROLLUP'S OWN OUTPUT (min/max hour and distinct
+    types of the persisted aggregate), not from re-reading events, so the
+    corpus is scanned exactly once and shuffled exactly once; everything
+    downstream runs on the hours×types frame.  Identical semantics: the
+    rollup's min hour IS the truncated corpus min, and every present type
+    appears in the rollup."""
+    from pyspark.storagelevel import StorageLevel
+
     ev = load_table(spark, sf_dir, "events")
     hour = F.expr(
         "make_timestamp_ntz(year(ts), month(ts), day(ts), hour(ts), 0, 0)"
     )
-    agg = ev.groupBy(hour.alias("hour"), F.col("event_type")).agg(
-        F.count("*").alias("n"), dsum("value").alias("total_value")
+    agg = (
+        ev.groupBy(hour.alias("hour"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    bounds = ev.agg(
-        F.expr(
-            "make_timestamp_ntz(year(min(ts)), month(min(ts)), day(min(ts)),"
-            " hour(min(ts)), 0, 0)"
-        ).alias("h0"),
-        F.expr(
-            "make_timestamp_ntz(year(max(ts)), month(max(ts)), day(max(ts)),"
-            " hour(max(ts)), 0, 0)"
-        ).alias("h1"),
-    )
+    bounds = agg.agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
     hours = bounds.select(
         F.explode(
             F.expr("sequence(h0, h1, INTERVAL 1 HOUR)")
         ).alias("hour")
     )
-    types = ev.select("event_type").distinct()
-    grid = F.broadcast(hours.crossJoin(types))
-    return grid.join(agg, ["hour", "event_type"], "left").select(
+    types = agg.select("event_type").distinct()
+    grid = hours.crossJoin(types)
+    # broadcast the BUILD side: a left join cannot broadcast its preserved
+    # (grid) side; the rollup is the hours×types frame and just as small
+    return grid.join(F.broadcast(agg), ["hour", "event_type"], "left").select(
         "hour",
         "event_type",
         F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
@@ -1289,13 +1287,21 @@ def retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the corpus collapses immediately to distinct
     (user, day) activity — one dedup shuffle keyed on user_id — and
-    everything after runs on that skinny frame: first-seen is a reuse of
-    the same user_id partitioning, cohort sizes are a tiny broadcast, and
-    the matrix aggregation's key space is days × offsets.  Retention is
-    an integer ratio rounded once — engine-exact."""
+    everything after runs on that skinny frame, which is PERSISTED because
+    both the first-seen aggregate and the offset join consume it (without
+    the persist the corpus dedup recomputes per consumer): first-seen
+    reuses the same user_id partitioning, cohort sizes are a tiny
+    broadcast, and the matrix aggregation's key space is days × offsets.
+    Retention is an integer ratio rounded once — engine-exact."""
+    from pyspark.storagelevel import StorageLevel
+
     ev = load_table(spark, sf_dir, "events")
     day = F.expr("make_timestamp_ntz(year(ts), month(ts), day(ts), 0, 0, 0)")
-    activity = ev.select("user_id", day.alias("day")).distinct()
+    activity = (
+        ev.select("user_id", day.alias("day"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     first_seen = activity.groupBy("user_id").agg(
         F.min("day").alias("cohort_day")
     )
@@ -1483,13 +1489,20 @@ def basket_type_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     support fraction — the first pass of association mining.
 
     Scale shape: the corpus collapses to distinct (user, day, type) rows
-    first — basket cardinality × ≤5 types, never raw events — and the
-    self-join runs on that skinny frame keyed by (user, day), with output
-    bounded by types² regardless of corpus size.  Support is an integer
-    ratio rounded once."""
+    first — basket cardinality × ≤5 types, never raw events — PERSISTED
+    because three consumers read it (both self-join sides and the basket
+    total); the self-join runs on that skinny frame keyed by (user, day),
+    with output bounded by types² regardless of corpus size.  Support is
+    an integer ratio rounded once."""
+    from pyspark.storagelevel import StorageLevel
+
     ev = load_table(spark, sf_dir, "events")
     day = F.expr("make_timestamp_ntz(year(ts), month(ts), day(ts), 0, 0, 0)")
-    b = ev.select("user_id", day.alias("day"), "event_type").distinct()
+    b = (
+        ev.select("user_id", day.alias("day"), "event_type")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     n = b.select("user_id", "day").distinct().agg(
         F.count("*").alias("total_baskets")
     )
