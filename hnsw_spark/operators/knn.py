@@ -49,6 +49,24 @@ _RESULT_SCHEMA = StructType(
 )
 
 
+def _narrow_partition_count(df: DataFrame) -> int | None:
+    """Split count of a shuffle-free plan, or None when unknowable cheaply.
+
+    Forcing ``.rdd`` under AQE MATERIALIZES upstream query stages when the
+    plan contains an Exchange (measured: a groupBy base ran its whole
+    shuffle stage just to answer getNumPartitions), so the probe is
+    restricted to narrow plans, where it is pure metadata.  Post-shuffle
+    frames already carry shuffle-partitions-wide parallelism and need no
+    fan-out anyway.
+    """
+    try:
+        if "Exchange" in df._jdf.queryExecution().sparkPlan().toString():
+            return None
+        return df.rdd.getNumPartitions()
+    except Exception:
+        return None
+
+
 def _topk_window(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("id"))
     return (
@@ -96,6 +114,18 @@ def _knn_window(base, queries, k, metric, base_id, base_vec, query_id, query_vec
         F.col(base_id).cast("long").alias("id"),
         F.col(base_vec).alias("_bvec"),
     )
+    # A small parquet file reads as ONE split, which serializes the whole
+    # Q×N scoring stage on one core (measured 4s for 64×2000 cosine).  Fan
+    # out only when the scan yielded fewer splits than the session's
+    # parallelism — at scale the corpus scan already produces thousands of
+    # splits and this branch never fires, so the extra exchange only ever
+    # moves a frame small enough to have collapsed below the core count.
+    # Round-robin repartition leaves per-pair arithmetic bit-identical;
+    # the top-k window re-establishes the (score desc, id asc) order.
+    target = base.sparkSession.sparkContext.defaultParallelism
+    nparts = _narrow_partition_count(b)
+    if nparts is not None and nparts < target:
+        b = b.repartition(target)
     scored = b.crossJoin(F.broadcast(q)).select(
         "query_id", "id", sim("_qvec", "_bvec").alias("score")
     )

@@ -62,7 +62,10 @@ def test_knn_broadcasts_queries_never_sort_merge(spark):
         f = _facts(name, spark)
         assert f.broadcast_joins >= 1, name  # small query/probe side
         assert f.sort_merge_joins == 0, name  # corpus never co-sorted
-        assert f.shuffles <= 1, name  # only the top-k window
+        # top-k window, plus the fan-out exchange the window tier inserts
+        # ONLY when the corpus scan collapsed below the core count (always
+        # true at test scale, never at 100 TB — knn.py:_knn_window)
+        assert f.shuffles <= 2, name
 
 
 def test_bm25_and_decontamination_broadcast_the_small_side(spark):
