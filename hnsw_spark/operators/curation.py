@@ -1074,3 +1074,110 @@ def token_budget_select(
         ),
     )
     return sel_hi.unionByName(bnd).unionByName(sel_lo)
+
+
+def dsir_select(
+    docs: DataFrame,
+    target_col: str = "source",
+    target_value: str = "src0",
+    n_buckets: int = 256,
+    smoothing: float = 1.0,
+    keep_frac: float = 0.25,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style data selection via hashed-n-gram importance weights
+    (Xie et al. 2023, "Data Selection for Language Models via Importance
+    Resampling" — public method; no reference counterpart).
+
+    Fits two add-k-smoothed bag-of-hashed-unigrams models — the TARGET
+    distribution p (documents where ``target_col == target_value``) and the
+    RAW distribution q (the whole corpus) — over ``n_buckets`` md5 hash
+    buckets, then scores every document by its mean per-token importance
+    log-ratio  Σ tf·(ln p̂(b) − ln q̂(b)) / Σ tf  and keeps the top
+    ``keep_frac`` by score (deterministic ranking variant of DSIR's
+    Gumbel resampling: ties at the cut threshold are all kept, so the
+    survivor set is engine-reproducible).
+
+    Engine-invariance recipe shared with ``unigram_logprob``: each bucket's
+    ln-probability is quantized to a fixed-point BIGINT (floor(ln·10⁶+0.5))
+    BEFORE the subtraction, per-doc accumulation is exact integer Σ tf·λ,
+    and the cut threshold is the floor-index percentile of the resulting
+    scores — every comparison both engines make is over identical doubles.
+
+    Scale shape: one tokenize/explode pass → (doc, bucket) tf; both bucket
+    tables are ≤ n_buckets rows derived FROM tf (never a second corpus
+    pass) and ride as one broadcast join; the threshold is one 1-row
+    aggregate over the floor-index window (per-group sort over N skinny
+    score rows — no corpus-width global sort).  Docs with zero tokens keep
+    a row (n_tokens=0, NULL score, selected=false).
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(target_col) == target_value).alias("_tgt"),
+        F.explode(words(text_col)).alias("token"),
+    ).filter(F.col("token") != "")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+    tfb = tok.groupBy("doc_id", "_tgt", bucket.alias("bucket")).agg(
+        F.count("*").alias("tf")
+    )
+    cr = tfb.groupBy("bucket").agg(F.sum("tf").alias("c_raw"))
+    ct = tfb.filter("_tgt").groupBy("bucket").agg(F.sum("tf").alias("c_tgt"))
+    tot = (
+        cr.agg(F.sum("c_raw").alias("r"))
+        .crossJoin(ct.agg(F.coalesce(F.sum("c_tgt"), F.lit(0)).alias("t")))
+    )
+    k, b = float(smoothing), float(n_buckets)
+
+    def _q(num, den):
+        return F.floor(F.log(num / den) * 1000000.0 + 0.5).cast("long")
+
+    lam = (
+        cr.join(ct, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            (
+                _q(F.coalesce("c_tgt", F.lit(0)) + F.lit(k), F.col("t") + F.lit(k * b))
+                - _q(F.col("c_raw") + F.lit(k), F.col("r") + F.lit(k * b))
+            ).alias("lam"),
+        )
+    )
+    per = (
+        tfb.join(F.broadcast(lam), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("lam")).alias("_si"),
+        )
+        .withColumn(
+            "_score", F.col("_si") / (F.col("n_tokens") * F.lit(1000000.0))
+        )
+    )
+    from hnsw_spark.operators.evaluation import percentile_floor
+
+    thr = percentile_floor(per, "_score", [100.0 * (1.0 - keep_frac)])
+    thr_col = thr.columns[0]
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per, "doc_id", "left")
+        .crossJoin(F.broadcast(thr))
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            # exact fixed-point mean λ (1e-6 nats): si/(n·10⁶) routinely
+            # lands ON a 6-decimal half boundary (si, n are small ints), so
+            # a round() would be engine-dependent — floor(si/n) of the exact
+            # integer quotient never is (the rational is ≥ 1/n away from
+            # any other integer, dwarfing the double division's half-ulp)
+            F.floor(F.col("_si") / F.col("n_tokens"))
+            .cast("long")
+            .alias("score_fp"),
+            F.coalesce(
+                F.col("_score") >= F.col(thr_col), F.lit(False)
+            ).alias("selected"),
+        )
+    )

@@ -683,3 +683,70 @@ def upsert_compaction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5("text"), 1, 16).alias("fp"),
         "action",
     )
+
+
+_DSIR_B = 256
+_DSIR_KEEP_PCT = 75.0  # threshold percentile for keep_frac = 0.25
+
+_DSIR_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, tgt, token FROM (
+    SELECT doc_id, source = 'src0' AS tgt, unnest({{w}}) AS token
+    FROM documents)
+  WHERE token <> ''
+),
+tb AS (
+  SELECT doc_id, tgt,
+         ('0x' || substr(md5(token), 1, 8))::BIGINT % {_DSIR_B} AS bucket,
+         count(*)::BIGINT AS tf
+  FROM tok GROUP BY 1, 2, 3
+),
+cr AS (SELECT bucket, sum(tf)::BIGINT AS c_raw FROM tb GROUP BY 1),
+ct AS (SELECT bucket, sum(tf)::BIGINT AS c_tgt FROM tb WHERE tgt GROUP BY 1),
+tot AS (SELECT (SELECT sum(c_raw) FROM cr)::BIGINT AS r,
+               (SELECT coalesce(sum(c_tgt), 0) FROM ct)::BIGINT AS t),
+lam AS (
+  SELECT cr.bucket,
+         floor(ln((coalesce(ct.c_tgt, 0) + 1.0) / (t + {_DSIR_B}.0))
+               * 1000000.0 + 0.5)::BIGINT
+       - floor(ln((cr.c_raw + 1.0) / (r + {_DSIR_B}.0))
+               * 1000000.0 + 0.5)::BIGINT AS lam
+  FROM cr LEFT JOIN ct USING (bucket), tot
+),
+per AS (
+  SELECT tb.doc_id, sum(tf)::BIGINT AS n_tokens, sum(tf * lam)::BIGINT AS si
+  FROM tb JOIN lam USING (bucket) GROUP BY 1
+),
+sc AS (SELECT doc_id, n_tokens, si, si / (n_tokens * 1000000.0) AS sco FROM per),
+thr AS (
+  SELECT max(CASE WHEN rn = floor({_DSIR_KEEP_PCT}/100*(n-1))+1 THEN sco END)
+           AS cut
+  FROM (SELECT sco, row_number() OVER (ORDER BY sco) AS rn,
+               count(*) OVER () AS n FROM sc)
+)
+SELECT d.doc_id,
+       coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
+       floor(s.si::DOUBLE / s.n_tokens)::BIGINT AS score_fp,
+       coalesce(s.sco >= (SELECT cut FROM thr), false) AS selected
+FROM documents d LEFT JOIN sc s USING (doc_id)
+""".format(w=_W)
+
+
+@query("dsir_selection", _DSIR_SQL)
+def dsir_selection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style target-domain data selection (Xie et al. 2023): hashed
+    bag-of-unigrams importance log-ratio between the src0 target
+    distribution and the raw corpus, add-1 smoothing over 256 md5 buckets,
+    deterministic top-25% keep via the floor-index percentile cut
+    (operators/curation.py:dsir_select).  Fixed-point ln quantization
+    before the subtraction keeps every cross-engine comparison over
+    identical doubles."""
+    from hnsw_spark.operators.curation import dsir_select
+
+    return dsir_select(
+        load_table(spark, sf_dir, "documents"),
+        target_col="source",
+        target_value="src0",
+        n_buckets=_DSIR_B,
+        keep_frac=0.25,
+    )
