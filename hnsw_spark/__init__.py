@@ -126,6 +126,8 @@ from hnsw_spark.operators.temporal import (  # noqa: E402
     recency_weighted_scores,
 )
 from hnsw_spark.operators.curation import token_budget_select  # noqa: E402
+from hnsw_spark.operators.curation import dsir_select  # noqa: E402
+from hnsw_spark.operators.bloom import bloom_build, bloom_prune  # noqa: E402
 from hnsw_spark.operators.retrieval import diversify_mmr  # noqa: E402
 from hnsw_spark.operators.upsert import upsert_latest  # noqa: E402
 from hnsw_spark.operators.profile import skew_report  # noqa: E402
@@ -212,6 +214,9 @@ __all__ = [
     "interval_join",
     "recency_weighted_scores",
     "token_budget_select",
+    "dsir_select",
+    "bloom_build",
+    "bloom_prune",
     "diversify_mmr",
     "upsert_latest",
     "skew_report",

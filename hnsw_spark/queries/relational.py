@@ -1530,3 +1530,92 @@ def basket_type_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "support"
         ),
     )
+
+
+_BLOOM_M = 32768
+_BLOOM_K = 4
+
+_BLOOM_SQL = f"""
+WITH sub AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+),
+seeds AS (SELECT unnest([0, 1, 2, 3]) AS j),
+pos AS (
+  SELECT DISTINCT
+    ('0x' || substr(md5(o_orderkey::VARCHAR || '#' || j), 1, 8))::BIGINT
+      % {_BLOOM_M} AS p
+  FROM sub CROSS JOIN seeds
+),
+cand AS (
+  SELECT l_orderkey, l_extendedprice, l_discount FROM lineitem l
+  WHERE NOT EXISTS (
+    SELECT 1 FROM seeds s
+    WHERE ('0x' || substr(md5(l.l_orderkey::VARCHAR || '#' || s.j), 1, 8))::BIGINT
+            % {_BLOOM_M} NOT IN (SELECT p FROM pos)
+  )
+),
+m AS (SELECT c.* FROM cand c JOIN sub ON c.l_orderkey = sub.o_orderkey)
+SELECT (SELECT count(*) FROM lineitem)::BIGINT AS n_probe,
+       (SELECT count(*) FROM cand)::BIGINT AS n_candidates,
+       (SELECT count(*) FROM m)::BIGINT AS n_matches,
+       ((SELECT count(*) FROM cand) - (SELECT count(*) FROM m))::BIGINT
+         AS fp_rows,
+       (SELECT (sum(floor((l_extendedprice * (1 - l_discount)) * 10000.0
+                          + 0.5)::BIGINT))::DOUBLE / 10000.0 FROM m)
+         AS revenue_matched
+"""
+
+
+@query("bloom_join_prune", _BLOOM_SQL)
+def bloom_join_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction (operators/bloom.py): a 32768-bit /
+    4-hash bloom over the urgent-recent order keys prunes the lineitem
+    probe BEFORE its join exchange — the explicit, oracle-checkable version
+    of Spark's AQE runtime filter (SPARK-32268).  Reports probe/candidate/
+    match/false-positive row counts plus the matched revenue (dsum fixed
+    point) so the no-false-negative guarantee and the fp overhead are both
+    hash-checked; the DuckDB oracle recomputes the SAME md5 bit positions
+    relationally (candidate ⟺ no hash position outside the set-bit set)."""
+    from hnsw_spark.operators.bloom import bloom_build, bloom_prune
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    sub = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz"))
+    ).select("o_orderkey")
+    bloom = bloom_build(sub, "o_orderkey", _BLOOM_M, _BLOOM_K)
+    cand = bloom_prune(
+        li.select("l_orderkey", "l_extendedprice", "l_discount"),
+        bloom,
+        "l_orderkey",
+        _BLOOM_M,
+        _BLOOM_K,
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+    matches = cand.join(
+        F.broadcast(sub), cand.l_orderkey == sub.o_orderkey
+    )
+    n_probe = li.agg(F.count(F.lit(1)).alias("n_probe"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    mm = matches.agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue_matched"
+        ),
+    )
+    return (
+        n_probe.crossJoin(n_cand)
+        .crossJoin(mm)
+        .select(
+            "n_probe",
+            "n_candidates",
+            "n_matches",
+            (F.col("n_candidates") - F.col("n_matches")).alias("fp_rows"),
+            "revenue_matched",
+        )
+    )
