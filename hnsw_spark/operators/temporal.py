@@ -242,3 +242,69 @@ def recency_weighted_scores(
         F.max(ts_col).alias("last_ts"),
         dsum("_dv", 6).alias("recency_score"),
     )
+
+
+def time_weighted_avg(
+    events: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    by: str = "event_type",
+    id_col: str = "event_id",
+    scale: int = 4,
+) -> DataFrame:
+    """Per-group time-weighted average of an irregularly-sampled series —
+    the TWAP/last-observation-carried-forward mean: each observation's
+    value holds until the group's NEXT observation, so Σ valueᵢ·Δtᵢ / Σ Δtᵢ
+    weighs sparse quiet stretches correctly where a plain ``avg`` would
+    not.  The group's last observation spans no interval and carries zero
+    weight.  DataFrame[(by, n_events, total_dur_us, twap_fp)] with twap_fp
+    the fixed-point (10⁻ˢ-unit) BIGINT mean.
+
+    Engine-invariance: durations are exact BIGINT microseconds — the fixture timestamps' native precision, so elapsed-time and boundary-crossing conventions agree
+    (``timestampdiff``), values quantize to 10⁻ˢ fixed point per row, and
+    the weighted accumulation runs in decimal(38,0) (dur·q reaches ~10¹⁵
+    per row — a BIGINT Σ would silently wrap at 100 TB; DuckDB widens to
+    HUGEINT on its own; both ends emit BIGINT, which holds to ~10⁶ rows
+    per group at these magnitudes — beyond that raise ``scale`` down).
+    The final mean is the exact integer quotient Σdur·q DIV Σdur —
+    truncation equals floor for the non-negative inputs this operator
+    requires, and an exact-integer DIV can never straddle an engine
+    rounding boundary the way float division or decimal-scale division
+    can (a decimal(38,6) quotient rounds at 10⁻⁶ while the true rational
+    sits 1/Σdur ≈ 10⁻¹² from an integer — floor() over it would be
+    engine-dependent).
+
+    Plan: ONE shuffle on the group key; the lead() window and the
+    aggregation share that partitioning, so adding the operator to an
+    events pipeline costs the same exchange the per-group rollup already
+    pays.  Ordering ties break by ``id_col`` so the lead chain is
+    deterministic under any partitioning.
+    """
+    from hnsw_spark.operators.evaluation import dquant
+
+    w = Window.partitionBy(by).orderBy(F.asc(ts_col), F.asc(id_col))
+    stepped = events.select(
+        by,
+        F.col(ts_col).alias("_ts"),
+        F.lead(ts_col).over(w).alias("_next"),
+        dquant(value_col, scale).alias("_q"),
+    )
+    dur = F.expr("timestampdiff(MICROSECOND, _ts, _next)")
+    per = stepped.select(
+        by,
+        F.coalesce(dur, F.lit(0)).cast("long").alias("_dur"),
+        F.col("_q"),
+    )
+    agg = per.groupBy(by).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("_dur").alias("total_dur_us"),
+        F.sum((F.col("_dur") * F.col("_q")).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("_wsum"),
+    )
+    return agg.select(
+        by,
+        "n_events",
+        "total_dur_us",
+        F.expr("_wsum DIV total_dur_us").alias("twap_fp"),
+    )

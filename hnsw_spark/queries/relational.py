@@ -1619,3 +1619,36 @@ def bloom_join_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_matched",
         )
     )
+
+
+_TWAP_SQL = """
+WITH stepped AS (
+  SELECT event_type, ts,
+         lead(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           AS nxt,
+         floor(value * 10000.0 + 0.5)::BIGINT AS q
+  FROM events
+),
+per AS (
+  SELECT event_type,
+         coalesce(date_diff('microsecond', ts, nxt), 0)::BIGINT AS dur, q
+  FROM stepped
+)
+SELECT event_type,
+       count(*)::BIGINT AS n_events,
+       sum(dur)::BIGINT AS total_dur_us,
+       (sum(dur * q) // sum(dur))::BIGINT AS twap_fp
+FROM per GROUP BY event_type
+"""
+
+
+@query("time_weighted_avg", _TWAP_SQL)
+def time_weighted_avg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type time-weighted average of the events value series
+    (operators/temporal.py:time_weighted_avg): last-observation-carried-
+    forward TWAP over exact microsecond durations, fixed-point value
+    quantization, and an exact integer quotient — one shuffle shared by
+    the lead() window and the rollup."""
+    from hnsw_spark.operators.temporal import time_weighted_avg
+
+    return time_weighted_avg(load_table(spark, sf_dir, "events"))
