@@ -114,6 +114,11 @@ HEADLINE = [
     "user_behavior_entropy",
     "repeat_purchase_intervals",
     "basket_type_pairs",
+    "dsir_selection",
+    "bloom_join_prune",
+    "time_weighted_avg",
+    "order_count_distribution",
+    "dormant_high_balance_customers",
     # NOT benched: bpe_encode_gate (BPE training cost already measured by
     # the bpe_merges cell) and pagerank_gate (wall is the O(n²) exact-kNN
     # graph build, not the operator under test)

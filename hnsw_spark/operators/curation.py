@@ -1121,8 +1121,16 @@ def dsir_select(
         F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long")
         % n_buckets
     )
-    tfb = tok.groupBy("doc_id", "_tgt", bucket.alias("bucket")).agg(
-        F.count("*").alias("tf")
+    from pyspark.storagelevel import StorageLevel
+
+    # tfb feeds THREE consumers (raw counts, target counts, per-doc scores)
+    # and per feeds two (threshold + final projection): without the persists
+    # the whole tokenize/explode pipeline re-runs per consumer — audited at
+    # 6 corpus scans / 15 shuffles, the corpus_attrition anti-pattern
+    tfb = (
+        tok.groupBy("doc_id", "_tgt", bucket.alias("bucket"))
+        .agg(F.count("*").alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     cr = tfb.groupBy("bucket").agg(F.sum("tf").alias("c_raw"))
     ct = tfb.filter("_tgt").groupBy("bucket").agg(F.sum("tf").alias("c_tgt"))
@@ -1156,6 +1164,7 @@ def dsir_select(
         .withColumn(
             "_score", F.col("_si") / (F.col("n_tokens") * F.lit(1000000.0))
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     from hnsw_spark.operators.evaluation import percentile_floor
 

@@ -306,5 +306,10 @@ def time_weighted_avg(
         by,
         "n_events",
         "total_dur_us",
-        F.expr("_wsum DIV total_dur_us").alias("twap_fp"),
+        # guard the all-zero-duration group (a single observation): NULL
+        # mean, matching the oracle's x//0 → NULL — ANSI mode would throw
+        F.when(
+            F.col("total_dur_us") > 0,
+            F.expr("_wsum DIV total_dur_us"),
+        ).alias("twap_fp"),
     )

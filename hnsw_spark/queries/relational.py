@@ -1652,3 +1652,97 @@ def time_weighted_avg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hnsw_spark.operators.temporal import time_weighted_avg
 
     return time_weighted_avg(load_table(spark, sf_dir, "events"))
+
+
+_Q13_SQL = """
+WITH per AS (
+  SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count
+  FROM customer c
+  LEFT JOIN (SELECT * FROM orders
+             WHERE o_orderpriority <> '4-NOT SPECIFIED') o
+    ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+SELECT c_count, count(*)::BIGINT AS custdist
+FROM per GROUP BY c_count
+"""
+
+
+@query("order_count_distribution", _Q13_SQL)
+def order_count_distribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed 0, 1, 2, … qualifying
+    orders (priority-filtered stand-in for Q13's comment NOT LIKE) — outer
+    join preserving order-less customers, then the double aggregation.
+    Both groupBys hash-shuffle on their keys; the join co-partitions on
+    custkey, the partition strategy that survives 100 TB (neither side is
+    broadcastable at scale)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    per = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+_Q22_SQL = """
+WITH avg_bal AS (
+  SELECT (sum(floor(c_acctbal * 10000.0 + 0.5)::BIGINT))::DOUBLE / 10000.0
+           / count(*) AS a
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_nationkey,
+       count(*)::BIGINT AS numcust,
+       (sum(floor(c.c_acctbal * 10000.0 + 0.5)::BIGINT))::DOUBLE / 10000.0
+         AS totacctbal
+FROM customer c, avg_bal
+WHERE c.c_acctbal > avg_bal.a
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT'
+                    AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+GROUP BY c.c_nationkey
+"""
+
+
+@query("dormant_high_balance_customers", _Q22_SQL)
+def dormant_high_balance_customers_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive balance and
+    no recent urgent order, rolled up by nation — scalar-subquery average
+    (davg fixed-point, broadcast 1-row), left-anti join against the
+    filtered orders (predicate + o_custkey pruning both push to the big
+    side's scan), one final rollup."""
+    from hnsw_spark.operators.evaluation import davg, dsum
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (
+                F.col("o_orderdate")
+                >= F.lit("2001-01-01").cast("timestamp_ntz")
+            )
+        )
+        .select("o_custkey")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        davg("c_acctbal").alias("a")
+    )
+    dormant = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return (
+        dormant.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+    )

@@ -666,6 +666,14 @@ def hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("_bv"),
         F.col("label"),
     )
+    # same small-file fan-out as the window kNN tier (knn.py:_knn_window):
+    # a one-split scan would serialize the Q×N scoring on one core
+    from hnsw_spark.operators.knn import _narrow_partition_count
+
+    target = spark.sparkContext.defaultParallelism
+    nparts = _narrow_partition_count(corpus)
+    if nparts is not None and nparts < target:
+        corpus = corpus.repartition(target)
     scored = (
         corpus.join(F.broadcast(qs), F.col("label") != F.col("_qlabel"))
         .select(

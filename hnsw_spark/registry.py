@@ -33,7 +33,8 @@ ORACLES: dict[str, str] = {}
 # label_centroid_distances, hard_negatives, ann_binary_full_probe,
 # ann_binary_recall, events_gapfilled_hourly, event_transition_matrix) land
 # mid-pack — the window was already full of never-verified queries — and are
-# FIRST in line for the round-5 window.
+# FIRST in line for the round-5 window, together with the last-block
+# additions dsir_selection, bloom_join_prune, and time_weighted_avg.
 _RUN_FIRST = (
     # erred in r3 (events loader) — fixed, must re-earn green rows
     "latency_summary",
