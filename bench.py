@@ -119,6 +119,7 @@ HEADLINE = [
     "time_weighted_avg",
     "order_count_distribution",
     "dormant_high_balance_customers",
+    "similarity_triangles",
     # NOT benched: bpe_encode_gate (BPE training cost already measured by
     # the bpe_merges cell) and pagerank_gate (wall is the O(n²) exact-kNN
     # graph build, not the operator under test)

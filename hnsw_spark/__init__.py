@@ -128,6 +128,7 @@ from hnsw_spark.operators.temporal import (  # noqa: E402
 from hnsw_spark.operators.curation import token_budget_select  # noqa: E402
 from hnsw_spark.operators.curation import dsir_select  # noqa: E402
 from hnsw_spark.operators.bloom import bloom_build, bloom_prune  # noqa: E402
+from hnsw_spark.operators.graph_stats import triangle_stats  # noqa: E402
 from hnsw_spark.operators.retrieval import diversify_mmr  # noqa: E402
 from hnsw_spark.operators.upsert import upsert_latest  # noqa: E402
 from hnsw_spark.operators.profile import skew_report  # noqa: E402
@@ -217,6 +218,7 @@ __all__ = [
     "dsir_select",
     "bloom_build",
     "bloom_prune",
+    "triangle_stats",
     "diversify_mmr",
     "upsert_latest",
     "skew_report",

@@ -663,3 +663,57 @@ def lsh_quality_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("precision"),
         )
     )
+
+
+_COS_PAIR = """list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"""
+
+_TRI_SQL = f"""
+WITH e AS (
+  SELECT a.vec_id AS u, b.vec_id AS v
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE a.vec_id < 200 AND b.vec_id < 200 AND {_COS_PAIR} >= 0.3
+),
+deg AS (
+  SELECT node, count(*)::BIGINT AS d FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+  GROUP BY node
+),
+tri AS (
+  SELECT count(*)::BIGINT AS n_triangles
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+agg AS (
+  SELECT (SELECT count(*) FROM deg)::BIGINT AS n_nodes,
+         (SELECT count(*) FROM e)::BIGINT AS n_edges,
+         (SELECT n_triangles FROM tri) AS n_triangles,
+         (SELECT sum((d * (d - 1)) // 2)::BIGINT FROM deg) AS n_wedges
+)
+SELECT n_nodes, n_edges, n_triangles, n_wedges,
+       CASE WHEN n_wedges > 0
+            THEN (3 * n_triangles * 1000000) // n_wedges END::BIGINT
+         AS ccoef_fp
+FROM agg
+"""
+
+
+@query("similarity_triangles", _TRI_SQL)
+def similarity_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the cosine≥0.3
+    similarity graph (vec_id < 200 window, the same edge set the near-dup
+    oracles use): dense closed wedges distinguish true duplicate
+    communities from LSH hub artifacts.  The operator
+    (operators/graph_stats.py) enumerates each triangle once via the
+    degree-ordered orientation (out-degree ≤ √(2m), the skew guard the
+    oracle's id-ordered 3-way join does not need at fixture scale)."""
+    from hnsw_spark.operators.dedup import embedding_neardup
+    from hnsw_spark.operators.graph_stats import triangle_stats
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 200
+    )
+    edges = embedding_neardup(emb, threshold=0.3, strategy="brute")
+    return triangle_stats(edges)
