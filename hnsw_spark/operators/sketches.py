@@ -70,3 +70,93 @@ def misra_gries(items: DataFrame, col: str = "token", k: int = 200) -> DataFrame
         .filter(F.col("_r") <= k)
         .select("token", (F.col("est") - F.col("_sub")).alias("est"))
     )
+
+
+def hll_registers(
+    df: DataFrame, col: str, b: int = 8
+) -> DataFrame:
+    """HyperLogLog registers over a column, from first principles (Flajolet
+    et al. 2007 — public method): md5-derived 32-bit hash, first ``b`` bits
+    pick one of m = 2^b registers, the register keeps the max over
+    ρ = (leading zeros of the remaining 32 bits) + 1.
+
+    DataFrame[(bucket int, rho int)] — only OCCUPIED registers appear.
+    Because the hash is md5 (not a JVM-private hash), any engine rebuilds
+    the IDENTICAL register array from the same rows: the sketch itself is
+    oracle-checkable, not just its estimate.  The groupBy-max construction
+    IS the HLL merge operator — per-partition partial maxes combine
+    map-side, so the shuffle carries ≤ m rows per partition no matter how
+    many rows are scanned, the property that makes one pass over 100 TB
+    cheap.
+
+    ρ is computed integer-exactly: for the 32-bit remainder r > 0,
+    floor(log2(r)) + 1 == length(bin(r)) — a string length, no float log —
+    so ρ = 32 - length(bin(r)) + 1, and r = 0 → ρ = 33.
+    """
+    assert b % 4 == 0, "b must be a whole number of hex digits"
+    nb = b // 4
+    # hex-string slicing keeps the split engine-portable with zero integer
+    # gymnastics: the first b bits are the bucket, the next 32 the rho field
+    h = F.md5(F.col(col).cast("string"))
+    bucket = F.conv(F.substring(h, 1, nb), 16, 10).cast("int")
+    rest = F.conv(F.substring(h, nb + 1, 8), 16, 10).cast("long")
+    # floor(log2(r)) + 1 == length of the minimal binary string (Spark's
+    # bin() never pads; the DuckDB oracle ltrims its own bin output)
+    nbits = F.length(F.bin(F.col("_rest")))
+    rho = F.when(F.col("_rest") == 0, F.lit(33)).otherwise(F.lit(33) - nbits)
+    return (
+        df.select(bucket.alias("bucket"), rest.alias("_rest"))
+        .select("bucket", rho.cast("int").alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(
+    df: DataFrame, col: str, b: int = 8, scale: int = 4
+) -> DataFrame:
+    """One-row HLL cardinality estimate with the exactness audit built in:
+    DataFrame[(n_exact, n_occupied, est_fp, within_bound)].
+
+    ``est_fp`` is the raw HLL estimator αₘ·m²/Σ2^(-ρⱼ) (empty registers
+    contribute 2⁰; linear-counting small-range correction applied below
+    2.5m when registers are empty), quantized to 10⁻ˢ fixed point.  The
+    harmonic sum is engine-invariant by construction: every term is the
+    exact dyadic 1/(1<<ρ), and with ρ ≤ 33 all partial sums stay inside
+    one 53-bit window, so the double is bit-identical at any partitioning
+    or engine.  ``within_bound`` checks |est−exact| ≤ 3·(1.04/√m)·exact —
+    the 3σ envelope of the published estimator.  ``n_exact`` costs one
+    exact count_distinct and exists only for the audit; the 100 TB caller
+    reads the sketch alone.
+    """
+    m = 1 << b
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    regs = hll_registers(df, col, b)
+    agg = regs.agg(
+        F.count(F.lit(1)).alias("n_occupied"),
+        F.sum(
+            F.lit(1.0)
+            / F.call_function("shiftleft", F.lit(1).cast("long"), F.col("rho"))
+        ).alias("_s_occ"),
+    )
+    exact = df.agg(F.count_distinct(F.col(col)).alias("n_exact"))
+    est_raw = (F.lit(alpha * m * m)) / (
+        F.col("_s_occ") + (F.lit(m) - F.col("n_occupied"))  # empty regs: 2^0
+    )
+    n_empty = F.lit(m) - F.col("n_occupied")
+    # linear counting below 2.5m when some register is empty
+    est = F.when(
+        (est_raw <= F.lit(2.5 * m)) & (n_empty > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / n_empty),
+    ).otherwise(est_raw)
+    q = F.floor(est * F.lit(float(10**scale)) + F.lit(0.5)).cast("long")
+    out = exact.crossJoin(F.broadcast(agg)).select(
+        "n_exact",
+        "n_occupied",
+        q.alias("est_fp"),
+        (
+            F.abs(est - F.col("n_exact"))
+            <= F.lit(3.0 * 1.04) / F.lit(float(m) ** 0.5) * F.col("n_exact")
+        ).alias("within_bound"),
+    )
+    return out

@@ -750,3 +750,57 @@ def dsir_selection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_buckets=_DSIR_B,
         keep_frac=0.25,
     )
+
+
+_HLL_ALPHA_M2 = 47072.71267120224  # embedded as the SAME double literal in the oracle
+
+_HLL_SQL = f"""
+WITH r AS (
+  SELECT ('0x' || substr(md5(text), 1, 2))::BIGINT::INT AS bucket,
+         ('0x' || substr(md5(text), 3, 8))::BIGINT AS rest
+  FROM documents
+),
+regs AS (
+  SELECT bucket,
+         max(CASE WHEN rest = 0 THEN 33
+                  ELSE 33 - length(ltrim(bin(rest), '0')) END)::INT AS rho
+  FROM r GROUP BY bucket
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n_occupied,
+         sum(1.0 / (1::BIGINT << rho)) AS s_occ
+  FROM regs
+),
+ex AS (SELECT count(DISTINCT text)::BIGINT AS n_exact FROM documents),
+est AS (
+  SELECT n_exact, n_occupied,
+         CASE WHEN raw <= 640.0 AND (256 - n_occupied) > 0
+              THEN 256.0 * ln(256.0 / (256 - n_occupied))
+              ELSE raw END AS e
+  FROM (SELECT n_exact, n_occupied,
+               {_HLL_ALPHA_M2!r} / (s_occ + (256 - n_occupied)) AS raw
+        FROM agg, ex)
+)
+SELECT n_exact, n_occupied,
+       floor(e * 10000.0 + 0.5)::BIGINT AS est_fp,
+       (abs(e - n_exact) <= 3.0 * 1.04 / sqrt(256.0) * n_exact)
+         AS within_bound
+FROM est
+"""
+
+
+@query("hll_cardinality", _HLL_SQL)
+def hll_cardinality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-principles HyperLogLog over the document texts
+    (operators/sketches.py:hll_registers/hll_estimate): md5-deterministic
+    registers, integer-exact rho via binary-string length, dyadic-rational
+    harmonic sum — so the whole SKETCH, not just a tolerance gate, is
+    hash-checked against DuckDB rebuilding identical registers.  The
+    groupBy-max register build is the mergeable one-pass shape (<= m rows
+    shuffled per partition) that approx-counts 100 TB; n_exact rides along
+    as the audit only."""
+    from hnsw_spark.operators.sketches import hll_estimate
+
+    return hll_estimate(
+        load_table(spark, sf_dir, "documents"), "text", b=8
+    )
