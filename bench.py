@@ -121,6 +121,7 @@ HEADLINE = [
     "dormant_high_balance_customers",
     "similarity_triangles",
     "hll_cardinality",
+    "jaccard_prefix_filter",
     # NOT benched: bpe_encode_gate (BPE training cost already measured by
     # the bpe_merges cell) and pagerank_gate (wall is the O(n²) exact-kNN
     # graph build, not the operator under test)

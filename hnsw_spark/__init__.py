@@ -130,6 +130,7 @@ from hnsw_spark.operators.curation import dsir_select  # noqa: E402
 from hnsw_spark.operators.bloom import bloom_build, bloom_prune  # noqa: E402
 from hnsw_spark.operators.graph_stats import triangle_stats  # noqa: E402
 from hnsw_spark.operators.sketches import hll_estimate, hll_registers  # noqa: E402
+from hnsw_spark.operators.dedup import jaccard_prefix_pairs  # noqa: E402
 from hnsw_spark.operators.retrieval import diversify_mmr  # noqa: E402
 from hnsw_spark.operators.upsert import upsert_latest  # noqa: E402
 from hnsw_spark.operators.profile import skew_report  # noqa: E402
@@ -222,6 +223,7 @@ __all__ = [
     "triangle_stats",
     "hll_estimate",
     "hll_registers",
+    "jaccard_prefix_pairs",
     "diversify_mmr",
     "upsert_latest",
     "skew_report",

@@ -501,3 +501,88 @@ def boilerplate_spans(
             ).alias("boilerplate_ratio"),
         )
     )
+
+
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    n: int = 2,
+    threshold: float = 0.3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard self-join via PREFIX FILTERING (Bayardo et al.
+    "Scaling Up All Pairs Similarity Search", WWW 2007; PPJoin family —
+    public methods): identical output to ``ngram_jaccard_pairs`` at the
+    same threshold, with candidate generation that joins only each set's
+    rarest-token PREFIX instead of every shingle.
+
+    Why it scales: two sets with Jaccard ≥ t must share a token within
+    their first L − ⌈t·L⌉ + 1 tokens under ANY agreed global order — order
+    by ascending document frequency (ties by token) and the join keys
+    become the corpus's RAREST shingles, so the Σ bucket² blowup of the
+    full shingle join (stop-phrase buckets at 100 TB) collapses to the
+    near-singleton tail of the frequency distribution; the length filter
+    (min(L) ≥ t·max(L)) prunes candidates before verification, and only
+    surviving candidate PAIRS are verified with the exact intersection
+    join.  Higher thresholds shrink the prefix — at t=0 this degenerates
+    to the full join, so the operator targets the near-dup regime.
+
+    DataFrame[(id_a, id_b, n_common, size_a, size_b, jaccard)] with
+    id_a < id_b, exactly ``ngram_jaccard_pairs(df, n, threshold)``.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    sh = doc_shingles(df, n, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("size"))
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+    w = Window.partitionBy("id").orderBy(F.asc("_df"), F.asc("shingle"))
+    prefix = (
+        sh.join(freq, "shingle")
+        .join(sizes, "id")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(
+            F.col("_rn")
+            <= F.col("size") - F.ceil(F.lit(threshold) * F.col("size")) + 1
+        )
+        .select("id", "shingle", "size")
+    )
+    a = prefix.select(
+        F.col("id").alias("id_a"),
+        "shingle",
+        F.col("size").alias("size_a"),
+    )
+    b = prefix.select(
+        F.col("id").alias("id_b"),
+        "shingle",
+        F.col("size").alias("size_b"),
+    )
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.least("size_a", "size_b")
+            >= F.lit(threshold) * F.greatest("size_a", "size_b")
+        )
+        .select("id_a", "id_b", "size_a", "size_b")
+        .distinct()
+    )
+    inter = (
+        cand.join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
+        .join(
+            sh.select(F.col("id").alias("id_b"), "shingle").withColumnRenamed(
+                "shingle", "shingle"
+            ),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return inter.withColumn(
+        "jaccard",
+        F.col("n_common")
+        / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+    ).filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "n_common", "size_a", "size_b", "jaccard"
+    )

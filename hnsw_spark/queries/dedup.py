@@ -717,3 +717,40 @@ def similarity_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = embedding_neardup(emb, threshold=0.3, strategy="brute")
     return triangle_stats(edges)
+
+
+_PREFIX_JACC_T = 0.8
+
+_PREFIX_JACC_SQL = f"""
+WITH docs AS (SELECT doc_id, {_W} AS w FROM documents),
+sh_all AS (
+  SELECT DISTINCT doc_id AS id, shingle FROM (
+    SELECT doc_id, unnest({_shingle_sql(3)}) AS shingle FROM docs)
+),
+sizes AS (SELECT id, count(*)::BIGINT AS size FROM sh_all GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS n_common
+  FROM sh_all a JOIN sh_all b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b, n_common, sa.size AS size_a, sb.size AS size_b,
+       round(n_common / (sa.size + sb.size - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON id_a = sa.id
+JOIN sizes sb ON id_b = sb.id
+WHERE n_common / (sa.size + sb.size - n_common) >= {_PREFIX_JACC_T}
+"""
+
+
+@query("jaccard_prefix_filter", _PREFIX_JACC_SQL)
+def jaccard_prefix_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-style prefix-filtered EXACT word-3-gram Jaccard self-join at t=0.8
+    (operators/dedup.py:jaccard_prefix_pairs): candidates join only on
+    each set's rarest-shingle prefix plus the length filter, then exact
+    verification — the oracle is the full brute-force pair join, so a
+    single missed candidate (an unsound filter) hash-fails the row."""
+    from hnsw_spark.operators.dedup import jaccard_prefix_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    res = jaccard_prefix_pairs(docs, n=3, threshold=_PREFIX_JACC_T)
+    return res.withColumn("jaccard", F.round("jaccard", 6))
