@@ -122,6 +122,7 @@ HEADLINE = [
     "similarity_triangles",
     "hll_cardinality",
     "jaccard_prefix_filter",
+    "count_min_frequencies",
     # NOT benched: bpe_encode_gate (BPE training cost already measured by
     # the bpe_merges cell) and pagerank_gate (wall is the O(n²) exact-kNN
     # graph build, not the operator under test)

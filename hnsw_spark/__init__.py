@@ -131,6 +131,10 @@ from hnsw_spark.operators.bloom import bloom_build, bloom_prune  # noqa: E402
 from hnsw_spark.operators.graph_stats import triangle_stats  # noqa: E402
 from hnsw_spark.operators.sketches import hll_estimate, hll_registers  # noqa: E402
 from hnsw_spark.operators.dedup import jaccard_prefix_pairs  # noqa: E402
+from hnsw_spark.operators.sketches import (  # noqa: E402,F811
+    count_min_counters,
+    count_min_estimate,
+)
 from hnsw_spark.operators.retrieval import diversify_mmr  # noqa: E402
 from hnsw_spark.operators.upsert import upsert_latest  # noqa: E402
 from hnsw_spark.operators.profile import skew_report  # noqa: E402
@@ -224,6 +228,8 @@ __all__ = [
     "hll_estimate",
     "hll_registers",
     "jaccard_prefix_pairs",
+    "count_min_counters",
+    "count_min_estimate",
     "diversify_mmr",
     "upsert_latest",
     "skew_report",

@@ -160,3 +160,71 @@ def hll_estimate(
         ).alias("within_bound"),
     )
     return out
+
+
+def count_min_counters(
+    df: DataFrame, col: str, width: int = 1024, depth: int = 4
+) -> DataFrame:
+    """Count-min sketch counters over a column (Cormode & Muthukrishnan
+    2005 — public method): ``depth`` md5-seeded hash rows of ``width``
+    counters each; counter (r, c) = number of input rows whose r-th hash
+    lands in column c.  DataFrame[(row int, col int, cnt bigint)] — only
+    non-zero counters appear.
+
+    Like ``hll_registers``, the hashes are md5, so any engine rebuilds the
+    IDENTICAL counter table from the same rows — the sketch is
+    hash-checkable, not just its error bound.  The groupBy-sum build is
+    the CM merge operator (sketches add cell-wise): per-partition partial
+    counts combine map-side and the shuffle carries ≤ depth·width rows per
+    partition regardless of scan size — the one-pass 100 TB shape shared
+    by the whole sketch family here (Misra-Gries, HLL, CM).
+    """
+    rows = []
+    for r in range(depth):
+        h = F.md5(F.concat(F.col(col).cast("string"), F.lit(f"@{r}")))
+        c = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % width).cast(
+            "int"
+        )
+        rows.append(
+            df.select(F.lit(r).alias("row"), c.alias("col"))
+        )
+    from functools import reduce
+
+    allrows = reduce(lambda a, b: a.unionByName(b), rows)
+    return allrows.groupBy("row", "col").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def count_min_estimate(
+    df: DataFrame,
+    probes: DataFrame,
+    col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-frequency estimates for ``probes[col]`` values from a CM
+    sketch of ``df[col]``: est = min over the depth rows of the probed
+    counter.  DataFrame[(col, est bigint)].  One-sided by construction
+    (est ≥ true count); overshoot ≤ e·N/width with probability
+    1 − e^-depth.  The probe side is broadcast against the ≤ depth·width
+    counter table — neither the corpus nor the sketch re-shuffles."""
+    counters = count_min_counters(df, col, width, depth)
+    probe_cells = []
+    for r in range(depth):
+        h = F.md5(F.concat(F.col(col).cast("string"), F.lit(f"@{r}")))
+        c = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % width).cast(
+            "int"
+        )
+        probe_cells.append(
+            probes.select(
+                F.col(col), F.lit(r).alias("row"), c.alias("col_idx")
+            )
+        )
+    from functools import reduce
+
+    cells = reduce(lambda a, b: a.unionByName(b), probe_cells)
+    joined = cells.join(
+        counters.withColumnRenamed("col", "col_idx"),
+        ["row", "col_idx"],
+        "left",
+    ).select(col, F.coalesce("cnt", F.lit(0)).alias("cnt"))
+    return joined.groupBy(col).agg(F.min("cnt").alias("est"))

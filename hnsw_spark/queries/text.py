@@ -494,3 +494,67 @@ def bpe_encode_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             < F.sum(F.length("word") * F.col("freq"))
         ).alias("compressed"),
     )
+
+
+_CM_W, _CM_D, _CM_PROBES = 1024, 4, 20
+
+_CM_SQL = f"""
+WITH tok AS (
+  SELECT t AS token FROM (SELECT unnest({_W}) AS t FROM documents)
+  WHERE t <> ''
+),
+ex AS (SELECT token, count(*)::BIGINT AS exact FROM tok GROUP BY token),
+probes AS (
+  SELECT token, exact FROM ex ORDER BY exact DESC, token LIMIT {_CM_PROBES}
+),
+seeds AS (SELECT unnest([0, 1, 2, 3]) AS r),
+cells AS (
+  SELECT r,
+         ('0x' || substr(md5(token || '@' || r), 1, 8))::BIGINT % {_CM_W}
+           AS c,
+         count(*)::BIGINT AS cnt
+  FROM tok CROSS JOIN seeds GROUP BY 1, 2
+),
+pe AS (
+  SELECT p.token, p.exact, min(coalesce(cells.cnt, 0))::BIGINT AS est
+  FROM probes p CROSS JOIN seeds s
+  LEFT JOIN cells
+    ON cells.r = s.r
+   AND cells.c = ('0x' || substr(md5(p.token || '@' || s.r), 1, 8))::BIGINT
+                   % {_CM_W}
+  GROUP BY 1, 2
+)
+SELECT token, exact, est, (est >= exact) AS never_undercounts FROM pe
+"""
+
+
+@query("count_min_frequencies", _CM_SQL)
+def count_min_frequencies_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point frequencies for the corpus's top-20 tokens
+    (operators/sketches.py:count_min_counters/estimate): md5-deterministic
+    counters that the oracle rebuilds cell-for-cell — est values are
+    hash-compared, not tolerance-gated, and the one-sided never-undercount
+    guarantee rides as a checked boolean.  Third member of the mergeable
+    sketch family (Misra-Gries heavy hitters, HLL cardinality, CM point
+    frequency), all sharing the groupBy-partial-merge one-pass shape."""
+    from pyspark.sql import Window
+    from hnsw_spark.operators.sketches import count_min_estimate
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(words("text")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    ex = tok.groupBy("token").agg(F.count(F.lit(1)).alias("exact"))
+    w = Window.orderBy(F.desc("exact"), F.asc("token"))
+    probes = (
+        ex.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= _CM_PROBES)
+        .select("token", "exact")
+    )
+    est = count_min_estimate(tok, probes, "token", _CM_W, _CM_D)
+    return probes.join(est, "token").select(
+        "token",
+        "exact",
+        "est",
+        (F.col("est") >= F.col("exact")).alias("never_undercounts"),
+    )
