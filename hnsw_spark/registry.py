@@ -34,7 +34,11 @@ ORACLES: dict[str, str] = {}
 # ann_binary_recall, events_gapfilled_hourly, event_transition_matrix) land
 # mid-pack — the window was already full of never-verified queries — and are
 # FIRST in line for the round-5 window, together with the last-block
-# additions dsir_selection, bloom_join_prune, and time_weighted_avg.
+# additions dsir_selection, bloom_join_prune, time_weighted_avg,
+# order_count_distribution, dormant_high_balance_customers,
+# similarity_triangles, hll_cardinality, jaccard_prefix_filter, and
+# count_min_frequencies (all nine hold builder-side oracle-exact rows at
+# BOTH sf0.01 and sf0.1 — see ORACLE_FULL_r04.json).
 _RUN_FIRST = (
     # erred in r3 (events loader) — fixed, must re-earn green rows
     "latency_summary",
