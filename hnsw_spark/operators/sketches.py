@@ -162,6 +162,13 @@ def hll_estimate(
     return out
 
 
+def _cm_col(col: str, seed: int, width: int):
+    h = F.md5(F.concat(F.col(col).cast("string"), F.lit(f"@{seed}")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % width).cast(
+        "int"
+    )
+
+
 def count_min_counters(
     df: DataFrame, col: str, width: int = 1024, depth: int = 4
 ) -> DataFrame:
@@ -179,19 +186,14 @@ def count_min_counters(
     partition regardless of scan size — the one-pass 100 TB shape shared
     by the whole sketch family here (Misra-Gries, HLL, CM).
     """
-    rows = []
-    for r in range(depth):
-        h = F.md5(F.concat(F.col(col).cast("string"), F.lit(f"@{r}")))
-        c = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % width).cast(
-            "int"
-        )
-        rows.append(
-            df.select(F.lit(r).alias("row"), c.alias("col"))
-        )
-    from functools import reduce
-
-    allrows = reduce(lambda a, b: a.unionByName(b), rows)
-    return allrows.groupBy("row", "col").agg(F.count(F.lit(1)).alias("cnt"))
+    # ONE scan: posexplode an array of the depth column hashes — a
+    # per-seed union would re-read the corpus depth times
+    cells = df.select(
+        F.posexplode(
+            F.array(*[_cm_col(col, r, width) for r in range(depth)])
+        ).alias("row", "col")
+    )
+    return cells.groupBy("row", "col").agg(F.count(F.lit(1)).alias("cnt"))
 
 
 def count_min_estimate(
@@ -208,20 +210,12 @@ def count_min_estimate(
     1 − e^-depth.  The probe side is broadcast against the ≤ depth·width
     counter table — neither the corpus nor the sketch re-shuffles."""
     counters = count_min_counters(df, col, width, depth)
-    probe_cells = []
-    for r in range(depth):
-        h = F.md5(F.concat(F.col(col).cast("string"), F.lit(f"@{r}")))
-        c = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % width).cast(
-            "int"
-        )
-        probe_cells.append(
-            probes.select(
-                F.col(col), F.lit(r).alias("row"), c.alias("col_idx")
-            )
-        )
-    from functools import reduce
-
-    cells = reduce(lambda a, b: a.unionByName(b), probe_cells)
+    cells = probes.select(
+        F.col(col),
+        F.posexplode(
+            F.array(*[_cm_col(col, r, width) for r in range(depth)])
+        ).alias("row", "col_idx"),
+    )
     joined = cells.join(
         counters.withColumnRenamed("col", "col_idx"),
         ["row", "col_idx"],

@@ -1,0 +1,70 @@
+"""Streaming count-min sketch: the continuous form of
+``operators/sketches.py::count_min_counters``.
+
+Because a CM sketch merges by cell-wise addition, the streaming form needs
+no state store at all: each micro-batch writes its OWN partial counter
+table into an ``epoch_id`` partition, and the live sketch is one
+``groupBy(row, col).sum`` over the partition tree — the same
+merge-of-partials shape ``incremental_rollup`` uses for aggregates.  A
+100 TB/day stream therefore costs depth·width skinny rows per epoch, and
+reading the sketch never touches the raw stream again.
+
+Exactly-once under retries: ``foreachBatch`` may replay an epoch after a
+failure; DYNAMIC partition overwrite makes the replay overwrite its own
+previous partial delta (the ``StreamingCorpusDedup`` pattern), so no cell
+is ever double-counted.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class StreamingCountMin:
+    def __init__(
+        self,
+        counters_path: str,
+        col: str = "token",
+        width: int = 1024,
+        depth: int = 4,
+    ):
+        self.counters_path = counters_path
+        self.col = col
+        self.width = width
+        self.depth = depth
+
+    def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        from hnsw_spark.operators.sketches import count_min_counters
+
+        if batch.isEmpty():
+            return
+        delta = count_min_counters(
+            batch, self.col, self.width, self.depth
+        ).withColumn("epoch_id", F.lit(int(epoch_id)))
+        (
+            delta.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(self.counters_path)
+        )
+
+    def start(self, stream: DataFrame, checkpoint: str):
+        return (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
+
+    def counters(self, spark) -> DataFrame:
+        """The merged live sketch — identical cell-for-cell to the batch
+        sketch over everything ingested so far."""
+        if not os.path.isdir(self.counters_path):
+            return spark.createDataFrame([], "row int, col int, cnt bigint")
+        return (
+            spark.read.parquet(self.counters_path)
+            .groupBy("row", "col")
+            .agg(F.sum("cnt").alias("cnt"))
+        )

@@ -47,3 +47,49 @@ def test_absent_value_estimates_small(spark):
     [r] = count_min_estimate(s, ghost, "token").collect()
     n_total = s.count()
     assert 0 <= r.est <= 2.72 * n_total / 1024 + 1
+
+
+def test_streaming_count_min_matches_batch(spark, tmp_path):
+    """Epoch-partitioned CM deltas merged by sum == the batch sketch, and
+    an epoch replay (simulated retry) cannot double-count."""
+    from hnsw_spark.streaming.sketch import StreamingCountMin
+
+    cm = StreamingCountMin(str(tmp_path / "counters"))
+    b1 = spark.createDataFrame(_ROWS[:900], "token string")
+    b2 = spark.createDataFrame(_ROWS[900:], "token string")
+    cm.process_batch(b1, 0)
+    cm.process_batch(b2, 1)
+    cm.process_batch(b2, 1)  # replayed epoch overwrites its own delta
+    merged = {(r.row, r.col, r.cnt) for r in cm.counters(spark).collect()}
+    whole = {
+        (r.row, r.col, r.cnt)
+        for r in count_min_counters(_stream(spark), "token").collect()
+    }
+    assert merged == whole
+
+
+def test_streaming_count_min_end_to_end_stream(spark, tmp_path):
+    from hnsw_spark.streaming.sketch import StreamingCountMin
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(_ROWS[:200], "token string").coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema("token string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    cm = StreamingCountMin(str(tmp_path / "counters"))
+    q = cm.start(stream, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    merged = {(r.row, r.col, r.cnt) for r in cm.counters(spark).collect()}
+    batch = spark.createDataFrame(_ROWS[:200], "token string")
+    whole = {
+        (r.row, r.col, r.cnt)
+        for r in count_min_counters(batch, "token").collect()
+    }
+    assert merged == whole
