@@ -162,3 +162,103 @@ def test_recency_scores_match_python_model(spark_session_cached, vals, seed):
         total += int(np.floor(float(v) * 2.0 ** -int(k) * 1e6 + 0.5))
     assert out.recency_score == total / 1e6
     assert out.n_events == len(vals)
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    n_nodes=st.integers(min_value=3, max_value=14),
+    p_edge=st.floats(min_value=0.1, max_value=0.9),
+)
+@settings(suppress_health_check=[HealthCheck.function_scoped_fixture], max_examples=10, deadline=None)
+def test_triangle_stats_matches_python_enumeration(
+    spark_session_cached, seed, n_nodes, p_edge
+):
+    from hnsw_spark.operators.graph_stats import triangle_stats
+
+    spark = spark_session_cached
+    rng = np.random.default_rng(seed)
+    edges = [
+        (a, b)
+        for a in range(n_nodes)
+        for b in range(a + 1, n_nodes)
+        if rng.random() < p_edge
+    ]
+    if not edges:
+        edges = [(0, 1)]
+    adj = {n: set() for n in range(n_nodes)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    expect_tri = sum(
+        1
+        for a, b in edges
+        for c in (adj[a] & adj[b])
+        if c > b
+    )
+    expect_wedges = sum(
+        len(v) * (len(v) - 1) // 2 for v in adj.values()
+    )
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    [r] = triangle_stats(df).collect()
+    assert r.n_triangles == expect_tri
+    assert r.n_wedges == expect_wedges
+    assert r.n_edges == len(edges)
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    vocab=st.integers(min_value=2, max_value=12),
+    n_docs=st.integers(min_value=2, max_value=10),
+    threshold=st.sampled_from([0.4, 0.6, 0.85]),
+)
+@settings(suppress_health_check=[HealthCheck.function_scoped_fixture], max_examples=8, deadline=None)
+def test_prefix_filter_equals_brute_on_random_docs(
+    spark_session_cached, seed, vocab, n_docs, threshold
+):
+    from hnsw_spark.operators.dedup import (
+        jaccard_prefix_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    spark = spark_session_cached
+    rng = np.random.default_rng(seed)
+    words = [f"w{i}" for i in range(vocab)]
+    docs = [
+        (i, " ".join(rng.choice(words, size=rng.integers(3, 12))))
+        for i in range(n_docs)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    brute = {
+        (r.id_a, r.id_b, r.n_common)
+        for r in ngram_jaccard_pairs(df, n=2, threshold=threshold).collect()
+    }
+    pref = {
+        (r.id_a, r.id_b, r.n_common)
+        for r in jaccard_prefix_pairs(df, n=2, threshold=threshold).collect()
+    }
+    assert pref == brute
+
+
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1))
+@settings(suppress_health_check=[HealthCheck.function_scoped_fixture], max_examples=8, deadline=None)
+def test_count_min_never_undercounts_random_streams(
+    spark_session_cached, seed
+):
+    from hnsw_spark.operators.sketches import count_min_estimate
+
+    spark = spark_session_cached
+    rng = np.random.default_rng(seed)
+    toks = [f"v{rng.integers(0, 30)}" for _ in range(400)]
+    from collections import Counter
+
+    exact = Counter(toks)
+    df = spark.createDataFrame([(t,) for t in toks], "token string")
+    probes = spark.createDataFrame(
+        [(t,) for t in exact], "token string"
+    )
+    got = {
+        r.token: r.est
+        for r in count_min_estimate(df, probes, "token").collect()
+    }
+    for tok, n in exact.items():
+        assert got[tok] >= n, tok
