@@ -614,6 +614,39 @@ def _protocol_axes(spark, sf_dir: str, qs) -> dict:
             "speedup_vs_exact": round(exact_avg * 1000.0 / max(r["search_ms_total"], 1e-9), 2),
             "recall_curve": curves[tier],
         }
+
+    # scaling slope: the same registered queries at every fixture scale
+    # (100x data range).  A plan that would break at 1000x usually already
+    # bends here — near-flat walls mean overhead-dominated cells, near-
+    # linear means the scan/shuffle dominates; super-linear is a red flag
+    # the judge (and we) can see per-round.
+    scaling = {}
+    for qname in (
+        "dedup_exact",
+        "events_hourly_rollup",
+        "tpch_q1_pricing_summary",
+        "knn_topk_local_merge",
+        "minhash_signatures",
+    ):
+        fn = qs.get(qname)
+        if fn is None:
+            continue
+        per_sf = {}
+        for sub in ("sf0.001", "sf0.01", "sf0.1"):
+            d = os.path.join(os.path.dirname(sf_dir.rstrip("/")), sub)
+            if not os.path.isdir(d):
+                continue
+            try:
+                ws = []
+                for _ in range(2):
+                    t0 = time.time()
+                    fn(spark, d).write.format("noop").mode("overwrite").save()
+                    ws.append(time.time() - t0)
+                per_sf[sub] = round(min(ws), 3)
+            except Exception as e:
+                per_sf[sub] = {"err": repr(e)[:120]}
+        scaling[qname] = per_sf
+    out["scaling"] = scaling
     return out
 
 
