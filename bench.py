@@ -123,6 +123,7 @@ HEADLINE = [
     "hll_cardinality",
     "jaccard_prefix_filter",
     "count_min_frequencies",
+    "data_expectations",
     # NOT benched: bpe_encode_gate (BPE training cost already measured by
     # the bpe_merges cell) and pagerank_gate (wall is the O(n²) exact-kNN
     # graph build, not the operator under test)

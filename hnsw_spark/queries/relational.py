@@ -1746,3 +1746,96 @@ def dormant_high_balance_customers_q(
             dsum("c_acctbal").alias("totacctbal"),
         )
     )
+
+
+_EXPECT_SQL = """
+SELECT 'lineitem_quantity_range' AS rule,
+       (SELECT count(*) FROM lineitem
+        WHERE l_quantity < 1 OR l_quantity > 50)::BIGINT AS n_violations
+UNION ALL
+SELECT 'lineitem_discount_unit_interval',
+       (SELECT count(*) FROM lineitem
+        WHERE l_discount < 0 OR l_discount > 1)::BIGINT
+UNION ALL
+SELECT 'lineitem_price_positive',
+       (SELECT count(*) FROM lineitem WHERE l_extendedprice <= 0)::BIGINT
+UNION ALL
+SELECT 'lineitem_shipdate_not_null',
+       (SELECT count(*) FROM lineitem WHERE l_shipdate IS NULL)::BIGINT
+UNION ALL
+SELECT 'orders_custkey_references_customer',
+       (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))::BIGINT
+UNION ALL
+SELECT 'lineitem_orderkey_references_orders',
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey))::BIGINT
+UNION ALL
+SELECT 'customer_acctbal_not_null',
+       (SELECT count(*) FROM customer WHERE c_acctbal IS NULL)::BIGINT
+"""
+
+
+@query("data_expectations", _EXPECT_SQL)
+def data_expectations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest data-contract report: range, domain, null, and referential
+    rules over the fact tables, one row per rule with its violation count
+    — the expectations gate a pipeline runs before promoting a batch.
+    Single-column rules fold into ONE conditional-aggregation scan per
+    table (no per-rule re-scan); the two referential rules are left-anti
+    joins where only the join key is read off the big side.  At 100 TB
+    every rule shares the same scan-partial-agg shape as any rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def _cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    li_rules = li.agg(
+        _cnt((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).alias(
+            "lineitem_quantity_range"
+        ),
+        _cnt(
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+        ).alias("lineitem_discount_unit_interval"),
+        _cnt(F.col("l_extendedprice") <= 0).alias("lineitem_price_positive"),
+        _cnt(F.col("l_shipdate").isNull()).alias(
+            "lineitem_shipdate_not_null"
+        ),
+    )
+    cu_rules = cust.agg(
+        _cnt(F.col("c_acctbal").isNull()).alias("customer_acctbal_not_null")
+    )
+    orphan_orders = (
+        orders.select("o_custkey")
+        .join(
+            F.broadcast(cust.select("c_custkey")),
+            orders.o_custkey == cust.c_custkey,
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("orders_custkey_references_customer"))
+    )
+    orphan_li = (
+        li.select("l_orderkey")
+        .join(
+            orders.select("o_orderkey"),
+            li.l_orderkey == orders.o_orderkey,
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("lineitem_orderkey_references_orders"))
+    )
+    wide = (
+        li_rules.crossJoin(cu_rules)
+        .crossJoin(F.broadcast(orphan_orders))
+        .crossJoin(F.broadcast(orphan_li))
+    )
+    # unpivot to the (rule, n_violations) contract shape
+    pairs = []
+    for c in wide.columns:
+        pairs += [F.lit(c), F.col(c)]
+    return wide.select(
+        F.explode(F.create_map(*pairs)).alias("rule", "n_violations")
+    )

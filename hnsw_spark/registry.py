@@ -37,7 +37,7 @@ ORACLES: dict[str, str] = {}
 # additions dsir_selection, bloom_join_prune, time_weighted_avg,
 # order_count_distribution, dormant_high_balance_customers,
 # similarity_triangles, hll_cardinality, jaccard_prefix_filter, and
-# count_min_frequencies (all nine hold builder-side oracle-exact rows at
+# count_min_frequencies, and data_expectations (all ten hold builder-side oracle-exact rows at
 # BOTH sf0.01 and sf0.1 — see ORACLE_FULL_r04.json).
 _RUN_FIRST = (
     # erred in r3 (events loader) — fixed, must re-earn green rows
