@@ -68,3 +68,48 @@ class StreamingCountMin:
             .groupBy("row", "col")
             .agg(F.sum("cnt").alias("cnt"))
         )
+
+
+class StreamingHLL:
+    """Streaming HyperLogLog: per-epoch register deltas merged by MAX —
+    the other mergeable-sketch reduction (CM adds, HLL maxes).  Same
+    exactly-once epoch-partition pattern as ``StreamingCountMin``; the
+    live estimate replays ``operators/sketches.py::hll_estimate``'s
+    estimator over the merged registers, so stream and batch agree
+    register-for-register on the same ingested rows."""
+
+    def __init__(self, registers_path: str, col: str = "v", b: int = 8):
+        self.registers_path = registers_path
+        self.col = col
+        self.b = b
+
+    def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        from hnsw_spark.operators.sketches import hll_registers
+
+        if batch.isEmpty():
+            return
+        delta = hll_registers(batch, self.col, self.b).withColumn(
+            "epoch_id", F.lit(int(epoch_id))
+        )
+        (
+            delta.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(self.registers_path)
+        )
+
+    def start(self, stream: DataFrame, checkpoint: str):
+        return (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
+
+    def registers(self, spark) -> DataFrame:
+        if not os.path.isdir(self.registers_path):
+            return spark.createDataFrame([], "bucket int, rho int")
+        return (
+            spark.read.parquet(self.registers_path)
+            .groupBy("bucket")
+            .agg(F.max("rho").alias("rho"))
+        )

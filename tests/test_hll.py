@@ -42,3 +42,26 @@ def test_within_published_error_bound(spark):
     r = hll_estimate(df, "v").collect()[0]
     assert r.within_bound
     assert abs(r.est_fp / 10000.0 - 10000) / 10000 < 0.2
+
+
+def test_streaming_hll_matches_batch(spark, tmp_path):
+    """Epoch-partitioned register deltas merged by max == batch registers,
+    replay-safe (the CM twin's property, with max instead of sum)."""
+    from hnsw_spark.operators.sketches import hll_registers
+    from hnsw_spark.streaming.sketch import StreamingHLL
+
+    rows = [(f"u{i}",) for i in range(2500)]
+    hll = StreamingHLL(str(tmp_path / "regs"))
+    b1 = spark.createDataFrame(rows[:1000], "v string")
+    b2 = spark.createDataFrame(rows[1000:], "v string")
+    hll.process_batch(b1, 0)
+    hll.process_batch(b2, 1)
+    hll.process_batch(b2, 1)  # replayed epoch overwrites its own delta
+    merged = {(r.bucket, r.rho) for r in hll.registers(spark).collect()}
+    whole = {
+        (r.bucket, r.rho)
+        for r in hll_registers(
+            spark.createDataFrame(rows, "v string"), "v"
+        ).collect()
+    }
+    assert merged == whole
