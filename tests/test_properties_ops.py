@@ -262,3 +262,94 @@ def test_count_min_never_undercounts_random_streams(
     }
     for tok, n in exact.items():
         assert got[tok] >= n, tok
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    n_events=st.integers(min_value=2, max_value=40),
+)
+@settings(suppress_health_check=[HealthCheck.function_scoped_fixture], max_examples=8, deadline=None)
+def test_twap_matches_python_model(spark_session_cached, seed, n_events):
+    from hnsw_spark.operators.temporal import time_weighted_avg
+
+    spark = spark_session_cached
+    rng = np.random.default_rng(seed)
+    t = dt.datetime(2024, 1, 1)
+    rows, model = [], []
+    for i in range(n_events):
+        t += dt.timedelta(microseconds=int(rng.integers(1, 10_000_000)))
+        v = float(np.round(rng.uniform(0, 500), 2))
+        rows.append((i, t, "g", v))
+        model.append((t, v))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, event_type string, value double"
+    )
+    [r] = time_weighted_avg(df).collect()
+    # python model: exact integer arithmetic, identical conventions
+    us = dt.timedelta(microseconds=1)
+    total = sum(
+        (model[i + 1][0] - model[i][0]) // us for i in range(n_events - 1)
+    )
+    wsum = sum(
+        ((model[i + 1][0] - model[i][0]) // us)
+        * int(np.floor(model[i][1] * 10_000 + 0.5))
+        for i in range(n_events - 1)
+    )
+    assert r.total_dur_us == total
+    assert r.twap_fp == (wsum // total if total > 0 else None)
+
+
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1))
+@settings(suppress_health_check=[HealthCheck.function_scoped_fixture], max_examples=6, deadline=None)
+def test_dsir_scores_match_python_model(spark_session_cached, seed):
+    import hashlib
+    import math
+    from collections import Counter
+
+    from hnsw_spark.operators.curation import dsir_select
+
+    spark = spark_session_cached
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(15)]
+    docs = [
+        (i, " ".join(rng.choice(vocab, size=rng.integers(1, 20))),
+         "tgt" if rng.random() < 0.3 else "bg")
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    got = {
+        r.doc_id: r
+        for r in dsir_select(
+            df, target_value="tgt", n_buckets=64
+        ).collect()
+    }
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 64
+
+    raw, tgt = Counter(), Counter()
+    per_doc = {}
+    for i, text, src in docs:
+        c = Counter(bucket(t) for t in text.lower().split() if t)
+        per_doc[i] = c
+        raw.update(c)
+        if src == "tgt":
+            tgt.update(c)
+    T, R = sum(tgt.values()), sum(raw.values())
+
+    def q(num, den):
+        return math.floor(math.log(num / den) * 1e6 + 0.5)
+
+    lam = {
+        b: q(tgt.get(b, 0) + 1.0, T + 64.0) - q(raw[b] + 1.0, R + 64.0)
+        for b in raw
+    }
+    for i, _, _ in [d for d in docs]:
+        c = per_doc[i]
+        n = sum(c.values())
+        if n == 0:
+            assert got[i].n_tokens == 0 and got[i].score_fp is None
+            continue
+        si = sum(tf * lam[b] for b, tf in c.items())
+        assert got[i].n_tokens == n, i
+        assert got[i].score_fp == math.floor(si / n), i
