@@ -1839,3 +1839,103 @@ def data_expectations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(
         F.explode(F.create_map(*pairs)).alias("rule", "n_violations")
     )
+
+
+_ASSOC_SQL = """
+WITH b AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day, event_type
+  FROM events
+), n AS (
+  SELECT count(DISTINCT (user_id, day))::BIGINT AS total_baskets FROM b
+), singles AS (
+  SELECT event_type, count(*)::BIGINT AS n_single FROM b GROUP BY event_type
+), pairs AS (
+  SELECT x.event_type AS antecedent, y.event_type AS consequent,
+         count(*)::BIGINT AS n_both
+  FROM b x JOIN b y
+    ON x.user_id = y.user_id AND x.day = y.day
+   AND x.event_type <> y.event_type
+  GROUP BY 1, 2
+)
+SELECT p.antecedent, p.consequent, p.n_both,
+       sa.n_single AS n_antecedent,
+       sc.n_single AS n_consequent,
+       (p.n_both * 1000000 // sa.n_single)::BIGINT AS confidence_fp,
+       (p.n_both * n.total_baskets * 1000000
+          // (sa.n_single * sc.n_single))::BIGINT AS lift_fp
+FROM pairs p
+JOIN singles sa ON sa.event_type = p.antecedent
+JOIN singles sc ON sc.event_type = p.consequent
+CROSS JOIN n
+"""
+
+
+@query("association_rules", _ASSOC_SQL)
+def association_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed association rules A→B over the (user, day) baskets:
+    confidence = P(B|A) and lift = P(A,B)/(P(A)P(B)), both as exact
+    integer-DIV fixed point (1e-6), extending `basket_type_pairs`' support
+    pass into the full rule-mining scorecard.  Same scale shape: the
+    corpus collapses to the distinct skinny basket frame once (persisted,
+    three consumers), the pair join is keyed by basket, singles are a
+    types-row broadcast, and output is bounded by types² forever."""
+    from pyspark.storagelevel import StorageLevel
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("make_timestamp_ntz(year(ts), month(ts), day(ts), 0, 0, 0)")
+    b = (
+        ev.select("user_id", day.alias("day"), "event_type")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n = b.select("user_id", "day").distinct().agg(
+        F.count("*").alias("total_baskets")
+    )
+    singles = b.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_single"))
+    x = b.select("user_id", "day", F.col("event_type").alias("antecedent"))
+    y = b.select(
+        F.col("user_id").alias("_u"),
+        F.col("day").alias("_d"),
+        F.col("event_type").alias("consequent"),
+    )
+    pairs = (
+        x.join(
+            y,
+            (F.col("user_id") == F.col("_u"))
+            & (F.col("day") == F.col("_d"))
+            & (F.col("antecedent") != F.col("consequent")),
+        )
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = F.broadcast(
+        singles.select(
+            F.col("event_type").alias("antecedent"),
+            F.col("n_single").alias("n_antecedent"),
+        )
+    )
+    sc = F.broadcast(
+        singles.select(
+            F.col("event_type").alias("consequent"),
+            F.col("n_single").alias("n_consequent"),
+        )
+    )
+    return (
+        pairs.join(sa, "antecedent")
+        .join(sc, "consequent")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_both",
+            "n_antecedent",
+            "n_consequent",
+            F.expr("n_both * 1000000 DIV n_antecedent").alias(
+                "confidence_fp"
+            ),
+            F.expr(
+                "n_both * total_baskets * 1000000"
+                " DIV (n_antecedent * n_consequent)"
+            ).alias("lift_fp"),
+        )
+    )
