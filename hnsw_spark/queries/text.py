@@ -558,3 +558,125 @@ def count_min_frequencies_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est",
         (F.col("est") >= F.col("exact")).alias("never_undercounts"),
     )
+
+
+_TFIDF_SIM_K = 5
+_TFIDF_SIM_PROBES = 50
+
+_TFIDF_SIM_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, t AS token FROM (
+    SELECT doc_id, unnest({_W}) AS t FROM documents) WHERE t <> ''
+),
+tf AS (
+  SELECT doc_id, token, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2
+),
+n AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM tf),
+idf AS (
+  SELECT token,
+         floor(ln(n_docs / count(DISTINCT doc_id)) * 1000000.0 + 0.5)::BIGINT
+           AS q_idf
+  FROM tf, n GROUP BY token, n_docs
+),
+w AS (
+  SELECT tf.doc_id, tf.token, tf.tf * idf.q_idf AS w
+  FROM tf JOIN idf USING (token)
+),
+norms AS (SELECT doc_id, sum(w * w)::BIGINT AS n2 FROM w GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS query_doc, b.doc_id AS match_doc,
+         sum(a.w * b.w)::BIGINT AS dot
+  FROM w a JOIN w b ON a.token = b.token AND a.doc_id <> b.doc_id
+  WHERE a.doc_id < {_TFIDF_SIM_PROBES}
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.query_doc, d.match_doc,
+         d.dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cos,
+         row_number() OVER (
+           PARTITION BY d.query_doc
+           ORDER BY d.dot / (sqrt(na.n2) * sqrt(nb.n2)) DESC, d.match_doc
+         ) AS rank
+  FROM dots d
+  JOIN norms na ON na.doc_id = d.query_doc
+  JOIN norms nb ON nb.doc_id = d.match_doc
+)
+SELECT query_doc, match_doc, rank::INT AS rank, round(cos, 6) AS cosine
+FROM scored WHERE rank <= {_TFIDF_SIM_K}
+"""
+
+
+@query("tfidf_doc_similarity", _TFIDF_SIM_SQL)
+def tfidf_doc_similarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF document-to-document top-5 similarity via the
+    inverted-index join — the sparse-retrieval counterpart to the dense
+    `embedding_neardup` tier and the query-driven `bm25_search`: pairs are
+    generated ONLY where a token is shared (cost Σ df² over tokens, never
+    corpus²; the stop-token blowup is the same one `ngram_jaccard_pairs`
+    documents, with the same opt-in doc-frequency cap as the scale
+    remedy).  Weights are exact integers (tf · fixed-point idf), so dot
+    products and squared norms are engine-exact BIGINTs and the cosine is
+    a ratio of identical doubles in both engines."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(words("text")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    from pyspark.storagelevel import StorageLevel
+
+    n = tf.select("doc_id").distinct().agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = (
+        tf.groupBy("token")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "token",
+            F.floor(
+                F.log(F.col("n_docs") / F.col("df")) * 1000000.0 + 0.5
+            )
+            .cast("long")
+            .alias("q_idf"),
+        )
+    )
+    w = (
+        tf.join(idf, "token")
+        .select("doc_id", "token", (F.col("tf") * F.col("q_idf")).alias("w"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    norms = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    probe = w.filter(F.col("doc_id") < _TFIDF_SIM_PROBES).select(
+        F.col("doc_id").alias("query_doc"), "token", F.col("w").alias("wa")
+    )
+    dots = (
+        probe.join(
+            w.select(
+                F.col("doc_id").alias("match_doc"),
+                "token",
+                F.col("w").alias("wb"),
+            ),
+            "token",
+        )
+        .filter(F.col("query_doc") != F.col("match_doc"))
+        .groupBy("query_doc", "match_doc")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("query_doc"), F.col("n2").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("match_doc"), F.col("n2").alias("nb"))
+    cos = F.col("dot") / (F.sqrt("na") * F.sqrt("nb"))
+    win = Window.partitionBy("query_doc").orderBy(
+        F.desc(cos), F.asc("match_doc")
+    )
+    return (
+        dots.join(F.broadcast(na), "query_doc")
+        .join(nb, "match_doc")
+        .withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= _TFIDF_SIM_K)
+        .select(
+            "query_doc",
+            "match_doc",
+            F.col("rank").cast("int").alias("rank"),
+            F.round(cos, 6).alias("cosine"),
+        )
+    )
