@@ -126,6 +126,7 @@ HEADLINE = [
     "data_expectations",
     "association_rules",
     "tfidf_doc_similarity",
+    "scd2_intervals",
     # NOT benched: bpe_encode_gate (BPE training cost already measured by
     # the bpe_merges cell) and pagerank_gate (wall is the O(n²) exact-kNN
     # graph build, not the operator under test)

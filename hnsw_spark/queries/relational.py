@@ -1939,3 +1939,78 @@ def association_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift_fp"),
         )
     )
+
+
+_SCD2_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type AS state, ts, event_id,
+         lag(event_type) OVER w AS prev_state
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT user_id, state, ts,
+         sum(CASE WHEN prev_state IS NULL OR prev_state <> state
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS run_id
+  FROM seq
+),
+iv AS (
+  SELECT user_id, run_id, state,
+         min(ts) AS valid_from, count(*)::BIGINT AS n_events
+  FROM runs GROUP BY 1, 2, 3
+)
+SELECT user_id, state, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+         AS valid_to,
+       (lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+          IS NULL) AS is_current,
+       n_events
+FROM iv
+"""
+
+
+@query("scd2_intervals", _SCD2_SQL)
+def scd2_intervals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension build from the event stream: per
+    user, consecutive same-type runs collapse into validity intervals
+    [valid_from, valid_to) with the open current row flagged — the
+    dimension-table materialization every warehouse derives from CDC/event
+    feeds.  One shuffle on user_id shared by the run-detection window, the
+    run rollup, and the interval-chaining window (gaps-and-islands, the
+    `threshold_alert_episodes` machinery pointed at dimension
+    construction)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "ts",
+        F.lag("event_type").over(w).alias("prev_state"),
+        "event_id",
+    )
+    runs = seq.withColumn(
+        "run_id",
+        F.sum(
+            F.when(
+                F.col("prev_state").isNull()
+                | (F.col("prev_state") != F.col("state")),
+                1,
+            ).otherwise(0)
+        ).over(w),
+    )
+    iv = runs.groupBy("user_id", "run_id", "state").agg(
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy(F.asc("valid_from"))
+    return iv.select(
+        "user_id",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+        "n_events",
+    )
