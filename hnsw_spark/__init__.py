@@ -129,7 +129,11 @@ from hnsw_spark.operators.curation import token_budget_select  # noqa: E402
 from hnsw_spark.operators.curation import dsir_select  # noqa: E402
 from hnsw_spark.operators.bloom import bloom_build, bloom_prune  # noqa: E402
 from hnsw_spark.operators.graph_stats import triangle_stats  # noqa: E402
-from hnsw_spark.operators.sketches import hll_estimate, hll_registers  # noqa: E402
+from hnsw_spark.operators.sketches import (  # noqa: E402
+    hll_estimate,
+    hll_estimate_by,
+    hll_registers,
+)
 from hnsw_spark.operators.dedup import jaccard_prefix_pairs  # noqa: E402
 from hnsw_spark.operators.sketches import (  # noqa: E402,F811
     count_min_counters,
@@ -227,6 +231,7 @@ __all__ = [
     "triangle_stats",
     "hll_estimate",
     "hll_registers",
+    "hll_estimate_by",
     "jaccard_prefix_pairs",
     "count_min_counters",
     "count_min_estimate",

@@ -222,3 +222,65 @@ def count_min_estimate(
         "left",
     ).select(col, F.coalesce("cnt", F.lit(0)).alias("cnt"))
     return joined.groupBy(col).agg(F.min("cnt").alias("est"))
+
+
+def hll_estimate_by(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    b: int = 8,
+    scale: int = 4,
+) -> DataFrame:
+    """Per-group HLL cardinality — approx-count-distinct as a GROUPED
+    mergeable sketch: registers keyed by (group, bucket), one groupBy-max
+    build, estimates per group.  DataFrame[(group_col, n_exact,
+    n_occupied, est_fp, within_bound)].  This is the shape that answers
+    "distinct users per segment over 100 TB" in one pass with
+    groups·m rows of state; the exact count rides along as the audit
+    (same contract as ``hll_estimate``)."""
+    assert b % 4 == 0, "b must be a whole number of hex digits"
+    m = 1 << b
+    nb = b // 4
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    h = F.md5(F.col(col).cast("string"))
+    bucket = F.conv(F.substring(h, 1, nb), 16, 10).cast("int")
+    rest = F.conv(F.substring(h, nb + 1, 8), 16, 10).cast("long")
+    nbits = F.length(F.bin(F.col("_rest")))
+    rho = F.when(F.col("_rest") == 0, F.lit(33)).otherwise(F.lit(33) - nbits)
+    regs = (
+        df.select(
+            F.col(group_col), bucket.alias("bucket"), rest.alias("_rest")
+        )
+        .select(group_col, "bucket", rho.cast("int").alias("rho"))
+        .groupBy(group_col, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    agg = regs.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_occupied"),
+        F.sum(
+            F.lit(1.0)
+            / F.call_function("shiftleft", F.lit(1).cast("long"), F.col("rho"))
+        ).alias("_s_occ"),
+    )
+    exact = df.groupBy(group_col).agg(
+        F.count_distinct(F.col(col)).alias("n_exact")
+    )
+    est_raw = F.lit(alpha * m * m) / (
+        F.col("_s_occ") + (F.lit(m) - F.col("n_occupied"))
+    )
+    n_empty = F.lit(m) - F.col("n_occupied")
+    est = F.when(
+        (est_raw <= F.lit(2.5 * m)) & (n_empty > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / n_empty),
+    ).otherwise(est_raw)
+    q = F.floor(est * F.lit(float(10**scale)) + F.lit(0.5)).cast("long")
+    return exact.join(agg, group_col).select(
+        group_col,
+        "n_exact",
+        "n_occupied",
+        q.alias("est_fp"),
+        (
+            F.abs(est - F.col("n_exact"))
+            <= F.lit(3.0 * 1.04) / F.lit(float(m) ** 0.5) * F.col("n_exact")
+        ).alias("within_bound"),
+    )

@@ -2014,3 +2014,59 @@ def scd2_intervals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(w2).isNull().alias("is_current"),
         "n_events",
     )
+
+
+_HLL_GRP_ALPHA_M2 = 47072.71267120224  # same double literal as the operator
+
+_HLL_GRP_SQL = f"""
+WITH r AS (
+  SELECT event_type,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 2))::BIGINT::INT AS bucket,
+         ('0x' || substr(md5(user_id::VARCHAR), 3, 8))::BIGINT AS rest
+  FROM events
+),
+regs AS (
+  SELECT event_type, bucket,
+         max(CASE WHEN rest = 0 THEN 33
+                  ELSE 33 - length(ltrim(bin(rest), '0')) END)::INT AS rho
+  FROM r GROUP BY 1, 2
+),
+agg AS (
+  SELECT event_type, count(*)::BIGINT AS n_occupied,
+         sum(1.0 / (1::BIGINT << rho)) AS s_occ
+  FROM regs GROUP BY event_type
+),
+ex AS (
+  SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact
+  FROM events GROUP BY event_type
+),
+est AS (
+  SELECT ex.event_type, n_exact, n_occupied,
+         CASE WHEN raw <= 640.0 AND (256 - n_occupied) > 0
+              THEN 256.0 * ln(256.0 / (256 - n_occupied))
+              ELSE raw END AS e
+  FROM (SELECT agg.event_type, n_occupied,
+               {{a}} / (s_occ + (256 - n_occupied)) AS raw
+        FROM agg) agg
+  JOIN ex ON ex.event_type = agg.event_type
+)
+SELECT event_type, n_exact, n_occupied,
+       floor(e * 10000.0 + 0.5)::BIGINT AS est_fp,
+       (abs(e - n_exact) <= 3.0 * 1.04 / sqrt(256.0) * n_exact)
+         AS within_bound
+FROM est
+""".format(a=repr(_HLL_GRP_ALPHA_M2))
+
+
+@query("hll_distinct_by_group", _HLL_GRP_SQL)
+def hll_distinct_by_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via per-group HyperLogLog registers
+    (operators/sketches.py:hll_estimate_by) — the grouped mergeable-sketch
+    form of approx-count-distinct, with the registers md5-deterministic so
+    the oracle rebuilds them bucket-for-bucket and the estimate itself is
+    hash-compared; exact count and the 3-sigma bound ride as the audit."""
+    from hnsw_spark.operators.sketches import hll_estimate_by
+
+    return hll_estimate_by(
+        load_table(spark, sf_dir, "events"), "event_type", "user_id", b=8
+    )
