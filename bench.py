@@ -128,6 +128,7 @@ HEADLINE = [
     "tfidf_doc_similarity",
     "scd2_intervals",
     "hll_distinct_by_group",
+    "kcore_gate",
     # NOT benched: bpe_encode_gate (BPE training cost already measured by
     # the bpe_merges cell) and pagerank_gate (wall is the O(n²) exact-kNN
     # graph build, not the operator under test)

@@ -128,7 +128,7 @@ from hnsw_spark.operators.temporal import (  # noqa: E402
 from hnsw_spark.operators.curation import token_budget_select  # noqa: E402
 from hnsw_spark.operators.curation import dsir_select  # noqa: E402
 from hnsw_spark.operators.bloom import bloom_build, bloom_prune  # noqa: E402
-from hnsw_spark.operators.graph_stats import triangle_stats  # noqa: E402
+from hnsw_spark.operators.graph_stats import k_core, triangle_stats  # noqa: E402
 from hnsw_spark.operators.sketches import (  # noqa: E402
     hll_estimate,
     hll_estimate_by,
@@ -229,6 +229,7 @@ __all__ = [
     "bloom_build",
     "bloom_prune",
     "triangle_stats",
+    "k_core",
     "hll_estimate",
     "hll_registers",
     "hll_estimate_by",

@@ -96,3 +96,57 @@ def triangle_stats(
             ).alias("ccoef_fp"),
         )
     )
+
+
+def k_core(
+    edges: DataFrame, k: int = 3, a: str = "id_a", b: str = "id_b"
+) -> DataFrame:
+    """The k-core of an undirected simple graph: the (unique) maximal
+    subgraph in which every node has degree ≥ k, by distributed iterative
+    peeling — drop all nodes below degree k, recompute degrees, repeat to
+    fixpoint.  DataFrame[(node, core_degree)] with the node's degree
+    INSIDE the core.
+
+    Scale shape: each round is one degree aggregation plus two semi-joins
+    on the edge set keyed by endpoint (the ``dedup_clusters`` loop shape);
+    rounds are bounded by the peeling depth (≤ the degeneracy ordering
+    length, log-ish for real graphs) and each round's frame is
+    ``localCheckpoint``ed so the lineage cannot grow with iterations.
+    Because the k-core is unique regardless of peel order, the result is
+    deterministic under any partitioning — which is what the invariant
+    gate (every kept node has ≥ k kept neighbors; every dropped node has
+    < k kept neighbors) certifies as EXACT, not heuristic.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(a), F.col(b)).alias("u"),
+            F.greatest(F.col(a), F.col(b)).alias("v"),
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    while True:
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("node")
+        n_before = e.count()
+        e2 = (
+            e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n_after = e2.count()
+        e = e2
+        if n_after == n_before:
+            break
+    return (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+    )

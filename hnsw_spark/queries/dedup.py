@@ -754,3 +754,70 @@ def jaccard_prefix_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     res = jaccard_prefix_pairs(docs, n=3, threshold=_PREFIX_JACC_T)
     return res.withColumn("jaccard", F.round("jaccard", 6))
+
+
+_KCORE_K = 2
+
+_KCORE_GATE_SQL = (
+    "SELECT CAST(1 AS BOOLEAN) AS all_core_ok,"
+    " CAST(1 AS BOOLEAN) AS maximal_ok,"
+    " CAST(1 AS BOOLEAN) AS nonempty_ok"
+)
+
+
+@query("kcore_gate", _KCORE_GATE_SQL)
+def kcore_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gates the distributed k-core peeling (operators/graph_stats.py:
+    k_core, k=2) over the cosine≥0.3 similarity graph: because the k-core
+    is UNIQUE, two invariants verify it exactly — every kept node has ≥ k
+    kept neighbors (all_core_ok, from the in-core degrees) and every
+    dropped node has < k kept neighbors (maximal_ok, so nothing peelable
+    was left out); nonempty_ok guards against the vacuous pass.  A
+    sequential-reference parity pytest covers random graphs."""
+    from pyspark.storagelevel import StorageLevel
+
+    from hnsw_spark.operators.dedup import embedding_neardup
+    from hnsw_spark.operators.graph_stats import k_core
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 200
+    )
+    edges = embedding_neardup(emb, threshold=0.3, strategy="brute").select(
+        "id_a", "id_b"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    core = k_core(edges, k=_KCORE_K).persist(StorageLevel.MEMORY_AND_DISK)
+    all_core = core.agg(
+        F.coalesce(F.min("core_degree") >= _KCORE_K, F.lit(False)).alias(
+            "all_core_ok"
+        ),
+        (F.count(F.lit(1)) > 0).alias("nonempty_ok"),
+    )
+    # dropped nodes: any edge endpoint not in the core; count their CORE
+    # neighbors — maximality says every such count is < k
+    nodes = (
+        edges.select(F.col("id_a").alias("node"))
+        .unionByName(edges.select(F.col("id_b").alias("node")))
+        .distinct()
+    )
+    dropped = nodes.join(core.select("node"), "node", "left_anti")
+    half = edges.unionByName(
+        edges.select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+        )
+    )
+    core_nbrs = (
+        dropped.join(half, dropped.node == half.id_a)
+        .join(
+            core.select(F.col("node").alias("id_b")), "id_b", "left_semi"
+        )
+        .groupBy(dropped.node)
+        .agg(F.count(F.lit(1)).alias("n_core_nbrs"))
+    )
+    maximal = core_nbrs.agg(
+        F.coalesce(F.max("n_core_nbrs") < _KCORE_K, F.lit(True)).alias(
+            "maximal_ok"
+        )
+    )
+    return all_core.crossJoin(maximal).select(
+        "all_core_ok", "maximal_ok", "nonempty_ok"
+    )

@@ -41,3 +41,58 @@ def test_triangle_free_graph(spark):
 def test_no_wedge_graph_null_coefficient(spark):
     r = _stats(spark, [(0, 1), (2, 3)])
     assert r.n_wedges == 0 and r.ccoef_fp is None
+
+
+def _python_kcore(edges, k):
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in [n for n, nb in adj.items() if len(nb) < k]:
+            for m in adj.pop(n):
+                adj[m].discard(n)
+            changed = True
+    return {n: len(nb) for n, nb in adj.items()}
+
+
+def test_k_core_matches_python_peeling(spark):
+    import numpy as np
+
+    from hnsw_spark.operators.graph_stats import k_core
+
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        n = 14
+        edges = [
+            (a, b)
+            for a in range(n)
+            for b in range(a + 1, n)
+            if rng.random() < 0.25
+        ] or [(0, 1)]
+        for k in (2, 3):
+            want = _python_kcore(edges, k)
+            df = spark.createDataFrame(edges, "id_a long, id_b long")
+            got = {r.node: r.core_degree for r in k_core(df, k=k).collect()}
+            assert got == want, (trial, k)
+
+
+def test_k_core_of_clique_is_clique(spark):
+    from hnsw_spark.operators.graph_stats import k_core
+
+    k5 = [(a, b) for a in range(5) for b in range(5) if a < b]
+    got = {r.node: r.core_degree for r in k_core(
+        spark.createDataFrame(k5, "id_a long, id_b long"), k=4
+    ).collect()}
+    assert got == {i: 4 for i in range(5)}
+
+
+def test_k_core_empty_when_k_exceeds_connectivity(spark):
+    from hnsw_spark.operators.graph_stats import k_core
+
+    chain = [(i, i + 1) for i in range(6)]
+    assert k_core(
+        spark.createDataFrame(chain, "id_a long, id_b long"), k=2
+    ).count() == 0
