@@ -623,9 +623,15 @@ def tfidf_doc_similarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(words("text")).alias("token")
     ).filter(F.col("token") != "")
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     from pyspark.storagelevel import StorageLevel
 
+    # tf feeds THREE consumers (doc count, idf, weights) — persist so the
+    # tokenize/explode pipeline runs once, not per consumer
+    tf = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     n = tf.select("doc_id").distinct().agg(F.count(F.lit(1)).alias("n_docs"))
     idf = (
         tf.groupBy("token")
