@@ -48,7 +48,14 @@ def bloom_build(
     """1-row DataFrame[(bitmap map<int,bigint>, n_set_bits int)] over the
     build side's keys.  Cost: one explode of k positions per build row, one
     ``bit_or`` shuffle of ≤ m_bits/32 skinny word rows — the build side is
-    the SMALL side by contract, the probe side never appears here."""
+    the SMALL side by contract, the probe side never appears here.
+
+    NULL build keys are dropped up front (ADVICE r4): a NULL key hashes to
+    a NULL position, which would surface as a NULL map key at
+    ``map_from_entries`` and throw at runtime — and since a NULL key can
+    never equi-join, dropping it preserves the no-false-negative contract.
+    """
+    keys = keys.filter(F.col(key_col).isNotNull())
     pos = keys.select(
         F.explode(
             F.array(*[_bit_pos(F.col(key_col), j, m_bits) for j in range(k_hashes)])

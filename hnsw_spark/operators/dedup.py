@@ -571,9 +571,7 @@ def jaccard_prefix_pairs(
     inter = (
         cand.join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
         .join(
-            sh.select(F.col("id").alias("id_b"), "shingle").withColumnRenamed(
-                "shingle", "shingle"
-            ),
+            sh.select(F.col("id").alias("id_b"), "shingle"),
             ["id_b", "shingle"],
         )
         .groupBy("id_a", "id_b", "size_a", "size_b")

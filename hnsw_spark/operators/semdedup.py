@@ -71,7 +71,11 @@ def _exact_dropped_ids(
     import pandas as pd
 
     spark = df.sparkSession
-    src = df.select(id_col, vec_col)
+    # NULL ids are excluded on BOTH sides up front: the int64 numpy cast
+    # below would crash on one, and the SQL oracle's `a.id < b.id`
+    # comparison is never true for NULL, so exclusion IS the oracle
+    # semantics (ADVICE r4).
+    src = df.select(id_col, vec_col).filter(F.col(id_col).isNotNull())
     pdf = src.limit(EXACT_BROADCAST_MAX_ROWS + 1).toPandas()
     if len(pdf) > EXACT_BROADCAST_MAX_ROWS:
         raise ValueError(
@@ -126,7 +130,13 @@ def semantic_dedup(
 ) -> DataFrame:
     """Survivors after keep-min-id semantic dedup: every input column, minus
     rows having a smaller-id near-duplicate (cosine ≥ threshold) in their
-    cluster (or anywhere, when exact)."""
+    cluster (or anywhere, when exact).
+
+    NOTE: the exact tier is EAGER at call time — it drives a bounded
+    driver collect (``toPandas`` of at most ``EXACT_BROADCAST_MAX_ROWS``
+    id+vector rows) to build the broadcast corpus matrix, and the source
+    is scanned a second time by the scoring ``mapInPandas`` pass.  The
+    clustered tier (``exact=False``, the 100 TB path) stays fully lazy."""
     from hnsw_spark.operators.ann import ivf_self_join
 
     if exact or n_clusters <= 1:

@@ -734,7 +734,8 @@ inter AS (
   GROUP BY a.id, b.id
 )
 SELECT id_a, id_b, n_common, sa.size AS size_a, sb.size AS size_b,
-       round(n_common / (sa.size + sb.size - n_common), 6) AS jaccard
+       CAST(floor(n_common / (sa.size + sb.size - n_common) * 1e6 + 0.5)
+            AS BIGINT) AS jaccard_fp
 FROM inter
 JOIN sizes sa ON id_a = sa.id
 JOIN sizes sb ON id_b = sb.id
@@ -748,12 +749,24 @@ def jaccard_prefix_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.py:jaccard_prefix_pairs): candidates join only on
     each set's rarest-shingle prefix plus the length filter, then exact
     verification — the oracle is the full brute-force pair join, so a
-    single missed candidate (an unsound filter) hash-fails the row."""
+    single missed candidate (an unsound filter) hash-fails the row.
+    The score is emitted as the repo-standard fixed-point BIGINT
+    (floor(j*1e6+0.5)) rather than a rounded float, so the compare never
+    rides on engine round-half behavior (ADVICE r4)."""
     from hnsw_spark.operators.dedup import jaccard_prefix_pairs
 
     docs = load_table(spark, sf_dir, "documents")
     res = jaccard_prefix_pairs(docs, n=3, threshold=_PREFIX_JACC_T)
-    return res.withColumn("jaccard", F.round("jaccard", 6))
+    return res.select(
+        "id_a",
+        "id_b",
+        "n_common",
+        "size_a",
+        "size_b",
+        F.floor(F.col("jaccard") * 1e6 + F.lit(0.5))
+        .cast("bigint")
+        .alias("jaccard_fp"),
+    )
 
 
 _KCORE_K = 2

@@ -601,7 +601,8 @@ scored AS (
   JOIN norms na ON na.doc_id = d.query_doc
   JOIN norms nb ON nb.doc_id = d.match_doc
 )
-SELECT query_doc, match_doc, rank::INT AS rank, round(cos, 6) AS cosine
+SELECT query_doc, match_doc, rank::INT AS rank,
+       floor(cos * 1e6 + 0.5)::BIGINT AS cosine_fp
 FROM scored WHERE rank <= {_TFIDF_SIM_K}
 """
 
@@ -683,6 +684,10 @@ def tfidf_doc_similarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_doc",
             "match_doc",
             F.col("rank").cast("int").alias("rank"),
-            F.round(cos, 6).alias("cosine"),
+            # fixed-point BIGINT, not round(): the ranking cosine is a
+            # ratio of identical exact-integer terms in both engines, but
+            # a float ROUND at a half-boundary would ride on engine
+            # rounding mode (ADVICE r4) — floor(x*1e6+0.5) never does
+            F.floor(cos * 1e6 + F.lit(0.5)).cast("bigint").alias("cosine_fp"),
         )
     )

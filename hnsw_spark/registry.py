@@ -19,84 +19,74 @@ ORACLES: dict[str, str] = {}
 
 # The driver sweeps queries in registration order and records a bounded
 # prefix (the first 50), so order is evidence policy: queries whose newest
-# driver row is stale or red run FIRST, rows-only checks (the weakest
-# evidence) run LAST, and the middle keeps the freshly-verified oracle block.
-# Round-4 rotation: the 4 events-eval queries that ERRed in r3 on the loader
-# dtype bug, the 17 oracle queries the r3 prefix never sampled (r2-only
-# evidence), then any round-4 additions; the 46 r3-green queries ride behind.
-# Late-round-4 additions (knn_hamming_rerank, mutual_knn_pairs,
-# matryoshka_recall, mmr_diversified, events_in_windows,
-# discounted_revenue_filters, event_anomaly_zscore, threshold_alert_episodes,
-# token_budget_selection, lsh_quality_report, rowgroup_pruning_gate,
-# market_share_by_year, sorted_export_gate, user_recency_scores,
-# upsert_compaction, incremental_rollup, join_skew_report, quality_drift_ks,
-# label_centroid_distances, hard_negatives, ann_binary_full_probe,
-# ann_binary_recall, events_gapfilled_hourly, event_transition_matrix) land
-# mid-pack — the window was already full of never-verified queries — and are
-# FIRST in line for the round-5 window, together with the last-block
-# additions dsir_selection, bloom_join_prune, time_weighted_avg,
-# order_count_distribution, dormant_high_balance_customers,
-# similarity_triangles, hll_cardinality, jaccard_prefix_filter, and
-# count_min_frequencies, and data_expectations (all ten hold builder-side oracle-exact rows at
-# BOTH sf0.01 and sf0.1 — see ORACLE_FULL_r04.json).
+# driver row is stale or missing run FIRST, rows-only checks (the weakest
+# evidence) run LAST, and everything with a fresh driver row rides behind.
+#
+# EVIDENCE-FRESHNESS BUDGET (adopted round 5, per VERDICT r4 #4): net-new
+# registrations are capped at ~25 per round so the 50-row window can
+# re-certify the whole registry within roughly two rounds of any addition.
+# Every oracle-backed query must hold either a driver CORRECTNESS row or a
+# builder-side ORACLE_FULL row (exact at sf0.01 AND sf0.1) from the current
+# round, and no query may go more than ~3 rounds without rotating back into
+# the driver window.
+#
+# Round-5 rotation: the 44 oracle-backed queries that have NEVER earned a
+# driver CORRECTNESS row (union of r1-r4 green rows = 103 of 150; the gap is
+# exactly the round-4 additions that outgrew the window, per VERDICT r4
+# What's-missing #1) run first, in registration-age order.  All 44 hold
+# builder-side oracle-exact rows at BOTH sf0.01 and sf0.1
+# (ORACLE_FULL_r04.json); this rotation upgrades them to driver-certified.
+# Round-5 additions (never sampled, by definition) take the tail of the
+# window; the 7 r2-green relational queries queue just past it for round 6.
 _RUN_FIRST = (
-    # erred in r3 (events loader) — fixed, must re-earn green rows
-    "latency_summary",
-    "percentile_floor_global",
-    "ab_compare",
-    "ab_delta_summary",
-    # same loader, outside the r3 sample window
-    "events_hourly_rollup",
-    "events_props_stats",
-    "user_sessions",
-    "asof_latest_view",
-    # r2-only evidence: relational block + index/source stats
-    "tpch_q1_pricing_summary",
-    "revenue_by_nation",
-    "level_histogram",
-    "index_build_stats",
-    "synthetic_vectors",
-    "fvecs_roundtrip",
-    # upgraded rows-only → value oracle this round; need first hash rows
-    "multimodal_image_features",
-    "multimodal_audio_features",
-    "multimodal_scene_cuts",
-    # round-4 additions — no driver row exists yet
-    "dedup_incremental",
-    "apply_mixing",
-    "global_shuffle",
-    "pipeline_end_to_end",
-    "table_profile",
-    "table_profile_approx_gate",
-    "dataset_split",
-    "bigram_logprob",
-    "random_projection",
-    "contrastive_pairs",
-    "chunk_documents",
-    "percentile_sketch_gate",
-    "html_strip",
-    "crawl_pipeline_end_to_end",
-    "chunk_pooled_embeddings",
-    "dedup_canonical",
-    "boilerplate_spans",
-    "knn_label_vote",
-    "zipf_stats",
-    "pmi_cooccurrence",
-    "event_funnel",
-    "heavy_hitters_gate",
-    "semantic_dedup",
-    "semantic_dedup_gate",
-    "pca_gate",
-    "curriculum_phases",
-    "weighted_sample",
-    "bpe_encode_gate",
-    "trade_volume_nation_pairs",
-    "order_priority_checking",
-    "index_merge_full_probe",
-    "embedding_outliers",
-    "pagerank_gate",
-    # below the driver's 50-row window this round: r2-green plain-SQL
-    # relational queries, unchanged since r2 — next in line for rotation
+    # --- 44 never-driver-sampled (oracle-exact r4 at both SFs) ---
+    "knn_hamming_rerank",
+    "mutual_knn_pairs",
+    "matryoshka_recall",
+    "label_centroid_distances",
+    "hard_negatives",
+    "lsh_quality_report",
+    "similarity_triangles",
+    "jaccard_prefix_filter",
+    "kcore_gate",
+    "count_min_frequencies",
+    "tfidf_doc_similarity",
+    "token_budget_selection",
+    "quality_drift_ks",
+    "sorted_export_gate",
+    "upsert_compaction",
+    "dsir_selection",
+    "hll_cardinality",
+    "hll_distinct_by_group",
+    "mmr_diversified",
+    "events_in_windows",
+    "discounted_revenue_filters",
+    "event_anomaly_zscore",
+    "threshold_alert_episodes",
+    "rowgroup_pruning_gate",
+    "market_share_by_year",
+    "user_recency_scores",
+    "incremental_rollup",
+    "join_skew_report",
+    "events_gapfilled_hourly",
+    "event_transition_matrix",
+    "retention_cohorts",
+    "seasonal_naive_forecast",
+    "user_behavior_entropy",
+    "repeat_purchase_intervals",
+    "basket_type_pairs",
+    "bloom_join_prune",
+    "time_weighted_avg",
+    "order_count_distribution",
+    "dormant_high_balance_customers",
+    "data_expectations",
+    "association_rules",
+    "scd2_intervals",
+    "ann_binary_full_probe",
+    "ann_binary_recall",
+    # --- round-5 additions (never sampled) fill the window tail here ---
+    # --- just past the 50-row window: r2-green, oldest driver evidence,
+    #     first in line for the round-6 window ---
     "top_customers_per_segment",
     "customers_without_orders",
     "revenue_rollup",

@@ -17,10 +17,24 @@ is ever double-counted.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _read_or_empty(spark, path: str, schema: str) -> DataFrame:
+    """Read the epoch-partition tree, or an empty frame before the first
+    epoch lands.  Existence is probed by attempting the read and catching
+    the analysis error — NOT ``os.path.isdir``, which only understands
+    local paths and would silently report an empty sketch for HDFS/S3
+    URIs even when epoch partitions exist (ADVICE r4)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.parquet(path)
+        df.schema  # force analysis so a missing path raises here
+        return df
+    except AnalysisException:
+        return spark.createDataFrame([], schema)
 
 
 class StreamingCountMin:
@@ -61,10 +75,10 @@ class StreamingCountMin:
     def counters(self, spark) -> DataFrame:
         """The merged live sketch — identical cell-for-cell to the batch
         sketch over everything ingested so far."""
-        if not os.path.isdir(self.counters_path):
-            return spark.createDataFrame([], "row int, col int, cnt bigint")
         return (
-            spark.read.parquet(self.counters_path)
+            _read_or_empty(
+                spark, self.counters_path, "row int, col int, cnt bigint"
+            )
             .groupBy("row", "col")
             .agg(F.sum("cnt").alias("cnt"))
         )
@@ -106,10 +120,8 @@ class StreamingHLL:
         )
 
     def registers(self, spark) -> DataFrame:
-        if not os.path.isdir(self.registers_path):
-            return spark.createDataFrame([], "bucket int, rho int")
         return (
-            spark.read.parquet(self.registers_path)
+            _read_or_empty(spark, self.registers_path, "bucket int, rho int")
             .groupBy("bucket")
             .agg(F.max("rho").alias("rho"))
         )
