@@ -87,15 +87,23 @@ def route_probes(
             + (centroids * centroids).sum(1)
         )
     probe_lists = np.argsort(d, axis=1)[:, :n_probe]
+    # ship the routed batch back as ONE Arrow-backed pandas frame (numpy
+    # column arrays, no per-row/per-element Python loop — ADVICE r4); the
+    # float32 cast is lossless w.r.t. the array<float> source values
+    import pandas as pd
+
+    routed = pd.DataFrame(
+        {
+            "query_id": qpd["query_id"].to_numpy(np.int64),
+            "probe_lists": list(probe_lists.astype(np.int32)),
+            "qvec": list(qmat.astype(np.float32)),
+        }
+    )
     # broadcast-hinted: the small-batch probe table joins the corpus without
     # shuffling it; the distributed path above returns un-hinted (AQE picks)
     return F.broadcast(
         spark.createDataFrame(
-            [
-                (int(qid), [int(l) for l in lists], [float(x) for x in vec])
-                for qid, lists, vec in zip(qpd["query_id"], probe_lists, qmat)
-            ],
-            "query_id long, probe_lists array<int>, qvec array<float>",
+            routed, "query_id long, probe_lists array<int>, qvec array<float>"
         ).select("query_id", F.explode("probe_lists").alias("list_id"), "qvec")
     )
 

@@ -92,13 +92,27 @@ def bpe_train(
         F.split("word", "").alias("sym"), "freq"
     )
     vocab = vocab.localCheckpoint()
+    # Pair counts are maintained INCREMENTALLY (the standard sequential-BPE
+    # optimization, distributed): built once from the full vocabulary, then
+    # each merge re-counts ONLY the words that contain the merged pair —
+    # their old adjacent pairs enter the delta negatively, their re-merged
+    # pairs positively — and folds the skinny delta into the running counts
+    # frame.  Unaffected words (the vast majority per round at a realistic
+    # vocabulary) are neither exploded nor folded again; the per-round
+    # argmax reads the maintained counts frame directly.  A real 50k-merge
+    # train is still ``n_merges`` sequential driver rounds (the argmax is
+    # inherently ordered), but each round's cluster work is proportional to
+    # the words touched, not the vocabulary.
+    counts = (
+        vocab.select(F.explode(_adjacent_pairs(F.col("sym"))).alias("p"), "freq")
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("freq").alias("cnt"))
+        .localCheckpoint()
+    )
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
         top = (
-            vocab.select(F.explode(_adjacent_pairs(F.col("sym"))).alias("p"), "freq")
-            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-            .agg(F.sum("freq").alias("cnt"))
-            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            counts.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
             .limit(1)
             .collect()
         )
@@ -106,8 +120,48 @@ def bpe_train(
             break
         a, b, cnt = top[0].a, top[0].b, int(top[0].cnt)
         merges.append((rank, a, b, cnt))
+        hit = F.exists(
+            _adjacent_pairs(F.col("sym")),
+            lambda p: (p["a"] == F.lit(a)) & (p["b"] == F.lit(b)),
+        )
+        merged = _apply_merge(F.col("sym"), a, b)
+        delta = (
+            vocab.filter(hit)
+            .select(
+                F.explode(
+                    F.concat(
+                        F.transform(
+                            _adjacent_pairs(F.col("sym")),
+                            lambda p: F.struct(
+                                p["a"].alias("a"),
+                                p["b"].alias("b"),
+                                (-F.col("freq")).alias("d"),
+                            ),
+                        ),
+                        F.transform(
+                            _adjacent_pairs(merged),
+                            lambda p: F.struct(
+                                p["a"].alias("a"),
+                                p["b"].alias("b"),
+                                F.col("freq").alias("d"),
+                            ),
+                        ),
+                    )
+                ).alias("pd")
+            )
+            .select("pd.a", "pd.b", F.col("pd.d").alias("cnt"))
+        )
+        counts = (
+            counts.unionByName(delta)
+            .groupBy("a", "b")
+            .agg(F.sum("cnt").alias("cnt"))
+            .filter(F.col("cnt") > 0)
+            .localCheckpoint()
+        )
+        # conditional rewrite: the (expensive) greedy merge fold runs only
+        # on rows where the pair occurs; codegen evaluates the other branch
         vocab = vocab.select(
-            _apply_merge(F.col("sym"), a, b).alias("sym"), "freq"
+            F.when(hit, merged).otherwise(F.col("sym")).alias("sym"), "freq"
         ).localCheckpoint()
     return spark.createDataFrame(
         merges, "merge_rank int, left string, right string, pair_count bigint"

@@ -139,7 +139,36 @@ def _fake_decode_audio(payload: bytes, sample_rate: int, seconds: float = 1.0) -
     )
 
 
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL audio decode for RIFF/WAVE payloads via the stdlib ``wave``
+    module (no external codec needed): parses the container, reads the PCM
+    frames, converts to float32 mono in [-1, 1).  Supports the 8/16/32-bit
+    integer PCM encodings ``wave`` itself supports; multi-channel input is
+    averaged to mono.  Returns (waveform, sample_rate)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        sr = w.getframerate()
+        n_ch = w.getnchannels()
+        width = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if width == 2:
+        data = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 4:
+        data = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    elif width == 1:  # 8-bit WAV PCM is unsigned
+        data = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported WAV sample width: {width}")
+    if n_ch > 1:
+        data = data.reshape(-1, n_ch).mean(axis=1)
+    return data.astype(np.float32), sr
+
+
 def decode_audio(payload: bytes, sample_rate: int) -> np.ndarray:
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)[0]  # real container, real decode
     try:  # pragma: no cover - soundfile absent in this container
         import io
 
@@ -308,3 +337,82 @@ def synthetic_media(spark, count: int = 20, kind: str = "image") -> DataFrame:
         payload = hashlib.md5(f"media{i}".encode()).digest() * 4
         rows.append((i, kind, bytearray(payload), "application/x-fake", 16, 12, 100, 16000))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def synthetic_wav_media(
+    spark, count: int = 16, sample_rate: int = 8000, n_samples: int = 8000
+) -> DataFrame:
+    """Fixture media table whose payloads are REAL RIFF/WAVE files (stdlib
+    ``wave`` writer, 16-bit mono PCM) — the real-codec counterpart to the
+    stub fixtures above.  Sample k of media i is the SQL-reproducible
+    md5 byte stream value scaled to int16 ((v−128)·256, v from
+    ``_byte_stream`` over md5('wav{i}')·4), so the decode→checksum path
+    stays oracle-checkable even though the payload is a genuine container
+    that ``decode_wav`` must parse."""
+    import io
+    import wave as wavmod
+
+    rows = []
+    for i in range(count):
+        seed_bytes = hashlib.md5(f"wav{i}".encode()).digest() * 4
+        v = _byte_stream(seed_bytes, n_samples)
+        pcm = ((v - 128) * 256).astype("<i2")
+        buf = io.BytesIO()
+        with wavmod.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sample_rate)
+            w.writeframes(pcm.tobytes())
+        rows.append(
+            (
+                i,
+                "audio",
+                bytearray(buf.getvalue()),
+                "audio/wav",
+                0,
+                0,
+                0,
+                sample_rate,
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def wav_audio_features(df: DataFrame) -> DataFrame:
+    """media table with RIFF/WAVE payloads → (media_id, embedding
+    ARRAY<FLOAT>, sample_rate, n_samples, pcm16_sum) via Arrow-batched
+    partition-parallel REAL decode (``decode_wav``): the container header
+    is parsed, PCM frames are read and converted to float32 mono, features
+    come from the same ``_audio_feature`` kernel as the stub tier, and
+    ``pcm16_sum`` is the exact sum of the raw int16 samples — the decode-
+    integrity checksum an oracle can recompute."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            feats, srs, counts, sums = [], [], [], []
+            for row in pdf.itertuples():
+                wave, sr = decode_wav(row.payload)
+                feats.append(_audio_feature(wave, sr))
+                srs.append(sr)
+                counts.append(len(wave))
+                pcm = np.rint(wave.astype(np.float64) * 32768.0)
+                sums.append(int(pcm.astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "embedding": feats,
+                    "sample_rate": srs,
+                    "n_samples": counts,
+                    "pcm16_sum": sums,
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        run,
+        schema=(
+            "media_id long, embedding array<float>, sample_rate int,"
+            " n_samples int, pcm16_sum long"
+        ),
+    )

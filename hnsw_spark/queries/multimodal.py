@@ -150,3 +150,58 @@ def multimodal_scene_cuts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synthetic_media(spark, count=_SC_N, kind="video")
     feats = frame_features(media, every_n=10)
     return scene_cuts(feats, threshold=0.05).select("media_id", "frame_idx")
+
+
+_WAV_N, _WAV_SR, _WAV_SAMPLES = 16, 8000, 8000
+
+# Real-codec tier: the payloads are genuine RIFF/WAVE containers (stdlib
+# ``wave`` writer) that decode_wav must actually parse — but their int16
+# samples are the same SQL-reproducible md5 byte stream scaled to
+# (v−128)·256, so the decode-integrity checksum (exact sum of the raw
+# int16 samples) is still recomputable by DuckDB from first principles.
+_WAV_SQL = f"""
+WITH m AS (
+  SELECT range::BIGINT AS media_id, md5('wav' || range::VARCHAR) AS h
+  FROM range({_WAV_N})
+), px AS (
+  SELECT media_id,
+         SUM((((('0x' || substr(h, 2*(k.k % 16)+1, 2))::BIGINT + 31*k.k) % 256)
+              - 128) * 256)::BIGINT AS pcm16_sum
+  FROM m, (SELECT unnest(generate_series(0, {_WAV_SAMPLES} - 1))::BIGINT AS k) k
+  GROUP BY media_id
+)
+SELECT media_id, 64::INT AS dim, 1.0::DOUBLE AS norm,
+       {_WAV_SR}::INT AS sample_rate, {_WAV_SAMPLES}::INT AS n_samples,
+       pcm16_sum
+FROM px
+"""
+
+
+@query("wav_audio_features", _WAV_SQL)
+def wav_audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode (VERDICT r4 stretch #8): the fixture payloads are
+    actual WAV files — 44-byte RIFF header plus 16-bit mono PCM — and the
+    Arrow-batched mapInPandas stage parses the container with the stdlib
+    ``wave`` module (operators/multimodal.py:decode_wav), converts to
+    float32 mono, and runs the same feature kernel as the stub tier.  The
+    oracle recomputes pcm16_sum (exact raw-sample checksum) plus the
+    header-derived sample_rate/n_samples, so a decode that misparsed the
+    container (wrong offset, wrong endianness, header bytes read as
+    samples) hash-fails the row."""
+    from hnsw_spark.operators.multimodal import (
+        synthetic_wav_media,
+        wav_audio_features,
+    )
+
+    media = synthetic_wav_media(
+        spark, count=_WAV_N, sample_rate=_WAV_SR, n_samples=_WAV_SAMPLES
+    )
+    feats = wav_audio_features(media)
+    return feats.select(
+        "media_id",
+        F.size("embedding").alias("dim"),
+        F.round(l2_norm("embedding"), 4).alias("norm"),
+        "sample_rate",
+        "n_samples",
+        "pcm16_sum",
+    )
