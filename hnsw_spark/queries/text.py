@@ -442,10 +442,17 @@ def bpe_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL oracle exists; correctness is pinned by tests/test_bpe.py, which
     replays the sequential pure-Python reference implementation over the
     same corpus (including the fixture corpus) and requires exact merge-
-    table equality."""
+    table equality.
+
+    ``incremental=False``: the fixture vocabulary is ~5k words, squarely
+    in the flat re-aggregation's regime per the operator's measured
+    guidance (bpe.py docstring; the incremental path wins from ~0.5M-word
+    vocabularies and is the 100 TB default)."""
     from hnsw_spark.operators.bpe import bpe_train
 
-    return bpe_train(load_table(spark, sf_dir, "documents"), n_merges=20)
+    return bpe_train(
+        load_table(spark, sf_dir, "documents"), n_merges=20, incremental=False
+    )
 
 
 @query(

@@ -40,13 +40,24 @@ def synthetic_vectors(
     uniforms.  No shuffle, no driver data: spark.range parallelizes id
     generation and each element is computed where its row lives.
     """
-    if distribution not in ("uniform", "gaussian"):
+    if distribution not in ("uniform", "gaussian", "clustered"):
         raise ValueError(f"unknown distribution: {distribution!r}")
     base = spark.range(count).withColumnRenamed("id", "vec_id")
     idx = F.sequence(F.lit(0), F.lit(dimension - 1))
     rid = F.col("vec_id")
     if distribution == "uniform":
         elem = lambda j: (_unit(rid, j, seed, "u") * 2.0 - 1.0)
+    elif distribution == "clustered":
+        # mixture of 128 hashed cluster centers with ±0.15 uniform jitter —
+        # the shape real embedding corpora have (and the regime IVF-style
+        # coarse quantization is designed for; uniform random is its
+        # worst case, with neighbors spread evenly over all lists).
+        # Deterministic like the other variants: center from the cluster
+        # id, jitter from the row id.
+        c = rid % 128
+        elem = lambda j: (_unit(c, j, seed, "c") * 2.0 - 1.0) + 0.15 * (
+            _unit(rid, j, seed, "n") * 2.0 - 1.0
+        )
     else:
         def elem(j):
             u1 = _unit(rid, j, seed, "g1")

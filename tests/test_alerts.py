@@ -3,6 +3,8 @@ GroupState form, and their parity on the events fixture."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 import os
 import time
@@ -10,6 +12,8 @@ import time
 from pyspark.sql import functions as F
 
 from hnsw_spark.streaming.alerts import stream_threshold_alerts, threshold_alerts
+
+pytestmark = pytest.mark.slow  # heavy parity/property module (see pytest.ini)
 
 _SCHEMA = "event_type string, event_id long, ts timestamp_ntz, value double"
 

@@ -12,6 +12,8 @@ from hnsw_spark.operators.knn import knn_exact
 from hnsw_spark.plans.persistence import delete_index, load_index, save_index
 from hnsw_spark.sources.synthetic import synthetic_vectors
 
+pytestmark = pytest.mark.slow  # heavy parity/property module (see pytest.ini)
+
 
 @pytest.fixture(scope="module")
 def corpus(spark):

@@ -2,9 +2,13 @@
 
 from __future__ import annotations
 
+import pytest
+
 from collections import Counter
 
 from hnsw_spark.operators.bpe import bpe_train, bpe_train_py
+
+pytestmark = pytest.mark.slow  # heavy parity/property module (see pytest.ini)
 
 
 def _freqs(texts: list[str]) -> dict[str, int]:

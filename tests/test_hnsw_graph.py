@@ -18,6 +18,8 @@ from hnsw_spark.operators.hnsw_graph import (
 )
 from hnsw_spark.operators.knn import knn_exact
 
+pytestmark = pytest.mark.slow  # heavy parity/property module (see pytest.ini)
+
 
 def test_final_entry_promotion_rules():
     # fresh build: the FIRST row to reach the global max (strictly-greater

@@ -83,9 +83,21 @@ def test_asof_join_has_no_range_explosion(spark):
 
 
 def test_ann_search_stays_probe_pruned(spark):
+    # the BLAS probed path (round 5): queries route driver-side and ship
+    # as ONE sc.broadcast — no join against the corpus at all; candidates
+    # are a list_id IN (...) filtered scan feeding a single Arrow gemm
+    # kernel, and the only exchange is the Q·n_probe·k-row top-k window
     f = _facts("ann_ivf_knn", spark)
-    assert f.broadcast_joins >= 1  # probe table broadcasts onto the lists
-    assert f.python_stages <= 1  # one Arrow scoring kernel, no more
+    assert f.sort_merge_joins == 0  # corpus never co-sorted
+    # two Arrow kernels: the registered query is hermetic (it builds its
+    # index in-plan, one assign stage) + the one scoring gemm kernel
+    assert f.python_stages <= 2
+    assert f.shuffles <= 1  # the top-k merge window only
+    import re
+
+    # the probed-lists membership filter is present (column renders with
+    # its exprId, e.g. "list_id#11 IN (0,1,...)")
+    assert re.search(r"list_id#\d+ IN \(", f.text)
 
 
 def test_revenue_by_nation_broadcasts_all_dims(spark):

@@ -138,6 +138,8 @@ def spark_session_cached(spark):
 
 from hypothesis import HealthCheck
 
+pytestmark = pytest.mark.slow  # heavy parity/property module (see pytest.ini)
+
 _R2_SETTINGS = dict(
     max_examples=8,
     deadline=None,

@@ -21,6 +21,8 @@ import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
 
+pytestmark = pytest.mark.slow  # heavy parity/property module (see pytest.ini)
+
 
 @pytest.fixture(scope="module")
 def spark_session_cached(spark):

@@ -14,6 +14,8 @@ from hnsw_spark.operators.multimodal import (
     resize_bilinear,
     synthetic_media,
 )
+
+pytestmark = pytest.mark.slow  # heavy parity/property module (see pytest.ini)
 from hnsw_spark.streaming.ingest import (
     StreamingVectorIngest,
     stream_events,

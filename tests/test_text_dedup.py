@@ -17,6 +17,8 @@ from hnsw_spark.operators.dedup import (
     simhash_neardup_pairs,
 )
 
+pytestmark = pytest.mark.slow  # heavy parity/property module (see pytest.ini)
+
 
 def _docs(spark, texts):
     return spark.createDataFrame(
