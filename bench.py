@@ -129,6 +129,9 @@ HEADLINE = [
     "scd2_intervals",
     "hll_distinct_by_group",
     "kcore_gate",
+    "wav_audio_features",
+    "retrieval_quality_metrics",
+    "containment_pairs",
     # NOT benched: bpe_encode_gate (BPE training cost already measured by
     # the bpe_merges cell) and pagerank_gate (wall is the O(n²) exact-kNN
     # graph build, not the operator under test)

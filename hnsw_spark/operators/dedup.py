@@ -584,3 +584,56 @@ def jaccard_prefix_pairs(
     ).filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "n_common", "size_a", "size_b", "jaccard"
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC n-gram containment self-join: ordered pairs (id_a, id_b)
+    where |A∩B| / |A| ≥ threshold — document A's shingle set is mostly
+    inside B's.  The subset/quotation detector Jaccard misses: a short doc
+    fully quoted inside a long one has tiny Jaccard (the union is the long
+    doc) but containment 1.0.  This is the "containment MinHash" problem
+    (Broder 1997's original resemblance-vs-containment distinction —
+    public); here it is computed EXACTLY with the same shingle equi-join
+    shape as ``ngram_jaccard_pairs`` (cost Σ df² over shingles, never
+    corpus²; same opt-in ``max_doc_freq`` stop-phrase guard).
+
+    DataFrame[(id_a, id_b, n_common, size_a, size_b, containment)] for
+    ordered pairs id_a ≠ id_b (both directions — containment is
+    directional by definition).
+    """
+    sh = doc_shingles(df, n, text_col, id_col)
+    if max_doc_freq is not None:
+        banned = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(banned), "shingle", "left_anti")
+    from pyspark.storagelevel import StorageLevel
+
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("size"))
+    inter = (
+        sh.select(F.col("id").alias("id_a"), "shingle")
+        .join(sh.select(F.col("id").alias("id_b"), "shingle"), "shingle")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("size").alias("size_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("size").alias("size_b"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn("containment", F.col("n_common") / F.col("size_a"))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "n_common", "size_a", "size_b", "containment")
+    )

@@ -834,3 +834,51 @@ def kcore_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return all_core.crossJoin(maximal).select(
         "all_core_ok", "maximal_ok", "nonempty_ok"
     )
+
+
+_CONT_T = 0.6
+
+_CONTAINMENT_SQL = f"""
+WITH docs AS (SELECT doc_id, {_W} AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id AS id, shingle FROM (
+    SELECT doc_id, unnest({_shingle_sql(3)}) AS shingle FROM docs)
+),
+sizes AS (SELECT id, count(*)::BIGINT AS size FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id <> b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common, sa.size AS size_a, sb.size AS size_b,
+       CAST(floor(n_common / sa.size * 1e6 + 0.5) AS BIGINT) AS containment_fp
+FROM inter
+JOIN sizes sa ON id_a = sa.id
+JOIN sizes sb ON id_b = sb.id
+WHERE n_common / sa.size >= {_CONT_T}
+"""
+
+
+@query("containment_pairs", _CONTAINMENT_SQL)
+def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC word-3-gram containment |A∩B|/|A| ≥ 0.6 over documents
+    (operators/dedup.py:containment_pairs): the subset/quotation detector
+    Jaccard misses — a short doc quoted inside a long one has tiny Jaccard
+    (the union is the long doc) but containment ≈ 1.  Ordered pairs, both
+    directions, exact via the shingle equi-join (Σ df², never corpus²);
+    the oracle is the brute-force directional pair join.  Fixed-point
+    BIGINT score per the repo convention."""
+    from hnsw_spark.operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    res = containment_pairs(docs, n=3, threshold=_CONT_T)
+    return res.select(
+        "id_a",
+        "id_b",
+        "n_common",
+        "size_a",
+        "size_b",
+        F.floor(F.col("containment") * 1e6 + F.lit(0.5))
+        .cast("bigint")
+        .alias("containment_fp"),
+    )

@@ -283,3 +283,109 @@ def mmr_diversified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "score"
         ),
     )
+
+
+_RQ_NQ, _RQ_K = 8, 10
+
+_EUC = "1.0 / (1.0 + list_distance(qv, bv))"
+
+# Fixed-point convention: per-hit DCG gains quantize to BIGINT BEFORE
+# summing (integer sums are engine/partition-order-invariant; double sums
+# are not), so dcg/idcg compare exactly and ndcg is a ratio of identical
+# integers.  ln(x)/ln(2) is written out the same way in both engines.
+_RANKQ_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {_RQ_NQ}
+), b AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS bv FROM embeddings
+), sys AS (
+  SELECT query_id, id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {_EUC} DESC, id ASC) AS rank
+  FROM q CROSS JOIN b
+), rel AS (
+  SELECT query_id, id, ({_RQ_K} + 1 - rn)::DOUBLE AS rel FROM (
+    SELECT query_id, id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY list_dot_product(qv, bv)
+                                / (sqrt(list_dot_product(qv, qv))
+                                   * sqrt(list_dot_product(bv, bv)))
+                                DESC, id ASC) AS rn
+    FROM q CROSS JOIN b
+  ) WHERE rn <= {_RQ_K}
+), hits AS (
+  SELECT s.query_id, s.rank,
+         floor(r.rel / (ln(s.rank + 1.0) / ln(2.0)) * 1000000.0 + 0.5)::BIGINT
+           AS gain
+  FROM sys s JOIN rel r ON s.query_id = r.query_id AND s.id = r.id
+  WHERE s.rank <= {_RQ_K}
+), perq AS (
+  SELECT query_id, count(*)::INT AS hits_at_k, min(rank) AS minr,
+         sum(gain)::BIGINT AS dcg_fp
+  FROM hits GROUP BY query_id
+), ideal AS (
+  SELECT query_id, count(*)::INT AS n_judged,
+         sum(floor(rel / (ln(irank + 1.0) / ln(2.0)) * 1000000.0 + 0.5)::BIGINT)::BIGINT
+           AS idcg_fp
+  FROM (
+    SELECT query_id, rel, id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rel DESC, id ASC) AS irank
+    FROM rel
+  ) WHERE irank <= {_RQ_K} GROUP BY query_id
+)
+SELECT i.query_id, i.n_judged,
+       coalesce(p.hits_at_k, 0)::INT AS hits_at_k,
+       floor(coalesce(1.0 / p.minr, 0.0) * 1000000.0 + 0.5)::BIGINT AS mrr_fp,
+       coalesce(p.dcg_fp, 0)::BIGINT AS dcg_fp,
+       i.idcg_fp,
+       floor(CASE WHEN i.idcg_fp > 0
+                  THEN coalesce(p.dcg_fp, 0)::DOUBLE / i.idcg_fp::DOUBLE
+                  ELSE 0.0 END * 1000000.0 + 0.5)::BIGINT AS ndcg_fp
+FROM ideal i LEFT JOIN perq p USING (query_id)
+"""
+
+
+@query("retrieval_quality_metrics", _RANKQ_SQL)
+def retrieval_quality_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR + nDCG@10 ranking-quality evaluation (operators/ranking.py):
+    the system under test is the euclidean-similarity ranking, judged
+    against graded relevance derived from the cosine top-10 (rel =
+    11 − cosine-rank) — two real rankings whose partial agreement makes
+    every metric non-trivial.  Per-hit DCG gains quantize to fixed-point
+    BIGINT before summation (gain_scale), so dcg/idcg are exact integers
+    in both engines and ndcg is a ratio of identical values; mrr is the
+    exact rational 1/first-hit-rank."""
+    from hnsw_spark.operators.knn import knn_exact
+    from hnsw_spark.operators.ranking import ranking_metrics
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < _RQ_NQ)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("id"))
+    sys_ranked = knn_exact(
+        emb, qs, k=_RQ_K, metric="euclidean", strategy="window"
+    ).withColumn("rank", F.row_number().over(w))
+    qrels = (
+        knn_exact(emb, qs, k=_RQ_K, metric="cosine", strategy="window")
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            "query_id",
+            "id",
+            (F.lit(_RQ_K + 1) - F.col("rank")).cast("double").alias("rel"),
+        )
+    )
+    m = ranking_metrics(
+        sys_ranked, qrels, k=_RQ_K, gain_scale=1_000_000
+    )
+    return m.select(
+        "query_id",
+        "n_judged",
+        "hits_at_k",
+        F.floor(F.col("mrr") * 1e6 + F.lit(0.5)).cast("bigint").alias("mrr_fp"),
+        F.col("dcg").alias("dcg_fp"),
+        F.col("idcg").alias("idcg_fp"),
+        F.floor(F.col("ndcg") * 1e6 + F.lit(0.5))
+        .cast("bigint")
+        .alias("ndcg_fp"),
+    )

@@ -86,6 +86,8 @@ _RUN_FIRST = (
     "ann_binary_recall",
     # --- round-5 additions (never sampled) fill the window tail here ---
     "wav_audio_features",
+    "retrieval_quality_metrics",
+    "containment_pairs",
     # --- just past the 50-row window: r2-green, oldest driver evidence,
     #     first in line for the round-6 window ---
     "top_customers_per_segment",
