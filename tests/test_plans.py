@@ -181,3 +181,26 @@ def test_token_budget_single_scan_single_shuffle(spark):
     f = _facts("token_budget_selection", spark)
     assert f.scans <= 1  # persisted flag frame reused, not recomputed
     assert f.shuffles <= 1  # boundary-bucket window only
+
+
+def test_persisted_ivf_search_prunes_partitions(spark, tmp_path):
+    # the 100 TB property: searching a PERSISTED index (partitionBy list_id,
+    # plans/persistence.py:save_index) must push the probed-lists filter to
+    # the parquet PARTITION level — unprobed lists are never read from disk
+    import re
+
+    from pyspark.sql import functions as F
+
+    from hnsw_spark.operators.ann import build_ivf_index
+    from hnsw_spark.plans.persistence import load_index, save_index
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    idx = build_ivf_index(emb, n_lists=8, metric="cosine")
+    save_index(idx, str(tmp_path / "ivf"))
+    loaded = load_index(spark, str(tmp_path / "ivf"))
+    res = loaded.search(emb.filter(F.col("vec_id") < 4), k=5, n_probe=2)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[list_id#\d+ IN \([\d,]+\)\]", plan)
+    assert m, "probed-lists filter did not reach the partition level"
+    probed = m.group(0).split("(")[1].rstrip(")]").split(",")
+    assert len(probed) < 8  # strictly fewer partitions than lists
