@@ -64,8 +64,14 @@ def compare(spark_pd: pd.DataFrame, oracle_pd: pd.DataFrame) -> tuple[bool, str]
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entrymod
     from hnsw_spark.session import get_spark
@@ -79,6 +85,7 @@ def main() -> int:
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     n_fail = 0
+    records: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -87,24 +94,63 @@ def main() -> int:
             spark_pd = fn(spark, sf_dir).toPandas()
         except Exception:
             print(f"FAIL  {name}: spark raised\n{traceback.format_exc()}")
+            records[name] = {"status": "FAIL", "rows": None, "detail": "spark raised"}
             n_fail += 1
             continue
         t_spark = time.time() - t0
         if name not in oracles:
             print(f"rows-only  {name}: {len(spark_pd)} rows  ({t_spark:.1f}s)")
+            records[name] = {
+                "status": "rows_only",
+                "rows": len(spark_pd),
+                "detail": "rows-only",
+                "spark_s": round(t_spark, 1),
+            }
             continue
         try:
             oracle_pd = con.execute(oracles[name]).fetchdf()
         except Exception:
             print(f"FAIL  {name}: oracle raised\n{traceback.format_exc()}")
+            records[name] = {"status": "FAIL", "rows": len(spark_pd), "detail": "oracle raised"}
             n_fail += 1
             continue
         ok, msg = compare(spark_pd, oracle_pd)
         status = "OK  " if ok else "FAIL"
         if not ok:
             n_fail += 1
+        records[name] = {
+            "status": "OK" if ok else "FAIL",
+            "rows": len(spark_pd),
+            "detail": msg,
+            "spark_s": round(t_spark, 1),
+        }
         print(f"{status}  {name}: {len(spark_pd)} rows, {msg}  ({t_spark:.1f}s)")
     spark.stop()
+    if json_out:
+        # the ORACLE_FULL_r{N} artifact block for this sf_dir; the round
+        # runner merges the sf0.01 and sf0.1 blocks (see ORACLE_FULL_r05)
+        import datetime
+        import json as _json
+
+        block = {
+            "sf_dir": sf_dir,
+            "generated_utc": datetime.datetime.now(
+                datetime.timezone.utc
+            ).strftime("%Y-%m-%dT%H:%M:%SZ"),
+            "tool": "tools/check_oracle.py (local replica of the driver correctness gate)",
+            "n_queries": len(records),
+            "n_exact": sum(
+                1 for v in records.values() if v.get("detail") == "exact"
+            ),
+            "n_fail": n_fail,
+            "n_rows_only": sum(
+                1 for v in records.values() if v["status"] == "rows_only"
+            ),
+            "queries": records,
+        }
+        with open(json_out, "w") as f:
+            _json.dump(block, f, indent=1)
+        print(f"wrote {json_out}")
     return 1 if n_fail else 0
 
 
