@@ -355,3 +355,108 @@ def test_dsir_scores_match_python_model(spark_session_cached, seed):
         si = sum(tf * lam[b] for b, tf in c.items())
         assert got[i].n_tokens == n, i
         assert got[i].score_fp == math.floor(si / n), i
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 20), st.integers(1, 4)),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 20)),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+def test_ranking_metrics_matches_python_reference(spark, qrels_rows, result_rows):
+    """ndcg/mrr/dcg agree with a direct python evaluation on random inputs,
+    and ndcg is always within [0, 1]."""
+    import math as m
+
+    from hnsw_spark.operators.ranking import ranking_metrics
+
+    k = 5
+    # system ranking: per query, rank result ids in listed order
+    by_q = {}
+    for q, i in result_rows:
+        by_q.setdefault(q, [])
+        if i not in by_q[q]:
+            by_q[q].append(i)
+    res = [
+        (q, i, r + 1) for q, ids in by_q.items() for r, i in enumerate(ids)
+    ]
+    jud = [(q, i, rel) for q, i, rel in qrels_rows]
+    res_df = spark.createDataFrame(res, "query_id long, id long, rank int")
+    jud_df = spark.createDataFrame(jud, "query_id long, id long, rel int")
+    got = {
+        r["query_id"]: r
+        for r in ranking_metrics(res_df, jud_df, k=k).collect()
+    }
+    judged = {}
+    for q, i, rel in jud:
+        judged.setdefault(q, {})[i] = rel
+    assert set(got) == set(judged)  # every judged query gets a row
+    for q, rels in judged.items():
+        ranked = [(i, r + 1) for r, i in enumerate(by_q.get(q, []))][:k]
+        hits = [(rank, rels[i]) for i, rank in ranked if i in rels]
+        dcg = sum(rel / m.log2(rank + 1) for rank, rel in hits)
+        ideal = sorted(rels.values(), reverse=True)[:k]
+        idcg = sum(rel / m.log2(r + 2) for r, rel in enumerate(ideal))
+        row = got[q]
+        assert row["hits_at_k"] == len(hits)
+        assert row["mrr"] == pytest.approx(
+            1.0 / min(r for r, _ in hits) if hits else 0.0
+        )
+        assert row["dcg"] == pytest.approx(dcg)
+        assert row["idcg"] == pytest.approx(idcg)
+        assert 0.0 <= row["ndcg"] <= 1.0 + 1e-12
+        assert row["ndcg"] == pytest.approx(dcg / idcg if idcg else 0.0)
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcd ", min_size=4, max_size=40),
+        min_size=2,
+        max_size=8,
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_containment_matches_python_reference(spark, texts):
+    """containment_pairs equals the brute-force set computation."""
+    from hnsw_spark.operators.dedup import containment_pairs
+
+    n = 2
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r
+        for r in containment_pairs(docs, n=n, threshold=0.4).collect()
+    }
+
+    def sh(t):
+        w = [x for x in t.lower().split() if x]
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    sets = {i: sh(t) for i, t in enumerate(texts)}
+    expect = {}
+    for a, sa in sets.items():
+        for b, sb in sets.items():
+            if a == b or not sa:
+                continue
+            c = len(sa & sb) / len(sa)
+            if c >= 0.4:
+                expect[(a, b)] = (len(sa & sb), len(sa), len(sb), c)
+    assert set(got) == set(expect)
+    for key, (n_common, size_a, size_b, c) in expect.items():
+        row = got[key]
+        assert (row["n_common"], row["size_a"], row["size_b"]) == (
+            n_common,
+            size_a,
+            size_b,
+        )
+        assert row["containment"] == pytest.approx(c)
