@@ -133,8 +133,9 @@ HEADLINE = [
     "retrieval_quality_metrics",
     "containment_pairs",
     # NOT benched: bpe_encode_gate (BPE training cost already measured by
-    # the bpe_merges cell) and pagerank_gate (wall is the O(n²) exact-kNN
-    # graph build, not the operator under test)
+    # the bpe_merges cell), pagerank_gate (wall is the O(n²) exact-kNN
+    # graph build, not the operator under test), and classifier_eval_kappa
+    # (wall is the knn_label_vote computation, already a cell)
 ]
 
 # The cells printed inline on the headline JSON line: exactly the BENCH_r01

@@ -188,3 +188,69 @@ def delta_summary(diff: DataFrame, metric_cols: Sequence[str]) -> DataFrame:
             F.max(c).alias(f"{c}_max"),
         ]
     return diff.agg(*aggs)
+
+
+def classifier_eval(
+    pred: DataFrame,
+    truth: DataFrame,
+    id_col: str = "query_id",
+    pred_col: str = "pred_label",
+    truth_id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Classifier agreement summary: one row (n, n_correct, accuracy,
+    expected_agreement, kappa) — accuracy plus Cohen's kappa
+    (chance-corrected agreement; Cohen 1960, public knowledge), the
+    standard scorecard for a weak labeler like ``knn_label_vote`` before
+    its labels are trusted for curation.
+
+    kappa = (p_o − p_e)/(1 − p_e) with p_o = accuracy and
+    p_e = Σ_l (n_true_l · n_pred_l)/n² from the marginals.  All terms are
+    ratios of exact integer counts, so the doubles are engine-identical.
+    Degenerate case p_e = 1 (both sides constant) reports kappa 0.
+
+    Scale shape: one equi-join on the id, two keyed marginal aggregations,
+    and single-row combines — no window, no corpus shuffle beyond the
+    join."""
+    joined = pred.select(
+        F.col(id_col).alias("_id"), F.col(pred_col).alias("_pred")
+    ).join(
+        truth.select(
+            F.col(truth_id_col).alias("_id"), F.col(label_col).alias("_true")
+        ),
+        "_id",
+    )
+    base = joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("_pred") == F.col("_true"), 1).otherwise(0)
+        ).alias("n_correct"),
+    )
+    pe = (
+        joined.groupBy("_true")
+        .agg(F.count(F.lit(1)).alias("n_t"))
+        .join(
+            joined.groupBy(F.col("_pred").alias("_true")).agg(
+                F.count(F.lit(1)).alias("n_p")
+            ),
+            "_true",
+            "inner",
+        )
+        .agg(F.sum(F.col("n_t") * F.col("n_p")).alias("sum_tp"))
+    )
+    po = F.col("n_correct") / F.col("n")
+    pe_c = F.coalesce(F.col("sum_tp"), F.lit(0)) / (F.col("n") * F.col("n"))
+    return (
+        base.crossJoin(F.broadcast(pe))
+        .select(
+            "n",
+            "n_correct",
+            po.alias("accuracy"),
+            pe_c.alias("expected_agreement"),
+            F.when(
+                pe_c < 1.0, (po - pe_c) / (1.0 - pe_c)
+            )
+            .otherwise(F.lit(0.0))
+            .alias("kappa"),
+        )
+    )

@@ -695,3 +695,64 @@ def hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("score", 6).alias("score"),
         )
     )
+
+
+# Cohen's-kappa scorecard of the kNN weak labeler: the vote CTEs are the
+# knn_label_vote oracle verbatim; the scorecard adds the truth join and
+# the marginal-product expected agreement.  Every metric is a ratio of
+# exact integer counts → identical doubles → fixed-point BIGINT.
+_LABEL_VOTE_CTES = _LABEL_VOTE_SQL[: _LABEL_VOTE_SQL.index("SELECT query_id, label::INT")]
+
+_CLF_EVAL_SQL = (
+    _LABEL_VOTE_CTES
+    + """, p AS (
+  SELECT query_id, label AS pred FROM wv WHERE wr = 1
+), j AS (
+  SELECT p.query_id, p.pred, e.label AS tru
+  FROM p JOIN embeddings e ON e.vec_id = p.query_id
+), base AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(CASE WHEN pred = tru THEN 1 ELSE 0 END)::BIGINT AS n_correct
+  FROM j
+), marg AS (
+  SELECT coalesce(sum(n_t * n_p), 0)::BIGINT AS sum_tp FROM (
+    SELECT tru AS l, count(*)::BIGINT AS n_t FROM j GROUP BY tru
+  ) t JOIN (
+    SELECT pred AS l, count(*)::BIGINT AS n_p FROM j GROUP BY pred
+  ) pm USING (l)
+)
+SELECT n, n_correct,
+       floor(n_correct / n * 1e6 + 0.5)::BIGINT AS accuracy_fp,
+       floor(sum_tp / (n * n) * 1e6 + 0.5)::BIGINT AS expected_fp,
+       floor(CASE WHEN sum_tp / (n * n) < 1.0
+                  THEN (n_correct / n - sum_tp / (n * n))
+                       / (1.0 - sum_tp / (n * n))
+                  ELSE 0.0 END * 1e6 + 0.5)::BIGINT AS kappa_fp
+FROM base, marg
+"""
+)
+
+
+@query("classifier_eval_kappa", _CLF_EVAL_SQL)
+def classifier_eval_kappa_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weak-labeler scorecard (operators/evaluation.py:classifier_eval):
+    the kNN majority-vote predictions (leave-one-out, same knobs as
+    `knn_label_vote`) judged against the true labels — accuracy plus
+    Cohen's kappa from the marginal-product expected agreement.  The
+    oracle reuses the vote CTEs verbatim and recomputes the scorecard
+    from first principles; every metric is a ratio of exact integer
+    counts emitted as fixed-point BIGINT."""
+    from hnsw_spark.operators.evaluation import classifier_eval
+    from hnsw_spark.operators.knn import knn_label_vote
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pred = knn_label_vote(emb, n_queries=64, k=K)
+    m = classifier_eval(pred, emb)
+    fp = lambda c: F.floor(F.col(c) * 1e6 + F.lit(0.5)).cast("bigint")  # noqa: E731
+    return m.select(
+        "n",
+        "n_correct",
+        fp("accuracy").alias("accuracy_fp"),
+        fp("expected_agreement").alias("expected_fp"),
+        fp("kappa").alias("kappa_fp"),
+    )

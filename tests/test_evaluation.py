@@ -86,3 +86,32 @@ def test_dsum_survives_bigint_overflow(spark):
     df = spark.range(100).select(F.lit(1.0e14).alias("v"))
     got = df.agg(dsum("v").alias("s")).collect()[0]["s"]
     assert got == pytest.approx(1.0e16, rel=1e-12)
+
+
+def test_classifier_eval_hand_computed(spark):
+    # predictions: 3 correct of 4; marginals give pe = (2*2 + 2*2)/16 = 0.5
+    pred = spark.createDataFrame(
+        [(0, 1), (1, 1), (2, 2), (3, 2)], "query_id long, pred_label int"
+    )
+    truth = spark.createDataFrame(
+        [(0, 1), (1, 1), (2, 2), (3, 1)], "vec_id long, label int"
+    )
+    from hnsw_spark.operators.evaluation import classifier_eval
+
+    [r] = classifier_eval(pred, truth).collect()
+    assert (r["n"], r["n_correct"]) == (4, 3)
+    assert r["accuracy"] == 0.75
+    # true marginals {1:3, 2:1}, pred marginals {1:2, 2:2}
+    pe = (3 * 2 + 1 * 2) / 16
+    assert r["expected_agreement"] == pe
+    assert r["kappa"] == (0.75 - pe) / (1 - pe)
+
+
+def test_classifier_eval_constant_labels_kappa_zero(spark):
+    # both sides constant: pe = 1 → kappa degenerates to 0, not NaN
+    pred = spark.createDataFrame([(0, 5), (1, 5)], "query_id long, pred_label int")
+    truth = spark.createDataFrame([(0, 5), (1, 5)], "vec_id long, label int")
+    from hnsw_spark.operators.evaluation import classifier_eval
+
+    [r] = classifier_eval(pred, truth).collect()
+    assert r["accuracy"] == 1.0 and r["kappa"] == 0.0
