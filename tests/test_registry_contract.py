@@ -91,7 +91,10 @@ def test_committed_bench_sidecar_is_healthy():
     with open("/root/repo/BENCH_PROTOCOL.json") as f:
         d = json.load(f)
     line = d["line"]
-    assert len(line["queries"]) >= 80
+    # Compact-line layout (round 5): the headline line carries only the
+    # baseline-shared cells; the full per-query map lives in queries_all.
+    assert line["n_queries"] >= 80
+    assert len(d["queries_all"]) >= 80
     assert not line.get("errors")
     assert isinstance(line["calib"], dict) and "matmul_1024_ms" in line["calib"]
     from hnsw_spark.queries.index import ANN_RECALL_FLOOR
