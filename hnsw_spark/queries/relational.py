@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from hnsw_spark.operators.evaluation import davg, dsum
+from hnsw_spark.operators.evaluation import davg, dquant, dsum
 from hnsw_spark.registry import query
 from hnsw_spark.sources.tables import load_table
 
@@ -2069,4 +2069,424 @@ def hll_distinct_by_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return hll_estimate_by(
         load_table(spark, sf_dir, "events"), "event_type", "user_id", b=8
+    )
+
+
+# --------------------------------------------------------------------------
+# Round-5 TPC-H shape batch: the classic decision-support plan shapes not yet
+# covered (correlated-avg Q17, HAVING-semi-join Q18, top-k Q3, returned-item
+# Q10, correlated-min Q2, exists/not-exists Q21, global-threshold Q11),
+# adapted to the fixture schema (no partsupp / receiptdate columns).
+# Reference parity target: the evaluation subsystem's SQL surface
+# (src/bench/compare.ts:16-58 keyed joins + aggregates); these exercise the
+# same operator set at decision-support complexity.
+
+_Q17_SQL = """
+WITH pavg AS (
+  SELECT l_partkey,
+         count(*)::BIGINT AS cnt,
+         sum(floor(l_quantity * 10000.0 + 0.5)::BIGINT) AS qty_fp_sum
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT count(*)::BIGINT AS n_small_lines,
+       sum(floor(l_extendedprice * 10000.0 + 0.5)::BIGINT)::BIGINT AS revenue_fp
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN pavg ON pavg.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#4'
+  AND floor(l.l_quantity * 10000.0 + 0.5)::BIGINT * 5 * pavg.cnt
+      < pavg.qty_fp_sum
+"""
+
+
+@query("small_quantity_revenue", _Q17_SQL)
+def small_quantity_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lines whose quantity is below 20% of
+    the part's average — the correlated scalar subquery expressed as a
+    per-part pre-aggregation joined back to the fact table.
+
+    The decorrelation is explicit and scale-correct: the per-part avg frame
+    has one row per part (dim-sized), so it broadcasts; the fact table is
+    scanned once and never shuffled.  The 20%-of-avg comparison is kept in
+    integers (5 * qty_fp * cnt < sum_fp) so the threshold never rides on
+    float division in either engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4")
+    pavg = li.groupBy("l_partkey").agg(
+        F.count("*").alias("cnt"),
+        F.sum(dquant("l_quantity")).alias("qty_fp_sum"),
+    )
+    qualified = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .join(F.broadcast(pavg.withColumnRenamed("l_partkey", "pk")),
+              li.l_partkey == F.col("pk"))
+        .filter(dquant("l_quantity") * 5 * F.col("cnt") < F.col("qty_fp_sum"))
+    )
+    return qualified.agg(
+        F.count("*").alias("n_small_lines"),
+        F.sum(dquant("l_extendedprice")).cast("long").alias("revenue_fp"),
+    )
+
+
+_Q18_QTY_T = 300
+
+_Q18_SQL = f"""
+WITH big AS (
+  SELECT l_orderkey,
+         sum(floor(l_quantity * 10000.0 + 0.5)::BIGINT) AS qty_fp
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(floor(l_quantity * 10000.0 + 0.5)::BIGINT) > {_Q18_QTY_T} * 10000
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+       floor(o.o_totalprice * 10000.0 + 0.5)::BIGINT AS totalprice_fp,
+       big.qty_fp::BIGINT AS total_qty_fp
+FROM big
+JOIN orders o ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+"""
+
+
+@query("large_volume_orders", _Q18_SQL)
+def large_volume_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold —
+    the IN-subquery-with-HAVING pattern as an aggregate-then-join.
+
+    The lineitem aggregation shuffles once on l_orderkey and the HAVING
+    filter collapses it to a tiny qualifying set (<1% of orders at the
+    chosen threshold), which then BROADCASTS into the orders and customer
+    joins — at 100 TB the fact table is aggregated exactly once and no
+    wide table ever shuffles for the lookup side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dquant("l_quantity")).alias("qty_fp"))
+        .filter(F.col("qty_fp") > _Q18_QTY_T * 10000)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            dquant("o_totalprice").alias("totalprice_fp"),
+            F.col("qty_fp").cast("long").alias("total_qty_fp"),
+        )
+    )
+
+
+_Q3_SQL = """
+SELECT l.l_orderkey,
+       sum(floor((l.l_extendedprice * (1 - l.l_discount)) * 10000.0
+                 + 0.5)::BIGINT)::BIGINT AS revenue_fp,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue_fp DESC, l.l_orderkey
+LIMIT 10
+"""
+
+
+@query("shipping_priority_topk", _Q3_SQL)
+def shipping_priority_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 undelivered orders by discounted revenue for
+    one market segment.
+
+    The segment filter reduces customer to ~1/5 and broadcasts; both date
+    filters push to the parquet scans.  The final top-10 is orderBy+limit,
+    which Spark executes as TakeOrderedAndProject — per-partition heaps and
+    a 10-row driver merge, never a global sort shuffle.  Ties are broken by
+    l_orderkey so the LIMIT edge is deterministic in both engines."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    cutoff = F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > cutoff
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                dquant(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            )
+            .cast("long")
+            .alias("revenue_fp")
+        )
+        .select("l_orderkey", "revenue_fp", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue_fp").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+_Q10_SQL = """
+SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+       sum(floor((l.l_extendedprice * (1 - l.l_discount)) * 10000.0
+                 + 0.5)::BIGINT)::BIGINT AS lost_revenue_fp,
+       count(*)::BIGINT AS n_returned_lines
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY lost_revenue_fp DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+@query("returned_item_losses", _Q10_SQL)
+def returned_item_losses_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in one
+    quarter.
+
+    The quarter filter prunes orders at the scan; the returnflag filter
+    prunes lineitem at the scan; the filtered orders frame (one quarter ≈
+    a few % of the table) broadcasts into the lineitem join so the fact
+    table never shuffles for the join.  nation broadcasts.  The customer
+    join keys on the aggregated per-customer frame (customer-sized, not
+    lineitem-sized).  Top-20 via TakeOrderedAndProject with a c_custkey
+    tie-break."""
+    q_start = F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    q_end = F.lit("1997-04-01 00:00:00").cast("timestamp_ntz")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= q_start) & (F.col("o_orderdate") < q_end)
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    per_cust = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                dquant(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            )
+            .cast("long")
+            .alias("lost_revenue_fp"),
+            F.count("*").alias("n_returned_lines"),
+        )
+    )
+    return (
+        per_cust.join(c, per_cust.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            "lost_revenue_fp",
+            "n_returned_lines",
+        )
+        .orderBy(F.col("lost_revenue_fp").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+_Q2_SQL = """
+WITH offers AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         floor((l.l_extendedprice / l.l_quantity) * 10000.0 + 0.5)::BIGINT
+           AS unit_price_fp
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_size <= 5 AND l.l_quantity > 0
+),
+best AS (
+  SELECT l_partkey, l_suppkey, min(unit_price_fp) AS unit_price_fp
+  FROM (
+    SELECT l_partkey, l_suppkey, unit_price_fp,
+           row_number() OVER (
+             PARTITION BY l_partkey
+             ORDER BY unit_price_fp, l_suppkey) AS rn
+    FROM (SELECT l_partkey, l_suppkey, min(unit_price_fp) AS unit_price_fp
+          FROM offers GROUP BY l_partkey, l_suppkey)
+  ) WHERE rn = 1
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT b.l_partkey AS p_partkey, b.l_suppkey AS s_suppkey,
+       s.s_name, n.n_name AS nation, b.unit_price_fp,
+       floor(s.s_acctbal * 10000.0 + 0.5)::BIGINT AS s_acctbal_fp
+FROM best b
+JOIN supplier s ON s.s_suppkey = b.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+"""
+
+
+@query("min_cost_supplier", _Q2_SQL)
+def min_cost_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each small part, the supplier offering the
+    lowest observed unit price — the correlated MIN subquery, decorrelated
+    (the fixture has no partsupp, so offered prices come from shipped
+    lineitem unit prices).
+
+    Two-level reduction keeps the shuffle rows bounded: a (partkey,
+    suppkey) partial min first (combiner-friendly, fact-sized input but
+    pair-sized output), then a per-part window picks the winner with a
+    deterministic (price, suppkey) tie-break.  supplier and nation
+    broadcast.  Unit price is quantized per row BEFORE the min, so the
+    argmin never depends on float comparison in either engine."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    pt = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    offers = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            dquant(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "unit_price_fp"
+            ),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("unit_price_fp").alias("unit_price_fp"))
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("unit_price_fp"), F.col("l_suppkey")
+    )
+    best = (
+        offers.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        best.join(F.broadcast(sup), best.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("l_suppkey").alias("s_suppkey"),
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "unit_price_fp",
+            dquant("s_acctbal").alias("s_acctbal_fp"),
+        )
+    )
+
+
+_Q21_SQL = """
+WITH sole AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         max(l_suppkey) AS the_supp
+  FROM lineitem GROUP BY l_orderkey
+  HAVING count(DISTINCT l_suppkey) = 1
+)
+SELECT s.s_suppkey, s.s_name, n.n_name AS nation,
+       count(*)::BIGINT AS n_sole_orders
+FROM sole
+JOIN orders o ON o.o_orderkey = sole.l_orderkey AND o.o_orderstatus = 'F'
+JOIN supplier s ON s.s_suppkey = sole.the_supp
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+GROUP BY s.s_suppkey, s.s_name, n.n_name
+ORDER BY n_sole_orders DESC, s.s_suppkey
+LIMIT 25
+"""
+
+
+@query("sole_supplier_orders", _Q21_SQL)
+def sole_supplier_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE supplier on completed
+    orders.  Q21's EXISTS(own line) AND NOT EXISTS(other supplier's line)
+    pair is algebraically a distinct-count gate on the order — expressed
+    that way the fact table shuffles ONCE on l_orderkey instead of
+    self-joining twice (the classic Q21 plan trap at scale).
+
+    max(l_suppkey) is exact under the HAVING (only one distinct value
+    remains).  The qualifying order set is order-sized, and the follow-up
+    supplier aggregation is supplier-sized; supplier and nation broadcast.
+    Top-25 with a suppkey tie-break via TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sole = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.max("l_suppkey").alias("the_supp"),
+        )
+        .filter(F.col("n_supp") == 1)
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        sole.join(o, sole.l_orderkey == o.o_orderkey)
+        .groupBy("the_supp")
+        .agg(F.count("*").alias("n_sole_orders"))
+        .join(F.broadcast(sup), F.col("the_supp") == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "n_sole_orders",
+        )
+        .orderBy(F.col("n_sole_orders").desc(), F.col("s_suppkey"))
+        .limit(25)
+    )
+
+
+_Q11_SQL = """
+WITH pv AS (
+  SELECT l_partkey,
+         sum(floor((l_extendedprice * (1 - l_discount)) * 10000.0
+                   + 0.5)::BIGINT)::BIGINT AS value_fp
+  FROM lineitem GROUP BY l_partkey
+),
+total AS (SELECT sum(value_fp)::BIGINT AS total_fp,
+                 count(*)::BIGINT AS n_parts FROM pv)
+SELECT pv.l_partkey AS p_partkey, pv.value_fp
+FROM pv, total
+WHERE pv.value_fp * total.n_parts * 2 > total.total_fp * 3
+"""
+
+
+@query("important_part_value", _Q11_SQL)
+def important_part_value_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose share of total discounted value
+    exceeds 1.5x the mean per-part value — the
+    HAVING-against-a-global-scalar pattern, with a scale-invariant
+    threshold (a fixed corpus fraction empties as the part dimension
+    grows with SF).
+
+    One aggregation over the fact table (shuffles part-sized partials),
+    then the single-row grand total re-aggregates from the PER-PART frame
+    (part-sized, not a second fact scan) and attaches via the repo's
+    single-row broadcast cross-join idiom.  The share comparison is pure
+    integer (2 * value_fp * n_parts > 3 * total_fp): no float division
+    at the threshold edge."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(
+            dquant(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        )
+        .cast("long")
+        .alias("value_fp")
+    )
+    pv = pv.persist()
+    total = pv.agg(
+        F.sum("value_fp").cast("long").alias("total_fp"),
+        F.count("*").alias("n_parts"),
+    )
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_fp") * F.col("n_parts") * 2 > F.col("total_fp") * 3
+        )
+        .select(F.col("l_partkey").alias("p_partkey"), "value_fp")
     )
