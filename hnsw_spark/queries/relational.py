@@ -2490,3 +2490,181 @@ def important_part_value_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("l_partkey").alias("p_partkey"), "value_fp")
     )
+
+
+_EWMA_SQL = """
+WITH recent AS (
+  SELECT user_id, value,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id,
+       sum(floor(value / ((1::BIGINT << (rn - 1))::DOUBLE) * 1000000.0
+                 + 0.5)::BIGINT)::BIGINT AS ewma_fp,
+       count(*)::BIGINT AS n_terms
+FROM recent WHERE rn <= 16
+GROUP BY user_id
+"""
+
+
+@query("ewma_recency", _EWMA_SQL)
+def ewma_recency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted recency score per user: the newest 16 event
+    values folded with half-life weights 1, 1/2, ..., 1/2^15 — the
+    streaming-features EWMA as a batch window.
+
+    The weights are exact powers of two, so ``value / 2^k`` is an IEEE
+    exponent shift (no rounding) and each term quantizes deterministically;
+    the sum is then pure BIGINT — order-independent across partitions,
+    which a float EWMA accumulation is not.  One shuffle on user_id; the
+    rn <= 16 filter runs as WindowGroupLimit so each user keeps only its
+    top-16 rows through the sort."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ev = load_table(spark, sf_dir, "events")
+    recent = ev.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 16
+    )
+    term = F.floor(
+        F.col("value")
+        / F.expr("shiftleft(1L, rn - 1)").cast("double")
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    return recent.groupBy("user_id").agg(
+        F.sum(term).cast("long").alias("ewma_fp"),
+        F.count("*").alias("n_terms"),
+    )
+
+
+def _morton_sql(x: str, y: str) -> str:
+    """8-bit × 8-bit Morton interleave as portable integer arithmetic."""
+    terms = []
+    for b in range(8):
+        terms.append(f"((({x} >> {b}) & 1) * {1 << (2 * b)})")
+        terms.append(f"((({y} >> {b}) & 1) * {1 << (2 * b + 1)})")
+    return " + ".join(terms)
+
+
+_ZORDER_N_RG = 64
+
+_ZORDER_SQL = f"""
+WITH pts AS (
+  SELECT event_id, (user_id & 255) AS x8,
+         (date_diff('hour', TIMESTAMP '1995-01-01 00:00:00', ts) & 255) AS y8
+  FROM events
+),
+coded AS (
+  SELECT event_id, x8, y8, {_morton_sql("x8", "y8")} AS z FROM pts
+),
+zstats AS (
+  SELECT rg, min(x8) AS minx, max(x8) AS maxx,
+             min(y8) AS miny, max(y8) AS maxy
+  FROM (SELECT ntile({_ZORDER_N_RG}) OVER (ORDER BY z, event_id) AS rg,
+               x8, y8 FROM coded)
+  GROUP BY rg
+),
+lstats AS (
+  SELECT rg, min(x8) AS minx, max(x8) AS maxx,
+             min(y8) AS miny, max(y8) AS maxy
+  FROM (SELECT ntile({_ZORDER_N_RG}) OVER (ORDER BY x8, event_id) AS rg,
+               x8, y8 FROM coded)
+  GROUP BY rg
+),
+probes AS (
+  SELECT (i * 17) % 256 AS px, (i * 31) % 256 AS py FROM range(16) t(i)
+)
+SELECT 'zorder' AS layout, 'x' AS probe_dim, count(*)::BIGINT AS scanned_rowgroups,
+       {_ZORDER_N_RG * 16}::BIGINT AS total_probe_rowgroups
+FROM zstats JOIN probes ON px BETWEEN minx AND maxx
+UNION ALL
+SELECT 'zorder' AS layout, 'y' AS probe_dim, count(*)::BIGINT AS scanned_rowgroups,
+       {_ZORDER_N_RG * 16}::BIGINT AS total_probe_rowgroups
+FROM zstats JOIN probes ON py BETWEEN miny AND maxy
+UNION ALL
+SELECT 'linear' AS layout, 'x' AS probe_dim, count(*)::BIGINT AS scanned_rowgroups,
+       {_ZORDER_N_RG * 16}::BIGINT AS total_probe_rowgroups
+FROM lstats JOIN probes ON px BETWEEN minx AND maxx
+UNION ALL
+SELECT 'linear' AS layout, 'y' AS probe_dim, count(*)::BIGINT AS scanned_rowgroups,
+       {_ZORDER_N_RG * 16}::BIGINT AS total_probe_rowgroups
+FROM lstats JOIN probes ON py BETWEEN miny AND maxy
+"""
+
+
+@query("zorder_clustering_gate", _ZORDER_SQL)
+def zorder_clustering_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional data-layout gate: simulate writing events in
+    Z-order (Morton-interleaved user × hour) vs a linear single-column
+    sort, then count how many simulated row groups single-dimension
+    point lookups must scan under each layout's per-rowgroup min/max
+    stats, probed separately on each dimension.
+
+    The linear layout prunes its own sort column perfectly but cannot
+    prune the other dimension AT ALL (every row group spans the full y
+    range); Z-ordering keeps BOTH dimensions locally bounded, so either
+    predicate prunes — the layout decision that keeps a 100 TB table
+    skippable for every query family instead of one.  The Morton code is pure integer arithmetic (identical in
+    both engines); row groups are ntile buckets over the sort order with
+    an event_id tie-break, so the simulation is deterministic.  The
+    global ntile sort is the SIMULATION's stand-in for the production
+    write path (repartitionByRange(z) + sortWithinPartitions, which
+    needs no global window)."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        (F.col("user_id").bitwiseAND(F.lit(255))).alias("x8"),
+        F.expr(
+            "timestampdiff(HOUR, TIMESTAMP'1995-01-01 00:00:00', ts) & 255"
+        ).alias("y8"),
+    )
+    z = None
+    for b in range(8):
+        xt = F.shiftright(F.col("x8"), b).bitwiseAND(F.lit(1)) * (1 << (2 * b))
+        yt = F.shiftright(F.col("y8"), b).bitwiseAND(F.lit(1)) * (
+            1 << (2 * b + 1)
+        )
+        z = xt + yt if z is None else z + xt + yt
+    coded = pts.withColumn("z", z).persist()
+
+    probes = spark.range(16).select(
+        ((F.col("id") * 17) % 256).alias("px"),
+        ((F.col("id") * 31) % 256).alias("py"),
+    )
+
+    def layout_stats(order_col: str, label: str) -> DataFrame:
+        w = Window.orderBy(F.col(order_col), F.col("event_id"))
+        rg = coded.select(
+            F.ntile(_ZORDER_N_RG).over(w).alias("rg"), "x8", "y8"
+        )
+        stats = rg.groupBy("rg").agg(
+            F.min("x8").alias("minx"),
+            F.max("x8").alias("maxx"),
+            F.min("y8").alias("miny"),
+            F.max("y8").alias("maxy"),
+        ).persist()
+
+        def probe_dim(lo: str, hi: str, col: str, dim: str) -> DataFrame:
+            return (
+                stats.join(
+                    F.broadcast(probes),
+                    F.col(col).between(F.col(lo), F.col(hi)),
+                )
+                .agg(F.count("*").alias("scanned_rowgroups"))
+                .select(
+                    F.lit(label).alias("layout"),
+                    F.lit(dim).alias("probe_dim"),
+                    "scanned_rowgroups",
+                    F.lit(_ZORDER_N_RG * 16).cast("long").alias(
+                        "total_probe_rowgroups"
+                    ),
+                )
+            )
+
+        return probe_dim("minx", "maxx", "px", "x").unionAll(
+            probe_dim("miny", "maxy", "py", "y")
+        )
+
+    return layout_stats("z", "zorder").unionAll(layout_stats("x8", "linear"))
