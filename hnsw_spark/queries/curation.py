@@ -635,3 +635,97 @@ def quality_drift_ks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks_stat")
         )
     )
+
+
+_AUC_SQL = f"""
+WITH q AS (
+  SELECT CASE WHEN source IN ({", ".join(f"'{s}'" for s in _KS_A)})
+              THEN 0 ELSE 1 END AS grp,
+         {{QUALITY_SQL}} AS quality
+  FROM documents
+), c AS (
+  SELECT quality,
+         count(*) FILTER (WHERE grp = 0)::BIGINT AS c0,
+         count(*) FILTER (WHERE grp = 1)::BIGINT AS c1
+  FROM q GROUP BY quality
+), n AS (
+  SELECT sum(c0)::BIGINT AS n0, sum(c1)::BIGINT AS n1 FROM c
+), cum AS (
+  SELECT c1, c0 + c1 AS cnt,
+         coalesce(sum(c0 + c1) OVER (ORDER BY quality
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS cum_before
+  FROM c
+), r AS (
+  SELECT sum(c1 * (2 * cum_before + cnt + 1))::BIGINT AS two_r1 FROM cum
+)
+SELECT n0, n1,
+       (two_r1 - n1 * (n1 + 1))::BIGINT AS auc_num,
+       round((two_r1 - n1 * (n1 + 1)) / (2.0 * n0 * n1), 6) AS auc
+FROM r, n
+""".format(QUALITY_SQL=QUALITY_SQL)
+
+
+@query("quality_auc", _AUC_SQL)
+def quality_auc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of the quality score as a separator of the two source
+    cohorts — the standard "is this classifier better than chance" gate
+    for corpus-curation models, computed EXACTLY via the Mann-Whitney
+    rank-sum identity (AUC = U₁/(n₀n₁)) instead of threshold-sweep
+    trapezoids.
+
+    Ties get average ranks, which have denominator 2 — so 2·R₁ =
+    Σ c₁(2·cum_before + cnt + 1) is pure BIGINT and the AUC numerator
+    (2R₁ − n₁(n₁+1)) is integer-exact in any engine; one division at the
+    end, same recipe as quality_drift_ks.  Scale shape identical too:
+    the corpus collapses to ≤ #distinct-score aggregate rows before any
+    window runs."""
+    from hnsw_spark.functions.text import quality_score_w, words
+
+    docs = load_table(spark, sf_dir, "documents")
+    grp = F.when(F.col("source").isin(*_KS_A), F.lit(0)).otherwise(F.lit(1))
+    q = docs.select(
+        grp.alias("grp"),
+        quality_score_w(F.col("text"), words("text")).alias("quality"),
+    )
+    c = q.groupBy("quality").agg(
+        F.sum((F.col("grp") == 0).cast("long")).alias("c0"),
+        F.sum((F.col("grp") == 1).cast("long")).alias("c1"),
+    )
+    c = c.persist()
+    n = c.agg(
+        F.sum("c0").alias("n0"),
+        F.sum("c1").alias("n1"),
+    )
+    w = Window.orderBy("quality").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = c.select(
+        "c1",
+        (F.col("c0") + F.col("c1")).alias("cnt"),
+        F.coalesce(
+            F.sum(F.col("c0") + F.col("c1")).over(w), F.lit(0)
+        ).alias("cum_before"),
+    )
+    r = cum.agg(
+        F.sum(
+            F.col("c1") * (2 * F.col("cum_before") + F.col("cnt") + 1)
+        )
+        .cast("long")
+        .alias("two_r1")
+    )
+    return (
+        r.crossJoin(F.broadcast(n))
+        .select(
+            "n0",
+            "n1",
+            (F.col("two_r1") - F.col("n1") * (F.col("n1") + 1))
+            .cast("long")
+            .alias("auc_num"),
+            F.round(
+                (F.col("two_r1") - F.col("n1") * (F.col("n1") + 1))
+                / (2.0 * F.col("n0") * F.col("n1")),
+                6,
+            ).alias("auc"),
+        )
+    )

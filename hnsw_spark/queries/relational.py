@@ -2668,3 +2668,128 @@ def zorder_clustering_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return layout_stats("z", "zorder").unionAll(layout_stats("x8", "linear"))
+
+
+_SALTED_AGG_SQL = """
+SELECT event_type,
+       count(*)::BIGINT AS n_events,
+       sum(floor(value * 10000.0 + 0.5)::BIGINT)::BIGINT AS total_fp,
+       CAST(1 AS BOOLEAN) AS salted_matches
+FROM events GROUP BY event_type
+"""
+
+
+@query("salted_aggregation_gate", _SALTED_AGG_SQL)
+def salted_aggregation_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation gate: the same per-event-type sum
+    computed (a) directly and (b) salted — groupBy(key, event_id % 32)
+    partials first, then a final re-aggregation over the 32 sub-rows per
+    key — with `salted_matches` pinning bit-identical agreement.
+
+    A handful of event types over 100 TB is the canonical skewed
+    aggregation: the direct plan sends every row for a hot key to one
+    reducer, while the salted plan bounds any reducer's input at 1/32 of
+    the hot key and the final pass touches only #keys × 32 partial rows.
+    Equality is guaranteed because the partial sums are fixed-point
+    BIGINTs (order-independent) — the property that makes salting SAFE to
+    apply mechanically; a float sum would not re-associate exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    direct = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(dquant("value")).cast("long").alias("total_fp"),
+    )
+    salted = (
+        ev.groupBy("event_type", (F.col("event_id") % 32).alias("salt"))
+        .agg(
+            F.count("*").alias("pn"),
+            F.sum(dquant("value")).cast("long").alias("pfp"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("pn").cast("long").alias("s_n"),
+            F.sum("pfp").cast("long").alias("s_fp"),
+        )
+    )
+    return (
+        direct.join(F.broadcast(salted), "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            "total_fp",
+            (
+                (F.col("n_events") == F.col("s_n"))
+                & (F.col("total_fp") == F.col("s_fp"))
+            ).alias("salted_matches"),
+        )
+    )
+
+
+_BUCKETED_JOIN_SQL = """
+SELECT o.o_orderstatus,
+       count(*)::BIGINT AS n_lines,
+       sum(floor((l.l_extendedprice * (1 - l.l_discount)) * 10000.0
+                 + 0.5)::BIGINT)::BIGINT AS revenue_fp,
+       CAST(1 AS BOOLEAN) AS no_shuffle_join
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderstatus
+"""
+
+
+@query("bucketed_join_gate", _BUCKETED_JOIN_SQL)
+def bucketed_join_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via bucketing: orders and lineitem are written
+    ONCE as tables bucketed 8 ways on the join key (bucketBy + sortBy —
+    Spark's answer to pre-partitioned storage), then joined WITHOUT any
+    Exchange: each task zips bucket i of both tables.  `no_shuffle_join`
+    is asserted from the joined frame's physical plan (no
+    "Exchange hashpartitioning" node may appear).
+
+    This is THE layout decision for a 100 TB fact⋈fact join that recurs
+    daily: both shuffles happen once at write time and every subsequent
+    join is shuffle-free regardless of data size.  Values are checked
+    against the plain (shuffled) join by the oracle, proving the bucketed
+    path changes the plan, not the answer."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    import os
+    import shutil
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS bj")
+    # DROP + clear any orphaned location: a prior session's managed-table
+    # directory survives while its catalog entry does not, and saveAsTable
+    # refuses to CREATE over an existing location.
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh_path = wh.removeprefix("file:")
+    for tbl in ("orders_b", "lineitem_b"):
+        spark.sql(f"DROP TABLE IF EXISTS bj.{tbl}")
+        leftover = os.path.join(wh_path, "bj.db", tbl)
+        if os.path.isdir(leftover):
+            shutil.rmtree(leftover)
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(
+        "bj.orders_b"
+    )
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(
+        "bj.lineitem_b"
+    )
+    ob = spark.table("bj.orders_b")
+    lb = spark.table("bj.lineitem_b")
+    joined = lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    no_shuffle = "Exchange hashpartitioning" not in plan
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(
+                dquant(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            )
+            .cast("long")
+            .alias("revenue_fp"),
+        )
+        .select(
+            "o_orderstatus",
+            "n_lines",
+            "revenue_fp",
+            F.lit(bool(no_shuffle)).alias("no_shuffle_join"),
+        )
+    )
