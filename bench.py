@@ -132,6 +132,18 @@ HEADLINE = [
     "wav_audio_features",
     "retrieval_quality_metrics",
     "containment_pairs",
+    "small_quantity_revenue",
+    "large_volume_orders",
+    "shipping_priority_topk",
+    "returned_item_losses",
+    "min_cost_supplier",
+    "sole_supplier_orders",
+    "important_part_value",
+    "ewma_recency",
+    "zorder_clustering_gate",
+    "quality_auc",
+    "salted_aggregation_gate",
+    "bucketed_join_gate",
     # NOT benched: bpe_encode_gate (BPE training cost already measured by
     # the bpe_merges cell), pagerank_gate (wall is the O(n²) exact-kNN
     # graph build, not the operator under test), and classifier_eval_kappa

@@ -2620,14 +2620,9 @@ def zorder_clustering_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "timestampdiff(HOUR, TIMESTAMP'1995-01-01 00:00:00', ts) & 255"
         ).alias("y8"),
     )
-    z = None
-    for b in range(8):
-        xt = F.shiftright(F.col("x8"), b).bitwiseAND(F.lit(1)) * (1 << (2 * b))
-        yt = F.shiftright(F.col("y8"), b).bitwiseAND(F.lit(1)) * (
-            1 << (2 * b + 1)
-        )
-        z = xt + yt if z is None else z + xt + yt
-    coded = pts.withColumn("z", z).persist()
+    from hnsw_spark.functions.zorder import z_value
+
+    coded = pts.withColumn("z", z_value("x8", "y8", bits=8)).persist()
 
     probes = spark.range(16).select(
         ((F.col("id") * 17) % 256).alias("px"),
@@ -2738,9 +2733,10 @@ GROUP BY o.o_orderstatus
 @query("bucketed_join_gate", _BUCKETED_JOIN_SQL)
 def bucketed_join_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-located join via bucketing: orders and lineitem are written
-    ONCE as tables bucketed 8 ways on the join key (bucketBy + sortBy —
-    Spark's answer to pre-partitioned storage), then joined WITHOUT any
-    Exchange: each task zips bucket i of both tables.  `no_shuffle_join`
+    ONCE as tables bucketed 8 ways on the join key (sources/bucketed.py
+    write_bucketed: bucketBy + sortBy — Spark's answer to pre-partitioned
+    storage), then joined WITHOUT any Exchange: each task zips bucket i of
+    both tables.  `no_shuffle_join`
     is asserted from the joined frame's physical plan (no
     "Exchange hashpartitioning" node may appear).
 
@@ -2749,31 +2745,28 @@ def bucketed_join_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     join is shuffle-free regardless of data size.  Values are checked
     against the plain (shuffled) join by the oracle, proving the bucketed
     path changes the plan, not the answer."""
-    o = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
     import os
-    import shutil
 
+    from hnsw_spark.sources.bucketed import bucketed_join, write_bucketed
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
     spark.sql("CREATE DATABASE IF NOT EXISTS bj")
-    # DROP + clear any orphaned location: a prior session's managed-table
-    # directory survives while its catalog entry does not, and saveAsTable
-    # refuses to CREATE over an existing location.
-    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    wh_path = wh.removeprefix("file:")
-    for tbl in ("orders_b", "lineitem_b"):
+    for tbl, df in (("orders_b", o), ("lineitem_b", li)):
+        # drop any stale catalog entry first: an EXTERNAL table written by
+        # a previous session lives at the same path, and write_bucketed's
+        # overwrite must target the catalog-registered table, not collide
+        # with an orphaned location.
         spark.sql(f"DROP TABLE IF EXISTS bj.{tbl}")
-        leftover = os.path.join(wh_path, "bj.db", tbl)
-        if os.path.isdir(leftover):
-            shutil.rmtree(leftover)
-    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(
-        "bj.orders_b"
-    )
-    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(
-        "bj.lineitem_b"
-    )
-    ob = spark.table("bj.orders_b")
-    lb = spark.table("bj.lineitem_b")
-    joined = lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+        write_bucketed(
+            df, f"bj.{tbl}", os.path.join(wh, "bj_ext", tbl), "o_orderkey"
+        )
+    joined = bucketed_join(spark, "bj.lineitem_b", "bj.orders_b", "o_orderkey")
     plan = joined._jdf.queryExecution().executedPlan().toString()
     no_shuffle = "Exchange hashpartitioning" not in plan
     return (
