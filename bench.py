@@ -144,6 +144,7 @@ HEADLINE = [
     "quality_auc",
     "salted_aggregation_gate",
     "bucketed_join_gate",
+    "cross_split_contamination_gate",
     # NOT benched: bpe_encode_gate (BPE training cost already measured by
     # the bpe_merges cell), pagerank_gate (wall is the O(n²) exact-kNN
     # graph build, not the operator under test), and classifier_eval_kappa

@@ -729,3 +729,130 @@ def quality_auc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("auc"),
         )
     )
+
+
+from hnsw_spark.queries.dedup import _shingle_sql as _dedup_shingle_sql
+
+_XSPLIT_JACC_T = 0.4
+
+_XSPLIT_SQL = """
+WITH splits AS (
+  SELECT doc_id,
+         CASE WHEN u < 0.1 THEN 'test'
+              WHEN u < 0.9 THEN 'train'
+              ELSE 'val' END AS split
+  FROM (SELECT doc_id,
+               ('0x' || substr(md5(doc_id::VARCHAR || 'split'), 1, 8))::BIGINT
+                 / 4294967296.0 AS u
+        FROM documents)
+),
+fp AS (
+  SELECT d.doc_id, substr(md5({NORM}), 1, 16) AS fingerprint, s.split
+  FROM documents d JOIN splits s ON d.doc_id = s.doc_id
+),
+exact_leaks AS (
+  SELECT fingerprint
+  FROM fp GROUP BY fingerprint
+  HAVING max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) = 1
+     AND max(CASE WHEN split <> 'train' THEN 1 ELSE 0 END) = 1
+),
+docs AS (SELECT doc_id, {W} AS w FROM documents),
+sh_all AS (
+  SELECT DISTINCT doc_id AS id, shingle FROM (
+    SELECT doc_id, unnest({SHINGLES}) AS shingle FROM docs)
+),
+sizes AS (SELECT id, count(*)::BIGINT AS sz FROM sh_all GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS n_common
+  FROM sh_all a JOIN sh_all b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+ndpairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+  WHERE n_common / (sa.sz + sb.sz - n_common) >= {T}
+),
+cross_pairs AS (
+  SELECT p.id_a FROM ndpairs p
+  JOIN splits s1 ON s1.doc_id = p.id_a
+  JOIN splits s2 ON s2.doc_id = p.id_b
+  WHERE (s1.split = 'train') <> (s2.split = 'train')
+)
+SELECT (SELECT count(*) FROM splits WHERE split = 'train')::BIGINT
+         AS n_train,
+       (SELECT count(*) FROM splits WHERE split <> 'train')::BIGINT
+         AS n_eval,
+       (SELECT count(*) FROM exact_leaks)::BIGINT AS n_exact_leaks,
+       (SELECT count(*) FROM cross_pairs)::BIGINT AS n_neardup_cross_pairs
+"""
+
+
+@query(
+    "cross_split_contamination_gate",
+    _XSPLIT_SQL.format(
+        NORM=_NORM, W=_W, SHINGLES=_dedup_shingle_sql(2), T=_XSPLIT_JACC_T
+    ),
+)
+def cross_split_contamination_gate_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Train/eval leakage audit ACROSS the split boundary — the check that
+    benchmark decontamination does not cover: documents whose exact
+    fingerprint, or a ≥0.4-Jaccard near-duplicate, appears on BOTH sides
+    of the train/eval cut.  Held-out loss measured on leaked eval docs is
+    memorization, not generalization, so this count gates every split
+    re-materialization in a real pipeline.
+
+    One fingerprint shuffle for the exact tier (groupBy fingerprint with
+    two boolean max's — never a self-join); the near-dup tier reuses the
+    shingle equi-join (Σ df², bounded by doc frequency) and only then
+    looks up the two sides' splits, which are scan-stage hash expressions
+    (dataset_split is a pure row function, so the 'join' to splits costs
+    nothing at scale — it is recomputed inline, not shuffled)."""
+    from hnsw_spark.functions.text import fingerprint
+    from hnsw_spark.operators.curation import dataset_split
+    from hnsw_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    splits = dataset_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", (F.col("split") == "train").alias("in_train"))
+
+    fp = docs.select(
+        "doc_id", fingerprint("text").alias("fingerprint")
+    ).join(splits, "doc_id")
+    exact_leaks = (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.max(F.col("in_train").cast("int")).alias("t"),
+            F.max((~F.col("in_train")).cast("int")).alias("e"),
+        )
+        .filter((F.col("t") == 1) & (F.col("e") == 1))
+        .agg(F.count("*").alias("n_exact_leaks"))
+    )
+
+    pairs = ngram_jaccard_pairs(
+        docs, n=2, threshold=_XSPLIT_JACC_T, max_doc_freq=None
+    ).select("id_a", "id_b")
+    sa = splits.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
+        "in_train", "train_a"
+    )
+    sb = splits.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+        "in_train", "train_b"
+    )
+    cross = (
+        pairs.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .filter(F.col("train_a") != F.col("train_b"))
+        .agg(F.count("*").alias("n_neardup_cross_pairs"))
+    )
+
+    counts = splits.agg(
+        F.sum(F.col("in_train").cast("long")).alias("n_train"),
+        F.sum((~F.col("in_train")).cast("long")).alias("n_eval"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(exact_leaks))
+        .crossJoin(F.broadcast(cross))
+        .select("n_train", "n_eval", "n_exact_leaks", "n_neardup_cross_pairs")
+    )
