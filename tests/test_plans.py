@@ -204,3 +204,48 @@ def test_persisted_ivf_search_prunes_partitions(spark, tmp_path):
     assert m, "probed-lists filter did not reach the partition level"
     probed = m.group(0).split("(")[1].rstrip(")]").split(",")
     assert len(probed) < 8  # strictly fewer partitions than lists
+
+
+def test_round5_topk_queries_take_ordered_not_global_sort(spark):
+    # TakeOrderedAndProject = per-partition heaps + driver k-merge;
+    # a global Sort before LIMIT would shuffle the whole aggregate
+    for name in (
+        "shipping_priority_topk",
+        "returned_item_losses",
+        "sole_supplier_orders",
+    ):
+        f = _facts(name, spark)
+        assert "TakeOrderedAndProject" in f.ops, name
+        assert "Sort" not in f.ops or "WindowGroupLimit" in f.ops, name
+
+
+def test_q17_broadcasts_the_per_part_frames(spark):
+    f = _facts("small_quantity_revenue", spark)
+    assert f.ops.count("BroadcastHashJoin") == 2  # part dim + per-part agg
+    assert "SortMergeJoin" not in f.ops
+
+
+def test_q18_qualifying_set_broadcasts_into_orders(spark):
+    f = _facts("large_volume_orders", spark)
+    assert "BroadcastHashJoin" in f.ops
+    assert "SortMergeJoin" not in f.ops
+    assert f.shuffles == 1  # only the l_orderkey aggregation
+
+
+def test_min_cost_supplier_uses_window_group_limit(spark):
+    # rank()=1 must run as WindowGroupLimit (per-partition pre-filter),
+    # not a full window materialization
+    assert "WindowGroupLimit" in _facts("min_cost_supplier", spark).ops
+
+
+def test_ewma_single_user_shuffle(spark):
+    f = _facts("ewma_recency", spark)
+    assert f.shuffles == 1  # the user_id window; agg reuses its partitioning
+    assert "WindowGroupLimit" in f.ops  # rn <= 16 pre-filters the sort
+
+
+def test_salted_agg_final_pass_is_partial_sized(spark):
+    f = _facts("salted_aggregation_gate", spark)
+    # direct agg (1) + salted two-phase (2) + broadcast join, no SMJ
+    assert "SortMergeJoin" not in f.ops
+    assert "BroadcastHashJoin" in f.ops
