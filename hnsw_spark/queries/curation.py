@@ -808,7 +808,15 @@ def cross_split_contamination_gate_q(
     shingle equi-join (Σ df², bounded by doc frequency) and only then
     looks up the two sides' splits, which are scan-stage hash expressions
     (dataset_split is a pure row function, so the 'join' to splits costs
-    nothing at scale — it is recomputed inline, not shuffled)."""
+    nothing at scale — it is recomputed inline, not shuffled).
+
+    Deliberately NOT the PPJoin prefix filter here: at this audit's LOW
+    threshold (0.4) the prefix is ~60% of every shingle set, so candidates
+    barely prune while the filter adds a per-doc frequency sort, a
+    candidate distinct, and a two-sided verification join — measured 9×
+    slower than the direct Σ df² join at sf0.1.  ``jaccard_prefix_pairs``
+    is the right tool in the high-threshold near-dup regime
+    (``jaccard_prefix_filter``); threshold decides the winner."""
     from hnsw_spark.functions.text import fingerprint
     from hnsw_spark.operators.curation import dataset_split
     from hnsw_spark.operators.dedup import ngram_jaccard_pairs

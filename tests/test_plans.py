@@ -249,3 +249,52 @@ def test_salted_agg_final_pass_is_partial_sized(spark):
     # direct agg (1) + salted two-phase (2) + broadcast join, no SMJ
     assert "SortMergeJoin" not in f.ops
     assert "BroadcastHashJoin" in f.ops
+
+
+def test_q9_profit_all_dims_broadcast_single_shuffle(spark):
+    f = _facts("profit_by_nation_year", spark)
+    assert f.shuffles == 1  # only the (nation, year) partial agg
+    assert f.broadcast_joins == 3  # part, supplier, nation
+    assert f.sort_merge_joins == 0
+
+
+def test_q12_delay_buckets_filter_pushed(spark):
+    f = _facts("shipping_delay_priority", spark)
+    assert f.shuffles == 1
+    assert f.sort_merge_joins == 0
+    # the lineitem scan must carry the shipdate range down to parquet
+    assert any("l_shipdate" in s for s in f.read_schemas())
+
+
+def test_q15_top_supplier_scans_fact_once(spark):
+    f = _facts("top_revenue_supplier", spark)
+    # the aggregate-reuse rewrite: rev computed once, max via window —
+    # exactly one lineitem scan (the crossJoin-with-max form scans twice)
+    li_scans = [s for s in f.read_schemas() if "l_suppkey" in s]
+    assert len(li_scans) == 1
+    assert f.shuffles == 2  # supplier agg + dim-sized window exchange
+    assert f.sort_merge_joins == 0
+
+
+def test_q16_variety_broadcasts_part_dim(spark):
+    f = _facts("supplier_part_variety", spark)
+    assert f.broadcast_joins == 1
+    assert f.sort_merge_joins == 0
+    # distinct pairs + two-phase distinct aggregate: three exchanges max
+    assert f.shuffles == 3
+
+
+def test_q19_bracket_part_filter_hoisted(spark):
+    f = _facts("bracketed_quantity_revenue", spark)
+    assert f.shuffles == 1
+    assert f.broadcast_joins == 1
+    # hoisted brand/size implication prunes the part scan to 3 columns
+    [pscan] = [s for s in f.read_schemas() if "p_brand" in s]
+    assert pscan.count(":") == 3
+
+
+def test_q20_excess_chain_is_two_broadcast_semijoins(spark):
+    f = _facts("excess_shipment_suppliers", spark)
+    assert f.shuffles == 2  # per-(supp, part) agg + distinct
+    assert f.broadcast_joins == 2
+    assert f.sort_merge_joins == 0
