@@ -77,13 +77,50 @@ def doc_shingles(
     df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Distinct (id, shingle) pairs — the set representation for Jaccard.
-    Tokenizes into a bound column first (see shingles_w performance note)."""
-    from hnsw_spark.functions.text import shingles_w, words
+    Tokenizes into a bound column first (see shingles_w performance note).
 
-    base = df.select(F.col(id_col).alias("id"), words(text_col).alias("_w"))
+    Dedup happens per ROW (``array_distinct`` on the shingle array before
+    the explode), not with a post-explode ``.distinct()``: a shingle can
+    only repeat WITHIN a document, so the per-row form is equivalent and
+    removes an entire corpus-wide shuffle from every Jaccard-tier operator
+    built on this frame — the set representation comes straight off the
+    scan stage."""
+    return doc_shingles_sized(df, n, text_col, id_col).drop("size")
+
+
+def doc_shingles_sized(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, shingle, size) rows where ``size`` = |distinct shingle set| of
+    the document, carried on every row.  Because the distinct set is
+    materialized as a per-row array first, the set SIZE is free
+    (``F.size``) — callers that need per-doc set sizes (Jaccard's |A|, |B|)
+    can aggregate them through the pair groupBy instead of joining a
+    separately-shuffled sizes table.
+
+    Parallelism guard: with no post-explode ``.distinct()`` there is no
+    exchange between the file scan and the (expensive) shingle join built
+    on this frame, so a single small input file would bound the whole join
+    stage at the SCAN's split count (measured 3× wall on the sf0.1
+    fixture, which is one parquet file → one task).  When the input plan
+    is narrow and under-split, the RAW doc rows are round-robined up to
+    core count first — shuffling documents is strictly cheaper than the
+    old distinct()'s shuffle of their exploded shingles, and at 100 TB the
+    scan already carries thousands of splits so the branch never fires."""
+    from hnsw_spark.functions.text import shingles_w, words
+    from hnsw_spark.operators.knn import _narrow_partition_count
+
+    target = df.sparkSession.sparkContext.defaultParallelism
+    nparts = _narrow_partition_count(df)
+    if nparts is not None and nparts < target:
+        df = df.repartition(target)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles_w(words(text_col), n)).alias("_sh"),
+    )
     return base.select(
-        "id", F.explode(shingles_w(F.col("_w"), n)).alias("shingle")
-    ).distinct()
+        "id", F.explode("_sh").alias("shingle"), F.size("_sh").alias("size")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -119,11 +156,23 @@ def ngram_jaccard_pairs(
     approximation at the call site rather than getting it silently
     (ADVICE r2).  The banned set is at most
     (total shingle instances / max_doc_freq) rows, so it broadcasts, and the
-    filter is a broadcast anti-join — no extra shuffle on the corpus side."""
+    filter is a broadcast anti-join — no extra shuffle on the corpus side.
+
+    Plan shape (exact path): set sizes ride ON the shingle rows
+    (``doc_shingles_sized`` — the size is free once the distinct set is a
+    per-row array), so |A| and |B| flow through the pair groupBy as
+    ``F.first`` aggregates instead of joining two separately-shuffled
+    sizes tables: one equi-join + one groupBy total.  When ``threshold``
+    > 0 the PPJoin length filter (Xiao et al., WWW'08 — J(A,B) ≥ t ⟹
+    t·max(|A|,|B|) ≤ min(|A|,|B|)) is applied INSIDE the join condition,
+    pruning size-incompatible pairs before they reach the pair-count
+    shuffle.  With ``max_doc_freq`` set the banning anti-join changes the
+    effective set sizes, so that path recounts sizes post-ban (the extra
+    aggregates are the price of the approximation)."""
     asymmetric = right is not None and right is not left
     right = right if right is not None else left
-    sa = doc_shingles(left, n, text_col, id_col)
-    sb = doc_shingles(right, n, text_col, id_col)
+    sa = doc_shingles_sized(left, n, text_col, id_col)
+    sb = doc_shingles_sized(right, n, text_col, id_col)
     if max_doc_freq is not None:
         banned = (
             sb.groupBy("shingle")
@@ -131,33 +180,40 @@ def ngram_jaccard_pairs(
             .filter(F.col("_df") > max_doc_freq)
             .select("shingle")
         )
-        sa = sa.join(F.broadcast(banned), "shingle", "left_anti")
-        sb = sb.join(F.broadcast(banned), "shingle", "left_anti")
-    sizes_a = sa.groupBy("id").agg(F.count("*").alias("size_a"))
-    sizes_b = sb.groupBy("id").agg(F.count("*").alias("size_b"))
+        # sizes change once shingles are banned: recount per doc and
+        # re-attach to the rows (window over the post-ban frame keeps the
+        # size-on-row contract without a separate sizes join downstream)
+        sa = (
+            sa.drop("size")
+            .join(F.broadcast(banned), "shingle", "left_anti")
+            .withColumn("size", F.count("*").over(Window.partitionBy("id")))
+        )
+        sb = (
+            sb.drop("size")
+            .join(F.broadcast(banned), "shingle", "left_anti")
+            .withColumn("size", F.count("*").over(Window.partitionBy("id")))
+        )
+    pair_cond = F.col("a.shingle") == F.col("b.shingle")
     if asymmetric:
         probe = F.broadcast(sa)
-        pair_cond = (F.col("a.shingle") == F.col("b.shingle")) & (
-            F.col("a.id") != F.col("b.id")
-        )
-        # probe-side sizes are broadcast-small; the corpus-side sizes table
-        # is one row per corpus doc and must shuffle-join
-        sz_a = F.broadcast(sizes_a)
+        pair_cond = pair_cond & (F.col("a.id") != F.col("b.id"))
     else:
         probe = sa
-        pair_cond = (F.col("a.shingle") == F.col("b.shingle")) & (
-            F.col("a.id") < F.col("b.id")
+        pair_cond = pair_cond & (F.col("a.id") < F.col("b.id"))
+    if threshold > 0.0:
+        pair_cond = pair_cond & (
+            F.least(F.col("a.size"), F.col("b.size"))
+            >= threshold * F.greatest(F.col("a.size"), F.col("b.size"))
         )
-        sz_a = sizes_a
-    inter = (
+    sized = (
         probe.alias("a")
         .join(sb.alias("b"), pair_cond)
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
-    sized = (
-        inter.join(sz_a.withColumnRenamed("id", "id_a"), "id_a")
-        .join(sizes_b.withColumnRenamed("id", "id_b"), "id_b")
+        .agg(
+            F.count("*").alias("n_common"),
+            F.first(F.col("a.size")).alias("size_a"),
+            F.first(F.col("b.size")).alias("size_b"),
+        )
         .withColumn(
             "jaccard",
             F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
