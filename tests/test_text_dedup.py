@@ -395,3 +395,57 @@ def test_zipf_stats_ranks_and_cumulative_share(spark):
     assert [(r.rank, r.token, r.freq) for r in res] == [(1, "x", 4), (2, "y", 3)]
     assert res[0].share == 0.5  # 4 of 8 tokens
     assert res[1].cum_share == round(7 / 8, 6)
+
+
+def test_doc_shingles_sized_matches_distinct_set(spark):
+    # size rides on every row and equals the DISTINCT shingle-set size —
+    # the per-row array_distinct must be equivalent to the old post-explode
+    # .distinct() (a shingle only ever repeats WITHIN a document)
+    from hnsw_spark.operators.dedup import doc_shingles, doc_shingles_sized
+
+    d = _docs(
+        spark,
+        [
+            "a b a b a b",  # heavy within-doc repetition: 2 distinct bigrams
+            "x y z x y z",
+            "one two",  # 1 bigram
+            "solo",  # <n words: empty set, no rows
+        ],
+    )
+    sized = doc_shingles_sized(d, n=2).collect()
+    plain = {(r.id, r.shingle) for r in doc_shingles(d, n=2).collect()}
+    assert {(r.id, r.shingle) for r in sized} == plain
+    assert len(sized) == len(plain)  # explode of a deduped array: no dups
+    by_id = {}
+    for r in sized:
+        by_id.setdefault(r.id, set()).add(r.shingle)
+        assert r.size == len([x for x in sized if x.id == r.id])
+    assert by_id[0] == {"a b", "b a"}
+    assert 3 not in by_id  # short doc yields no rows
+
+
+def test_ngram_jaccard_length_filter_drops_no_true_pairs(spark):
+    # the PPJoin length filter (t*max<=min) is a pure candidate prune:
+    # thresholded output must equal the unfiltered output filtered post hoc
+    d = _docs(
+        spark,
+        [
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox jumps over a lazy dog",
+            "the quick brown fox leaps over the lazy dog today",
+            "completely different text with no overlap here at all",
+            "short one",
+        ],
+    )
+    t = 0.4
+    filtered = {
+        (r.id_a, r.id_b, r.n_common, r.size_a, r.size_b)
+        for r in ngram_jaccard_pairs(d, n=2, threshold=t).collect()
+    }
+    brute = {
+        (r.id_a, r.id_b, r.n_common, r.size_a, r.size_b)
+        for r in ngram_jaccard_pairs(d, n=2, threshold=0.0).collect()
+        if r.jaccard >= t
+    }
+    assert filtered == brute
+    assert filtered  # fixture plants at least one ≥0.4 pair
