@@ -88,8 +88,13 @@ _RUN_FIRST = (
     "wav_audio_features",
     "retrieval_quality_metrics",
     "containment_pairs",
-    # --- just past the 50-row window: r2-green, oldest driver evidence,
-    #     first in line for the round-6 window ---
+    "classifier_eval_kappa",
+    "quality_auc",
+    "cross_split_contamination_gate",
+    # --- just past the 50-row window: the 17 later round-5 additions that
+    #     outgrew it (TPC-H completion shapes + layout gates) carry
+    #     builder-side ORACLE_FULL_r05 evidence at both SFs and lead the
+    #     round-6 window, followed by the r2-green relational queries ---
     "top_customers_per_segment",
     "customers_without_orders",
     "revenue_rollup",
