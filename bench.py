@@ -145,6 +145,12 @@ HEADLINE = [
     "salted_aggregation_gate",
     "bucketed_join_gate",
     "cross_split_contamination_gate",
+    "profit_by_nation_year",
+    "shipping_delay_priority",
+    "top_revenue_supplier",
+    "supplier_part_variety",
+    "bracketed_quantity_revenue",
+    "excess_shipment_suppliers",
     # NOT benched: bpe_encode_gate (BPE training cost already measured by
     # the bpe_merges cell), pagerank_gate (wall is the O(n²) exact-kNN
     # graph build, not the operator under test), and classifier_eval_kappa
