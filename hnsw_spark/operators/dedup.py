@@ -588,15 +588,13 @@ def jaccard_prefix_pairs(
     """
     from pyspark.storagelevel import StorageLevel
 
-    sh = doc_shingles(df, n, text_col, id_col).persist(
+    sh = doc_shingles_sized(df, n, text_col, id_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    sizes = sh.groupBy("id").agg(F.count("*").alias("size"))
     freq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
     w = Window.partitionBy("id").orderBy(F.asc("_df"), F.asc("shingle"))
     prefix = (
         sh.join(freq, "shingle")
-        .join(sizes, "id")
         .withColumn("_rn", F.row_number().over(w))
         .filter(
             F.col("_rn")
@@ -663,8 +661,15 @@ def containment_pairs(
     DataFrame[(id_a, id_b, n_common, size_a, size_b, containment)] for
     ordered pairs id_a ≠ id_b (both directions — containment is
     directional by definition).
+
+    Plan shape: set sizes ride on the shingle rows (``doc_shingles_sized``)
+    and flow through the pair groupBy, so the whole operator is one
+    equi-join + one aggregate.  At ``threshold`` > 0 the directional
+    length filter prunes inside the join condition: |A∩B| ≤ |B| always,
+    so |A∩B|/|A| ≥ t requires |B| ≥ t·|A| — size-incompatible ordered
+    pairs never reach the pair-count shuffle.
     """
-    sh = doc_shingles(df, n, text_col, id_col)
+    sh = doc_shingles_sized(df, n, text_col, id_col)
     if max_doc_freq is not None:
         banned = (
             sh.groupBy("shingle")
@@ -672,23 +677,29 @@ def containment_pairs(
             .filter(F.col("_df") > max_doc_freq)
             .select("shingle")
         )
-        sh = sh.join(F.broadcast(banned), "shingle", "left_anti")
-    from pyspark.storagelevel import StorageLevel
-
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("size"))
-    inter = (
-        sh.select(F.col("id").alias("id_a"), "shingle")
-        .join(sh.select(F.col("id").alias("id_b"), "shingle"), "shingle")
-        .filter(F.col("id_a") != F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        # set sizes change once shingles are banned: recount per doc and
+        # re-attach on-row so the sized-groupBy contract below still holds
+        sh = (
+            sh.drop("size")
+            .join(F.broadcast(banned), "shingle", "left_anti")
+            .withColumn("size", F.count("*").over(Window.partitionBy("id")))
+        )
+    pair_cond = (F.col("a.shingle") == F.col("b.shingle")) & (
+        F.col("a.id") != F.col("b.id")
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("size").alias("size_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("size").alias("size_b"))
+    if threshold > 0.0:
+        pair_cond = pair_cond & (
+            F.col("b.size") >= threshold * F.col("a.size")
+        )
     return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        sh.alias("a")
+        .join(sh.alias("b"), pair_cond)
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first(F.col("a.size")).alias("size_a"),
+            F.first(F.col("b.size")).alias("size_b"),
+        )
         .withColumn("containment", F.col("n_common") / F.col("size_a"))
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "n_common", "size_a", "size_b", "containment")
