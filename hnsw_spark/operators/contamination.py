@@ -87,6 +87,9 @@ def contamination_flags(
     pipelines in the scan stage; the only shuffle is the per-doc count
     aggregate.  The left join + count(match) formulation below fuses both
     counts into ONE aggregate instead of two joins."""
+    from hnsw_spark.plans.parallelism import fan_out_narrow
+
+    docs = fan_out_narrow(docs)
     sh = doc_shingles(docs, n, id_col, text_col)
     bset = benchmark_ngrams(bench, n, id_col, text_col).withColumn(
         "_hit", F.lit(1)

@@ -178,7 +178,9 @@ def feature_hash_embeddings(
     token instance; a per-row nested-loop formulation would re-evaluate it
     dim× per token (Catalyst has no CSE inside higher-order lambdas)."""
     from hnsw_spark.functions.hashing import h31
+    from hnsw_spark.plans.parallelism import fan_out_narrow
 
+    df = fan_out_narrow(df)
     tok = df.select(
         F.col(id_col).alias("id"), F.explode(words(text_col)).alias("tok")
     ).filter(F.col("tok") != "")
@@ -286,8 +288,11 @@ def bigram_logprob(
     and the join totals ride as broadcast 1-row aggregates.  Docs with <2
     words keep a row (n_bigrams=0, NULL logprob)."""
     from hnsw_spark.functions.text import shingles_w
+    from hnsw_spark.plans.parallelism import fan_out_narrow
 
-    base = df.select(F.col(id_col).alias("doc_id"), words(text_col).alias("w"))
+    base = fan_out_narrow(df).select(
+        F.col(id_col).alias("doc_id"), words(text_col).alias("w")
+    )
     bg = base.select(
         "doc_id", F.explode(shingles_w(F.col("w"), 2)).alias("bg")
     )

@@ -108,12 +108,9 @@ def doc_shingles_sized(
     old distinct()'s shuffle of their exploded shingles, and at 100 TB the
     scan already carries thousands of splits so the branch never fires."""
     from hnsw_spark.functions.text import shingles_w, words
-    from hnsw_spark.operators.knn import _narrow_partition_count
+    from hnsw_spark.plans.parallelism import fan_out_narrow
 
-    target = df.sparkSession.sparkContext.defaultParallelism
-    nparts = _narrow_partition_count(df)
-    if nparts is not None and nparts < target:
-        df = df.repartition(target)
+    df = fan_out_narrow(df)
     base = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(shingles_w(words(text_col), n)).alias("_sh"),
@@ -515,8 +512,10 @@ def boilerplate_spans(
     — the corpus itself is shuffled only once more, on doc_id, to count
     covered positions.  No all-pairs joins anywhere.
     """
+    from hnsw_spark.plans.parallelism import fan_out_narrow
+
     w = words(text_col)
-    docs = df.select(
+    docs = fan_out_narrow(df).select(
         F.col(id_col).cast("long").alias(id_col), w.alias("_w")
     )
     pos = docs.select(

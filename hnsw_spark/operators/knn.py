@@ -49,22 +49,10 @@ _RESULT_SCHEMA = StructType(
 )
 
 
-def _narrow_partition_count(df: DataFrame) -> int | None:
-    """Split count of a shuffle-free plan, or None when unknowable cheaply.
-
-    Forcing ``.rdd`` under AQE MATERIALIZES upstream query stages when the
-    plan contains an Exchange (measured: a groupBy base ran its whole
-    shuffle stage just to answer getNumPartitions), so the probe is
-    restricted to narrow plans, where it is pure metadata.  Post-shuffle
-    frames already carry shuffle-partitions-wide parallelism and need no
-    fan-out anyway.
-    """
-    try:
-        if "Exchange" in df._jdf.queryExecution().sparkPlan().toString():
-            return None
-        return df.rdd.getNumPartitions()
-    except Exception:
-        return None
+# shared guard (see plans/parallelism.py for the AQE-materialization note)
+from hnsw_spark.plans.parallelism import (  # noqa: E402
+    narrow_partition_count as _narrow_partition_count,
+)
 
 
 def _topk_window(scored: DataFrame, k: int) -> DataFrame:

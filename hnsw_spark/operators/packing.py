@@ -151,7 +151,9 @@ def chunk_documents(
         )
     stride = chunk_size - overlap
     from hnsw_spark.functions.text import words
+    from hnsw_spark.plans.parallelism import fan_out_narrow
 
+    df = fan_out_narrow(df)
     base = df.select(
         F.col(id_col).alias("doc_id"), words(text_col).alias("_w")
     ).select("doc_id", "_w", F.size("_w").alias("_n"))

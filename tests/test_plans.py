@@ -45,11 +45,16 @@ def test_single_aggregation_queries_shuffle_once(spark):
         "events_hourly_rollup",
         "shard_assignment",
         "sequence_packing",
-        "text_hash_embeddings",
         "curation_filter",
         "level_histogram",
     ):
         assert _facts(name, spark).shuffles == 1, name
+    # text_hash_embeddings: one groupBy exchange, plus the narrow-scan
+    # fan-out (plans/parallelism.py) that fires ONLY on the single-file
+    # test fixture — a round-robin of raw doc rows, absent at scale where
+    # the scan carries its own splits
+    f = _facts("text_hash_embeddings", spark)
+    assert f.shuffles == 2, "groupBy + conditional fan-out"
 
 
 def test_tpch_q1_scan_prunes_to_needed_columns(spark):
