@@ -52,7 +52,42 @@ def _fake_decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
     )
 
 
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """REAL image decode for binary netpbm ``P6`` payloads — the one
+    raster container parseable with numpy alone (no codec library):
+    ASCII header (magic, width, height, maxval, ``#`` comments allowed)
+    followed by height·width·3 raw RGB bytes.  Returns uint8 (H, W, 3).
+    Maxval must be ≤ 255 (the single-byte-per-sample variant)."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    # tokenize the header: whitespace-separated fields, '#' to EOL is
+    # comment; exactly 4 fields (magic, w, h, maxval), then ONE whitespace
+    # byte, then the raster
+    fields: list[bytes] = []
+    i = 0
+    while len(fields) < 4:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        fields.append(payload[i:j])
+        i = j
+    i += 1  # the single whitespace separating header from raster
+    w, h, maxval = int(fields[1]), int(fields[2]), int(fields[3])
+    if maxval > 255:
+        raise ValueError(f"16-bit PPM unsupported (maxval={maxval})")
+    raster = np.frombuffer(payload, dtype=np.uint8, count=h * w * 3, offset=i)
+    return raster.reshape(h, w, 3)
+
+
 def decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)  # real container, real decode
     try:  # pragma: no cover - Pillow absent in this container
         import io
 
@@ -376,6 +411,69 @@ def synthetic_wav_media(
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def synthetic_ppm_media(
+    spark, count: int = 16, width: int = 16, height: int = 12
+) -> DataFrame:
+    """Fixture media table whose payloads are REAL binary-PPM (P6) files —
+    the real-codec image counterpart to ``synthetic_wav_media``.  Pixel
+    byte k of media i is the SQL-reproducible md5 byte stream over
+    md5('ppm{i}')·4, so the decode→checksum path stays oracle-checkable
+    even though the payload is a genuine container ``decode_ppm`` must
+    parse (header tokenizing included: a ``#`` comment line is planted in
+    every header)."""
+    rows = []
+    for i in range(count):
+        seed_bytes = hashlib.md5(f"ppm{i}".encode()).digest() * 4
+        px = _byte_stream(seed_bytes, height * width * 3).astype(np.uint8)
+        header = f"P6\n# synthetic fixture {i}\n{width} {height}\n255\n"
+        payload = header.encode("ascii") + px.tobytes()
+        rows.append(
+            (i, "image", bytearray(payload), "image/x-portable-pixmap",
+             width, height, 0, 0)
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def ppm_image_features(df: DataFrame) -> DataFrame:
+    """media table with P6 payloads → (media_id, embedding ARRAY<FLOAT>,
+    width, height, pixel_sum) via Arrow-batched partition-parallel REAL
+    decode (``decode_ppm``): the container header is tokenized (width and
+    height come from the HEADER, not the metadata columns, so a misparse
+    surfaces), the raster is read at the computed offset, features come
+    from the same ``_image_feature`` kernel as the stub tier, and
+    ``pixel_sum`` is the exact sum of the raw RGB bytes — the decode-
+    integrity checksum an oracle can recompute."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            feats, ws, hs, sums = [], [], [], []
+            for row in pdf.itertuples():
+                img = decode_ppm(row.payload)
+                feats.append(_image_feature(img))
+                hs.append(img.shape[0])
+                ws.append(img.shape[1])
+                sums.append(int(img.astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "embedding": feats,
+                    "width": ws,
+                    "height": hs,
+                    "pixel_sum": sums,
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        run,
+        schema=(
+            "media_id long, embedding array<float>, width int, height int,"
+            " pixel_sum long"
+        ),
+    )
 
 
 def wav_audio_features(df: DataFrame) -> DataFrame:

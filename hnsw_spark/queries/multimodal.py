@@ -205,3 +205,58 @@ def wav_audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_samples",
         "pcm16_sum",
     )
+
+
+_PPM_N, _PPM_W, _PPM_H = 16, 16, 12
+
+# Real-codec image tier: payloads are genuine binary-PPM (P6) containers —
+# ASCII header with a planted comment line, then raw RGB bytes — that
+# decode_ppm must actually tokenize and parse; but pixel byte k is the same
+# SQL-reproducible md5 byte stream, so the decode-integrity checksum (exact
+# raw RGB byte sum) is recomputable by DuckDB from first principles.
+_PPM_SQL = f"""
+WITH m AS (
+  SELECT range::BIGINT AS media_id, md5('ppm' || range::VARCHAR) AS h
+  FROM range({_PPM_N})
+), px AS (
+  SELECT media_id,
+         SUM((('0x' || substr(h, 2*(k.k % 16)+1, 2))::BIGINT + 31*k.k) % 256)
+           ::BIGINT AS pixel_sum
+  FROM m, (SELECT unnest(generate_series(0, {_PPM_W * _PPM_H * 3} - 1))::BIGINT AS k) k
+  GROUP BY media_id
+)
+SELECT media_id, 64::INT AS dim, 1.0::DOUBLE AS norm,
+       {_PPM_W}::INT AS width, {_PPM_H}::INT AS height, pixel_sum
+FROM px
+"""
+
+
+@query("ppm_image_features", _PPM_SQL)
+def ppm_image_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode (the image counterpart to ``wav_audio_features``):
+    the fixture payloads are actual binary-PPM files — tokenized ASCII
+    header (with a comment line the parser must skip) plus raw RGB
+    raster — and the Arrow-batched mapInPandas stage parses the container
+    with numpy alone (operators/multimodal.py:decode_ppm), reads width and
+    height from the HEADER, and runs the same feature kernel as the stub
+    tier.  The oracle recomputes pixel_sum (exact raw RGB byte checksum)
+    plus the header-derived dimensions, so a decode that misparsed the
+    header (comment not skipped, wrong raster offset, wrong shape) would
+    hash-fail the row."""
+    from hnsw_spark.operators.multimodal import (
+        ppm_image_features,
+        synthetic_ppm_media,
+    )
+
+    media = synthetic_ppm_media(
+        spark, count=_PPM_N, width=_PPM_W, height=_PPM_H
+    )
+    feats = ppm_image_features(media)
+    return feats.select(
+        "media_id",
+        F.size("embedding").alias("dim"),
+        F.round(l2_norm("embedding"), 4).alias("norm"),
+        "width",
+        "height",
+        "pixel_sum",
+    )
