@@ -130,6 +130,7 @@ HEADLINE = [
     "hll_distinct_by_group",
     "kcore_gate",
     "wav_audio_features",
+    "ppm_image_features",
     "retrieval_quality_metrics",
     "containment_pairs",
     "small_quantity_revenue",
