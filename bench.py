@@ -412,8 +412,11 @@ def _ann_crossover(spark, knn_exact, build_ivf_index, mean_recall,
     big3.count()
     xq = big3.filter(F.col("vec_id") < xo_q).cache()
     xq.count()
+    # best-of-3: this axis is the jitter-prone one (measured spread
+    # 0.95x-3.8x across contended runs of identical code); a third repeat
+    # costs ~3 s and stabilizes the min the crossover gate reads
     xo_exact_walls = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         knn_exact(
             big3, xq, k=10, metric="cosine", strategy="local_merge"
@@ -429,7 +432,7 @@ def _ann_crossover(spark, knn_exact, build_ivf_index, mean_recall,
     xo_idx.index_df.count()
     xo_build_s = time.time() - t0
     xo_walls = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         xo_idx.search(xq, k=10, n_probe=xo_probe).write.format("noop").mode(
             "overwrite"
