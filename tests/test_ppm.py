@@ -71,3 +71,30 @@ def test_ppm_features_spark_parity(spark):
         assert (rows[mid]["height"], rows[mid]["width"]) == img.shape[:2] == (6, 8)
         assert rows[mid]["pixel_sum"] == int(img.astype(np.int64).sum())
         assert len(rows[mid]["embedding"]) == 64
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    w=st.integers(1, 9),
+    h=st.integers(1, 9),
+    data=st.data(),
+    comment=st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_decode_ppm_property_roundtrip(w, h, data, comment):
+    # ANY uint8 raster survives the container round-trip bit-exactly,
+    # with or without header comments — including rasters whose leading
+    # bytes are whitespace or '#' values
+    body = data.draw(
+        st.lists(
+            st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3
+        )
+    )
+    img = np.array(body, dtype=np.uint8).reshape(h, w, 3)
+    head = f"P6\n#c\n{w} {h}\n255\n" if comment else f"P6 {w} {h} 255\n"
+    out = decode_ppm(head.encode("ascii") + img.tobytes())
+    assert out.shape == (h, w, 3)
+    assert out.tolist() == img.tolist()
