@@ -2749,9 +2749,16 @@ def bucketed_join_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from hnsw_spark.sources.bucketed import bucketed_join, write_bucketed
 
-    o = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
-        "l_orderkey", "o_orderkey"
+    # project to the columns the recurring join actually serves BEFORE the
+    # bucketed write — the layout investment should cover the join payload,
+    # not all 16 lineitem columns (4x less write I/O, same plan guarantee)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+        .select("o_orderkey", "l_extendedprice", "l_discount")
     )
     wh = spark.conf.get(
         "spark.sql.warehouse.dir", "spark-warehouse"
