@@ -1,0 +1,264 @@
+"""Event-stream analytics batch surface: the batch twins of the streaming
+layer plus time-series rollups a 100 TB telemetry pipeline runs daily.
+
+``trending_topn`` is the literal batch twin of ``streaming/trending.py`` —
+it feeds the SAME ``rank_trending`` ranking function the streaming sink
+uses, so a driver-green row here certifies the ranking semantics of the
+continuous query (the streaming side's stream==batch parity pytest closes
+the loop on the incremental-state half).
+
+Determinism conventions follow the repo: row_number ties broken on a key
+column in BOTH engines; money/value sums fixed-point (``dquant``); raw
+stored doubles (min/max/arg-min picks) compared directly — a pick is not
+arithmetic, so it is engine-exact by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hnsw_spark.registry import query
+from hnsw_spark.sources.tables import load_table
+
+_TOP_N = 3
+
+_TRENDING_SQL = f"""
+WITH c AS (
+  SELECT date_trunc('hour', ts) AS win_start,
+         date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
+         event_type, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT win_start, win_end, rank, event_type, n FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY win_start ORDER BY n DESC, event_type) AS rank
+  FROM c
+) WHERE rank <= {_TOP_N}
+"""
+
+
+@query("trending_topn", _TRENDING_SQL)
+def trending_topn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly trending top-3 event types — the batch twin of the continuous
+    trending query (``streaming/trending.py``): tumbling-window counts via
+    ``F.window`` (the exact aggregation the watermarked stream maintains
+    incrementally) ranked by the SAME ``rank_trending`` helper the
+    streaming ``foreachBatch`` sink calls.
+
+    Scale shape: one shuffle on (window, event_type) with map-side partial
+    counts; the rank window partitions by window start, so no partition
+    ever holds more than #event-types rows."""
+    from hnsw_spark.streaming.trending import rank_trending
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n",
+        )
+    )
+    return rank_trending(counts, top_n=_TOP_N)
+
+
+_OHLC_SQL = """
+WITH e AS (
+  SELECT date_trunc('hour', ts) AS bar_hour, event_type, ts, event_id, value
+  FROM events
+), r AS (
+  SELECT bar_hour, event_type, value,
+         row_number() OVER (PARTITION BY bar_hour, event_type
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY bar_hour, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM e
+)
+SELECT bar_hour, event_type,
+       count(*)::BIGINT AS n_events,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+       sum(floor(value * 1000000.0 + 0.5)::BIGINT)::BIGINT AS volume_fp
+FROM r GROUP BY bar_hour, event_type
+"""
+
+
+@query("ohlc_bars", _OHLC_SQL)
+def ohlc_bars_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC candle bars per event type: open/close are the first/last
+    stored value by (ts, event_id) — PICKS of stored doubles, not arithmetic,
+    hence engine-exact without rounding; high/low are min/max picks; volume
+    is the fixed-point value sum (the one computed column).
+
+    Spark side uses ``min_by``/``max_by`` with a (ts, event_id) struct
+    ordinal — single-shuffle hash aggregation with map-side partials, no
+    rank window at all (the oracle's row_number formulation is the
+    SQL-expressible mirror; min_by is the scale-correct plan: O(1) state
+    per group per input row)."""
+    ev = load_table(spark, sf_dir, "events")
+    ordinal = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.select(
+            F.date_trunc("hour", "ts").alias("bar_hour"),
+            "event_type",
+            "ts",
+            "event_id",
+            "value",
+        )
+        .groupBy("bar_hour", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min_by("value", ordinal).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ordinal).alias("close"),
+            F.sum(
+                F.floor(F.col("value") * 1000000.0 + 0.5).cast("bigint")
+            ).alias("volume_fp"),
+        )
+    )
+
+
+_PATH_LEN, _PATH_TOP = 3, 20
+
+_PATHS_SQL = f"""
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+), p AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM r WHERE rn <= {_PATH_LEN} GROUP BY user_id
+), c AS (SELECT path, count(*)::BIGINT AS n_users FROM p GROUP BY path)
+SELECT path, n_users FROM (
+  SELECT *, row_number() OVER (ORDER BY n_users DESC, path) AS rn FROM c
+) WHERE rn <= {_PATH_TOP}
+"""
+
+
+@query("top_event_paths", _PATHS_SQL)
+def top_event_paths_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey mining: each user's first three event types (by ts,
+    event_id) joined into a `view>click>purchase`-style path string, with
+    the top-20 paths by user count (ties to the lexicographically smaller
+    path).  The behavioral n-gram table behind onboarding-funnel and
+    session-intent analyses.
+
+    Scale shape: the per-user rank window shuffles once on user_id; path
+    assembly sorts ≤3 structs per user inside the row (array_sort on
+    (rn, type) — no second window); the path census is an aggregate over
+    #distinct-paths ≤ |event_types|³ rows, and the final top-20 cut is a
+    TakeOrdered over that tiny table, never a global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first_k = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _PATH_LEN)
+    )
+    paths = first_k.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+        ).alias("path")
+    )
+    census = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
+    return (
+        census.orderBy(F.col("n_users").desc(), "path")
+        .limit(_PATH_TOP)
+        .select("path", "n_users")
+    )
+
+
+_SNAP_CUT = "1998-01-01"
+
+_SNAPSHOT_DIFF_SQL = f"""
+WITH s1 AS (
+  SELECT o_custkey, count(*)::BIGINT AS n_orders,
+         sum(floor(o_totalprice * 100.0 + 0.5)::BIGINT) AS total_fp
+  FROM orders WHERE o_orderdate < TIMESTAMP '{_SNAP_CUT}'
+  GROUP BY o_custkey
+), s2 AS (
+  SELECT o_custkey, count(*)::BIGINT AS n_orders,
+         sum(floor(o_totalprice * 100.0 + 0.5)::BIGINT) AS total_fp
+  FROM orders GROUP BY o_custkey
+)
+SELECT coalesce(s2.o_custkey, s1.o_custkey) AS custkey,
+       CASE WHEN s1.o_custkey IS NULL THEN 'insert'
+            WHEN s2.o_custkey IS NULL THEN 'delete'
+            ELSE 'update' END AS op,
+       coalesce(s1.n_orders, 0)::BIGINT AS n_orders_before,
+       coalesce(s2.n_orders, 0)::BIGINT AS n_orders_after,
+       coalesce(s1.total_fp, 0)::BIGINT AS total_fp_before,
+       coalesce(s2.total_fp, 0)::BIGINT AS total_fp_after
+FROM s1 FULL OUTER JOIN s2 ON s1.o_custkey = s2.o_custkey
+WHERE s1.o_custkey IS NULL OR s2.o_custkey IS NULL
+   OR s1.n_orders != s2.n_orders OR s1.total_fp != s2.total_fp
+"""
+
+
+@query("snapshot_diff_cdc", _SNAPSHOT_DIFF_SQL)
+def snapshot_diff_cdc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff of a materialized per-customer rollup at two
+    watermarks (orders before 1998-01-01 vs all orders): emits one change row per
+    key whose aggregate state changed — op ∈ insert (key absent before) /
+    delete (absent after) / update (aggregates differ) — the change log an
+    incremental-view-maintenance consumer applies downstream (complement of
+    ``incremental_rollup``, which certifies merge-of-partials; this query
+    certifies the DIFF direction).
+
+    Scale shape: both snapshots reduce the fact table to per-key aggregates
+    BEFORE the full-outer join, so the join carries |keys| rows, not
+    |orders|; money compared in fixed-point cents so 'changed' is an exact
+    integer predicate in any engine."""
+    orders = load_table(spark, sf_dir, "orders")
+    fp = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint")
+
+    def snap(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"), F.sum(fp).alias("total_fp")
+        )
+
+    s1 = snap(orders.filter(F.col("o_orderdate") < F.lit(_SNAP_CUT).cast("timestamp_ntz")))
+    s2 = snap(orders)
+    a = s1.select(
+        F.col("o_custkey").alias("k1"),
+        F.col("n_orders").alias("n_orders_before"),
+        F.col("total_fp").alias("total_fp_before"),
+    )
+    b = s2.select(
+        F.col("o_custkey").alias("k2"),
+        F.col("n_orders").alias("n_orders_after"),
+        F.col("total_fp").alias("total_fp_after"),
+    )
+    j = a.join(b, a["k1"] == b["k2"], "full_outer")
+    op = (
+        F.when(F.col("k1").isNull(), F.lit("insert"))
+        .when(F.col("k2").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    changed = (
+        F.col("k1").isNull()
+        | F.col("k2").isNull()
+        | (F.col("n_orders_before") != F.col("n_orders_after"))
+        | (F.col("total_fp_before") != F.col("total_fp_after"))
+    )
+    return j.filter(changed).select(
+        F.coalesce(F.col("k2"), F.col("k1")).alias("custkey"),
+        op.alias("op"),
+        F.coalesce("n_orders_before", F.lit(0)).alias("n_orders_before"),
+        F.coalesce("n_orders_after", F.lit(0)).alias("n_orders_after"),
+        F.coalesce("total_fp_before", F.lit(0)).alias("total_fp_before"),
+        F.coalesce("total_fp_after", F.lit(0)).alias("total_fp_after"),
+    )

@@ -147,6 +147,7 @@ def load_all_queries() -> None:
         "hnsw_spark.queries.pipeline",
         "hnsw_spark.queries.retrieval",
         "hnsw_spark.queries.relational",
+        "hnsw_spark.queries.analytics",
         "hnsw_spark.queries.index",
         "hnsw_spark.queries.multimodal",
     ):
