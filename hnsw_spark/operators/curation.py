@@ -21,7 +21,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from hnsw_spark.functions.text import (
@@ -541,6 +541,41 @@ def pipeline_attrition(
     )
 
 
+def quality_logit(text_col: str = "text") -> Column:
+    """The fixed-weight linear quality score ``z`` as a reusable Column
+    (exact-rational features, no transcendental functions) — the single
+    definition behind ``quality_classifier`` and the calibration gate."""
+    w = words(text_col)
+    from hnsw_spark.functions.text import (
+        avg_word_len_w,
+        punct_ratio,
+        stopword_ratio_w,
+    )
+
+    n_words = F.size(w).cast("double")
+    nw_score = F.least(n_words / F.lit(200.0), F.lit(1.0))
+    swr = stopword_ratio_w(w)
+    awl = avg_word_len_w(w)
+    awl_mid = F.when((awl >= 3) & (awl <= 10), F.lit(1.0)).otherwise(
+        F.lit(0.0)
+    )
+    punct = punct_ratio(F.col(text_col))
+    return (
+        F.lit(-1.2)
+        + F.lit(1.5) * nw_score
+        + F.lit(2.0) * swr
+        + F.lit(0.8) * awl_mid
+        - F.lit(3.0) * punct
+    )
+
+
+def quality_prob(text_col: str = "text") -> Column:
+    """Rational-sigmoid probability ``0.5 + 0.5·z/(1+|z|)`` of the quality
+    logit — algebraic (no libm), hence bit-identical across engines."""
+    z = quality_logit(text_col)
+    return F.lit(0.5) + F.lit(0.5) * z / (F.lit(1.0) + F.abs(z))
+
+
 def quality_classifier(
     df: DataFrame,
     text_col: str = "text",
@@ -560,28 +595,7 @@ def quality_classifier(
     (libm ``exp`` differs in the last ulp between JVM and C and would flip
     rounded boundaries).  Pure per-row Catalyst expressions: the classifier
     fuses into the scan stage, zero shuffles at any corpus size."""
-    w = words(text_col)
-    from hnsw_spark.functions.text import (
-        avg_word_len_w,
-        punct_ratio,
-        stopword_ratio_w,
-    )
-
-    n_words = F.size(w).cast("double")
-    nw_score = F.least(n_words / F.lit(200.0), F.lit(1.0))
-    swr = stopword_ratio_w(w)
-    awl = avg_word_len_w(w)
-    awl_mid = F.when((awl >= 3) & (awl <= 10), F.lit(1.0)).otherwise(
-        F.lit(0.0)
-    )
-    punct = punct_ratio(F.col(text_col))
-    z = (
-        F.lit(-1.2)
-        + F.lit(1.5) * nw_score
-        + F.lit(2.0) * swr
-        + F.lit(0.8) * awl_mid
-        - F.lit(3.0) * punct
-    )
+    z = quality_logit(text_col)
     prob = F.lit(0.5) + F.lit(0.5) * z / (F.lit(1.0) + F.abs(z))
     return df.select(
         F.col(id_col),

@@ -257,7 +257,7 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def lsh_band_buckets(
     df: DataFrame,
     num_perm: int = 64,
     bands: int = 16,
@@ -267,12 +267,13 @@ def lsh_candidate_pairs(
     seed: int = 42,
     max_bucket: int | None = 1000,
 ) -> DataFrame:
-    """Banded-LSH candidate pairs: docs sharing ≥1 identical band.
-
-    Signature split into ``bands`` bands of ``num_perm/bands`` rows; band key
-    = md5 of the concatenated band values; self-join per (band_idx, key)
-    bucket → distinct (id_a < id_b) pairs with the count of matching bands.
-    ``max_bucket`` drops degenerate buckets (anti-quadratic guard at scale)."""
+    """(id, band_idx, band_key) bucket rows for banded MinHash-LSH — the
+    shared representation behind the self-join (``lsh_candidate_pairs``)
+    and the incremental new-batch-vs-corpus join
+    (``lsh_incremental_candidates``).  At 100 TB this frame is what a
+    pipeline PERSISTS (partitioned by band_key prefix): signatures are
+    computed once per document ever, and each arriving batch joins its own
+    buckets against the stored corpus buckets."""
     rows = num_perm // bands
     sig = minhash_signatures(df, num_perm, n, text_col, id_col, seed)
     band_structs = F.array(
@@ -298,6 +299,70 @@ def lsh_candidate_pairs(
         buckets = buckets.join(
             counts.filter(F.col("_n") <= max_bucket), ["band_idx", "band_key"]
         ).drop("_n")
+    return buckets
+
+
+def lsh_incremental_candidates(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    num_perm: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Incremental near-dup candidates: each NEW document against the seen
+    CORPUS only (never new×new, never corpus×corpus) → (new_id, corpus_id,
+    n_bands).  The batch twin of continuous corpus dedup
+    (``streaming/dedup.py``): per micro-batch, signatures are computed for
+    the arriving docs only, and the join side that scales with corpus size
+    is an equi-join on (band_idx, band_key) — shuffle bounded by batch
+    bucket rows, corpus side pre-bucketed/persisted in production.
+
+    ``max_bucket`` caps the CORPUS bucket width (degenerate-bucket guard);
+    the new side is batch-sized and never capped, so a new doc cannot be
+    silently skipped."""
+    new_b = lsh_band_buckets(
+        new_df, num_perm, bands, n, text_col, id_col, seed, max_bucket=None
+    )
+    corp_b = lsh_band_buckets(
+        corpus_df, num_perm, bands, n, text_col, id_col, seed, max_bucket
+    )
+    return (
+        new_b.alias("a")
+        .join(
+            corp_b.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .groupBy(
+            F.col("a.id").alias("new_id"), F.col("b.id").alias("corpus_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    num_perm: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Banded-LSH candidate pairs: docs sharing ≥1 identical band.
+
+    Signature split into ``bands`` bands of ``num_perm/bands`` rows; band key
+    = md5 of the concatenated band values; self-join per (band_idx, key)
+    bucket → distinct (id_a < id_b) pairs with the count of matching bands.
+    ``max_bucket`` drops degenerate buckets (anti-quadratic guard at scale)."""
+    buckets = lsh_band_buckets(
+        df, num_perm, bands, n, text_col, id_col, seed, max_bucket
+    )
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(

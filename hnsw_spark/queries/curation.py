@@ -864,3 +864,106 @@ def cross_split_contamination_gate_q(
         .crossJoin(F.broadcast(cross))
         .select("n_train", "n_eval", "n_exact_leaks", "n_neardup_cross_pairs")
     )
+
+
+_ECE_BINS = 10
+
+_ECE_SQL = f"""
+WITH s AS (
+  SELECT CASE WHEN source IN ({", ".join(f"'{s}'" for s in _KS_A)})
+              THEN 0 ELSE 1 END AS y,
+         ({{Z}}) AS z
+  FROM documents
+), p AS (
+  SELECT y,
+         floor((0.5 + 0.5 * z / (1 + abs(z))) * 1000000.0 + 0.5)::BIGINT
+           AS p_fp
+  FROM s
+), b AS (
+  SELECT least((p_fp // 100000)::INT, {_ECE_BINS - 1}) AS bin,
+         count(*)::BIGINT AS n,
+         sum(y)::BIGINT AS n_pos,
+         sum(p_fp)::BIGINT AS sum_p_fp
+  FROM p GROUP BY 1
+), t AS (
+  SELECT sum(abs(n_pos * 1000000 - sum_p_fp))::BIGINT AS ece_num,
+         sum(n)::BIGINT AS n_total
+  FROM b
+)
+SELECT bin, n, n_pos, sum_p_fp,
+       round(sum_p_fp / (n * 1000000.0), 6) AS conf,
+       round(n_pos / (n * 1.0), 6) AS acc,
+       abs(n_pos * 1000000 - sum_p_fp)::BIGINT AS gap_fp,
+       round(ece_num / (n_total * 1000000.0), 6) AS ece
+FROM b, t
+"""
+
+
+def _ece_sql() -> str:
+    from hnsw_spark.queries.dedup import _z_sql
+
+    return _ECE_SQL.format(Z=_z_sql())
+
+
+@query("calibration_bins", _ece_sql())
+def calibration_bins_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier calibration reliability table + expected calibration
+    error: the quality classifier's rational-sigmoid probability binned
+    into 10 equal-width bins, each holding its count, positive rate
+    (label = the high-quality source cohort, same cohorts as
+    ``quality_auc``/``quality_drift_ks``), mean confidence, and the
+    fixed-point |accuracy − confidence| gap; every row also carries the
+    corpus ECE = Σ n_b/N·|acc_b − conf_b| — the standard "can I trust the
+    classifier's probabilities as sampling weights" gate that complements
+    AUC (ranking) and kappa (agreement).
+
+    Exactness: p_fp is the dquant of a RATIONAL sigmoid (no libm), so bin
+    membership, bin sums, and the ECE numerator
+    Σ|n_pos·10⁶ − Σp_fp| are pure BIGINT arithmetic in both engines; the
+    two displayed ratios divide exact integers once and round.
+
+    Scale shape: classifier + binning fuse into the scan stage; one
+    10-group aggregate; the ECE total is a single-row broadcast attach."""
+    from hnsw_spark.operators.curation import quality_prob
+    from hnsw_spark.operators.evaluation import dquant
+
+    docs = load_table(spark, sf_dir, "documents")
+    y = (
+        F.when(F.col("source").isin(*_KS_A), F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("y")
+    )
+    p = docs.select(y, dquant(quality_prob("text"), 6).alias("p_fp"))
+    b = (
+        p.select(
+            F.least(
+                F.expr("p_fp div 100000").cast("int"), F.lit(_ECE_BINS - 1)
+            ).alias("bin"),
+            "y",
+            "p_fp",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").alias("n_pos"),
+            F.sum("p_fp").alias("sum_p_fp"),
+        )
+    )
+    t = b.agg(
+        F.sum(F.abs(F.col("n_pos") * 1000000 - F.col("sum_p_fp"))).alias(
+            "ece_num"
+        ),
+        F.sum("n").alias("n_total"),
+    )
+    return b.crossJoin(F.broadcast(t)).select(
+        "bin",
+        "n",
+        "n_pos",
+        "sum_p_fp",
+        F.round(F.col("sum_p_fp") / (F.col("n") * 1000000.0), 6).alias("conf"),
+        F.round(F.col("n_pos") / F.col("n").cast("double"), 6).alias("acc"),
+        F.abs(F.col("n_pos") * 1000000 - F.col("sum_p_fp")).alias("gap_fp"),
+        F.round(
+            F.col("ece_num") / (F.col("n_total") * 1000000.0), 6
+        ).alias("ece"),
+    )

@@ -882,3 +882,54 @@ def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("containment_fp"),
     )
+
+
+def _lsh_incremental_sql() -> str:
+    """Oracle for the incremental tier: identical signature/banding CTEs,
+    but the pair join takes one side from the NEW split (odd doc_id)
+    and the other from the CORPUS split — never new x new."""
+    rows = NUM_PERM // BANDS
+    bands_sql = "\n  UNION ALL\n".join(
+        "  SELECT id, {bi} AS band_idx, md5({key}) AS band_key FROM sig".format(
+            bi=bi,
+            key=" || ',' || ".join(
+                f"m{bi * rows + j}::VARCHAR" for j in range(rows)
+            ),
+        )
+        for bi in range(BANDS)
+    )
+    return (
+        _minhash_ctes()
+        + f""", buckets AS (
+{bands_sql}
+)
+SELECT a.id AS new_id, b.id AS corpus_id, count(*)::BIGINT AS n_bands
+FROM buckets a
+JOIN buckets b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+WHERE a.id % 2 = 1 AND b.id % 2 = 0
+GROUP BY a.id, b.id
+"""
+    )
+
+
+@query("lsh_incremental_candidates", _lsh_incremental_sql())
+def lsh_incremental_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LSH near-dup candidates: the arriving batch (doc_id % 2
+    = 1, the odd half) banded against the seen corpus (the even half) —
+    the batch twin of
+    ``streaming/dedup.py``'s continuous corpus dedup, and the join shape a
+    100 TB pipeline actually runs per ingest batch (new signatures only;
+    corpus bucket table persisted).  Both splits share the corpus-wide
+    seeded permutations, so a candidate found here is exactly what the full
+    self-join tier would have found for these pairs
+    (operators/dedup.py:lsh_incremental_candidates)."""
+    from hnsw_spark.operators.dedup import lsh_incremental_candidates
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < SUBSET
+    )
+    new_b = docs.filter(F.col("doc_id") % 2 == 1)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    return lsh_incremental_candidates(
+        new_b, corpus, num_perm=NUM_PERM, bands=BANDS, n=3, max_bucket=None
+    )
