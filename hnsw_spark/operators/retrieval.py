@@ -196,3 +196,68 @@ def diversify_mmr(
     return merged.groupBy("query_id").applyInPandas(
         greedy, "query_id long, id long, mmr_rank int, score_q long"
     )
+
+
+def prf_expansion_terms(
+    docs: DataFrame,
+    query_tokens: DataFrame,
+    feedback_k: int = 10,
+    n_terms: int = 4,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pseudo-relevance-feedback expansion terms (Rocchio/RM-style): run
+    BM25 for the seed query, take the top ``feedback_k`` documents, and
+    rank THEIR tokens by fixed-point tf·idf mass — Σ tf over the feedback
+    docs times the same Robertson idf BM25 uses — excluding the seed
+    tokens.  Returns DataFrame[(token, score_fp, rank)] of the top
+    ``n_terms`` expansion candidates.
+
+    Exactness: idf is floor-quantized to 1e-6 BEFORE the tf multiply, so
+    score_fp = tf_total · idf_fp is pure BIGINT and the (score DESC, token
+    ASC) cut is engine-invariant.  Scale shape: the feedback set is
+    ``feedback_k`` ids broadcast into the exploded corpus; the only
+    corpus-sized aggregates are the df table (one groupBy the BM25 pass
+    already needs) and the tf explode it shares."""
+    from hnsw_spark.functions.text import words
+    from hnsw_spark.operators.evaluation import dquant
+
+    seed = F.broadcast(query_tokens.select("token").distinct())
+    scores = bm25_scores(docs, seed, k1, b, text_col, id_col)
+    fb = F.broadcast(
+        scores.orderBy(F.col("bm25").desc(), "id").limit(feedback_k).select("id")
+    )
+    tok = docs.select(
+        F.col(id_col).alias("id"), F.explode(words(text_col)).alias("token")
+    ).filter(F.col("token") != "")
+    n_docs_df = tok.select("id").distinct().agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    df_all = tok.distinct().groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    tf_fb = (
+        tok.join(fb, "id")
+        .join(seed.withColumnRenamed("token", "_seed"),
+              F.col("token") == F.col("_seed"), "left_anti")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf_total"))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    scored = (
+        tf_fb.join(df_all, "token")
+        .crossJoin(F.broadcast(n_docs_df))
+        .select(
+            "token",
+            (F.col("tf_total") * dquant(idf, 6)).alias("score_fp"),
+        )
+    )
+    w_cut = scored.orderBy(F.col("score_fp").desc(), "token").limit(n_terms)
+    from pyspark.sql import Window
+
+    win = Window.orderBy(F.col("score_fp").desc(), "token")
+    return w_cut.withColumn("rank", F.row_number().over(win)).select(
+        "token", "score_fp", "rank"
+    )

@@ -389,3 +389,207 @@ def retrieval_quality_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ndcg_fp"),
     )
+
+
+_PRF_FB_K, _PRF_TERMS, _PRF_TOP = 10, 4, 10
+
+# shared corpus CTEs (identical to _BM25_SQL's) + a parameterized per-term
+# scorer so the seed pass and the expanded pass stay structurally one
+# definition
+_PRF_CORPUS = f"""
+tok AS (
+  SELECT doc_id AS id, unnest({_W}) AS token FROM documents
+),
+tok2 AS (SELECT * FROM tok WHERE token != ''),
+dlen AS (SELECT id, count(*)::BIGINT AS dl FROM tok2 GROUP BY id),
+stats AS (
+  SELECT count(*) AS n_docs, sum(dl)::DOUBLE / count(*) AS avgdl FROM dlen
+)
+"""
+
+
+def _prf_bm25_ctes(qcte: str, prefix: str) -> str:
+    return f""",
+{prefix}tf AS (
+  SELECT id, token, count(*)::BIGINT AS tf
+  FROM tok2 JOIN {qcte} USING (token) GROUP BY id, token
+),
+{prefix}df AS (SELECT token, count(*)::BIGINT AS df FROM {prefix}tf GROUP BY token),
+{prefix}per AS (
+  SELECT {prefix}tf.id,
+         floor((ln((stats.n_docs - {prefix}df.df + 0.5) / ({prefix}df.df + 0.5) + 1.0)
+                * ({prefix}tf.tf * 2.2))
+               / ({prefix}tf.tf + 1.2 * (0.25 + 0.75 * dlen.dl / stats.avgdl))
+               * 1000000.0 + 0.5)::BIGINT AS q
+  FROM {prefix}tf JOIN {prefix}df USING (token)
+  JOIN dlen ON {prefix}tf.id = dlen.id
+  CROSS JOIN stats
+),
+{prefix}score AS (
+  SELECT id, (sum(q))::DOUBLE / 1000000.0 AS bm25 FROM {prefix}per GROUP BY id
+)
+"""
+
+
+_PRF_SQL = (
+    "WITH "
+    + _PRF_CORPUS
+    + f""",
+qtok0 AS (
+  SELECT DISTINCT unnest(list_slice({_W}, 1, 4)) AS token
+  FROM documents WHERE doc_id = 0
+)"""
+    + _prf_bm25_ctes("qtok0", "a")
+    + f""",
+fb AS (
+  SELECT id FROM (
+    SELECT id, row_number() OVER (ORDER BY bm25 DESC, id) AS rn FROM ascore
+  ) WHERE rn <= {_PRF_FB_K}
+),
+df_all AS (
+  SELECT token, count(DISTINCT id)::BIGINT AS df FROM tok2 GROUP BY token
+),
+tf_fb AS (
+  SELECT token, count(*)::BIGINT AS tf_total
+  FROM tok2 JOIN fb USING (id)
+  WHERE token NOT IN (SELECT token FROM qtok0)
+  GROUP BY token
+),
+expanded AS (
+  SELECT token FROM (
+    SELECT t.token,
+           row_number() OVER (
+             ORDER BY t.tf_total
+               * floor(ln((stats.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                       * 1000000.0 + 0.5)::BIGINT DESC,
+             t.token) AS rn
+    FROM tf_fb t JOIN df_all d USING (token) CROSS JOIN stats
+  ) WHERE rn <= {_PRF_TERMS}
+),
+qtok1 AS (SELECT token FROM qtok0 UNION SELECT token FROM expanded)"""
+    + _prf_bm25_ctes("qtok1", "b")
+    + f"""
+SELECT id, bm25, rank FROM (
+  SELECT id, bm25, row_number() OVER (ORDER BY bm25 DESC, id) AS rank
+  FROM bscore
+) WHERE rank <= {_PRF_TOP}
+"""
+)
+
+
+@query("query_expansion_prf", _PRF_SQL)
+def query_expansion_prf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback retrieval: BM25 for doc 0's four-word seed
+    query, top-4 expansion terms mined from the top-10 feedback docs by
+    fixed-point tf·idf mass (seed terms excluded), then BM25 re-run with
+    the expanded query — top-10 (id, bm25, rank).  The classic
+    no-supervision recall booster between a raw query and a dense
+    re-ranker (operators/retrieval.py:prf_expansion_terms).
+
+    Scale shape: both BM25 passes broadcast their (tiny) token sets into
+    one shared corpus explode; the feedback set is 10 broadcast ids; the
+    only corpus-sized aggregates are the df/dlen tables every BM25 run
+    already needs."""
+    from hnsw_spark.operators.retrieval import bm25_scores, prf_expansion_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    qtok = (
+        docs.filter(F.col("doc_id") == 0)
+        .select(F.explode(F.slice(words("text"), 1, 4)).alias("token"))
+        .distinct()
+    )
+    exp = prf_expansion_terms(
+        docs, qtok, feedback_k=_PRF_FB_K, n_terms=_PRF_TERMS
+    )
+    qtok1 = qtok.union(exp.select("token")).distinct()
+    scores = bm25_scores(docs, qtok1)
+    w = Window.orderBy(F.col("bm25").desc(), "id")
+    return (
+        scores.orderBy(F.col("bm25").desc(), "id")
+        .limit(_PRF_TOP)
+        .withColumn("rank", F.row_number().over(w))
+        .select("id", "bm25", "rank")
+    )
+
+
+_PSG_TOP = 10
+
+
+def _passage_sql() -> str:
+    from hnsw_spark.queries.pipeline import _CHUNK_SQL
+
+    return f"""
+WITH chunks AS (
+  SELECT doc_id, chunk_id, chunk_text FROM ({_CHUNK_SQL})
+),
+qtok AS (
+  SELECT list_distinct(list_slice({_W}, 1, 4)) AS ql
+  FROM documents WHERE doc_id = 0
+),
+scored AS (
+  SELECT c.doc_id, c.chunk_id,
+         len(list_intersect(
+           list_distinct(string_split_regex(trim(lower(c.chunk_text)), '\\s+')),
+           q.ql))::BIGINT AS chunk_score
+  FROM chunks c CROSS JOIN qtok q
+),
+best AS (
+  SELECT doc_id, chunk_id AS best_chunk, chunk_score FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY chunk_score DESC, chunk_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT doc_id, best_chunk, chunk_score, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY chunk_score DESC, doc_id) AS rank
+  FROM best
+) WHERE rank <= {_PSG_TOP}
+"""
+
+
+@query("passage_search_maxpool", _passage_sql())
+def passage_search_maxpool_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level retrieval with document max-pooling: the corpus is
+    chunked into overlapping 128-token windows (the SAME chunker the RAG
+    write side uses — operators/packing.py:chunk_documents), each chunk
+    scored by distinct-overlap with doc 0's four-token probe, and each
+    document represented by its best passage (ties → earliest chunk);
+    top-10 docs by (score, doc_id).  This is the standard long-document
+    retrieval shape: score passages, pool max per parent.
+
+    Scale shape: chunking + scoring fuse into the scan stage (no shuffle
+    until the per-doc max window, which shuffles once on doc_id); the
+    probe token list is a one-row broadcast."""
+    from hnsw_spark.operators.packing import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_size=128, overlap=32).select(
+        "doc_id", "chunk_id", "chunk_text"
+    )
+    qtok = docs.filter(F.col("doc_id") == 0).select(
+        F.array_distinct(F.slice(words("text"), 1, 4)).alias("ql")
+    )
+    scored = chunks.crossJoin(F.broadcast(qtok)).select(
+        "doc_id",
+        "chunk_id",
+        F.size(
+            F.array_intersect(
+                F.array_distinct(words("chunk_text")), F.col("ql")
+            )
+        ).cast("long").alias("chunk_score"),
+    )
+    wd = Window.partitionBy("doc_id").orderBy(
+        F.col("chunk_score").desc(), "chunk_id"
+    )
+    best = (
+        scored.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("chunk_id").alias("best_chunk"), "chunk_score")
+    )
+    w = Window.orderBy(F.col("chunk_score").desc(), "doc_id")
+    return (
+        best.orderBy(F.col("chunk_score").desc(), "doc_id")
+        .limit(_PSG_TOP)
+        .withColumn("rank", F.row_number().over(w))
+        .select("doc_id", "best_chunk", "chunk_score", "rank")
+    )

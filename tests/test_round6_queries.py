@@ -93,3 +93,63 @@ def test_lsh_incremental_never_pairs_within_batch(spark):
     ).collect()
     for r in out:
         assert r["new_id"] % 2 == 1 and r["corpus_id"] % 2 == 0
+
+
+def test_prf_expansion_excludes_seed_and_ranks_by_mass(spark):
+    from hnsw_spark.operators.retrieval import prf_expansion_terms
+    from hnsw_spark.functions.text import words
+    from hnsw_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    qtok = (
+        docs.filter(F.col("doc_id") == 0)
+        .select(F.explode(F.slice(words("text"), 1, 4)).alias("token"))
+        .distinct()
+    )
+    seed = {r["token"] for r in qtok.collect()}
+    exp = prf_expansion_terms(docs, qtok, feedback_k=10, n_terms=4).collect()
+    assert 0 < len(exp) <= 4
+    assert [r["rank"] for r in sorted(exp, key=lambda r: r["rank"])] == list(
+        range(1, len(exp) + 1)
+    )
+    for r in exp:
+        assert r["token"] not in seed
+        assert r["score_fp"] > 0
+    # ranks follow (score DESC, token ASC)
+    ordered = sorted(exp, key=lambda r: (-r["score_fp"], r["token"]))
+    assert [r["token"] for r in ordered] == [
+        r["token"] for r in sorted(exp, key=lambda r: r["rank"])
+    ]
+
+
+def test_passage_maxpool_reference(spark):
+    out = _queries()["passage_search_maxpool"](spark, SF).collect()
+    from hnsw_spark.functions.text import words
+    from hnsw_spark.operators.packing import chunk_documents
+    from hnsw_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    ql = set(
+        docs.filter(F.col("doc_id") == 0)
+        .select(F.explode(F.slice(words("text"), 1, 4)).alias("t"))
+        .toPandas()["t"]
+    )
+    chunks = chunk_documents(docs, chunk_size=128, overlap=32).select(
+        "doc_id", "chunk_id", "chunk_text"
+    ).collect()
+    best: dict[int, tuple] = {}
+    for c in chunks:
+        toks = set(c["chunk_text"].strip().lower().split())
+        score = len(toks & ql)
+        key = c["doc_id"]
+        cand = (-score, c["chunk_id"])
+        if key not in best or cand < best[key]:
+            best[key] = cand
+    ranked = sorted(
+        ((-(s_neg), cid, did) for did, (s_neg, cid) in best.items()),
+        key=lambda t: (-t[0], t[2]),
+    )[:10]
+    got = sorted(out, key=lambda r: r["rank"])
+    assert [(r["chunk_score"], r["best_chunk"], r["doc_id"]) for r in got] == [
+        (s, c, d) for s, c, d in ranked
+    ]
