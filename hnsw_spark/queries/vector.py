@@ -756,3 +756,219 @@ def classifier_eval_kappa_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp("expected_agreement").alias("expected_fp"),
         fp("kappa").alias("kappa_fp"),
     )
+
+
+_KM_K, _KM_DIM = 4, 64
+
+_KMEANS_SQL = f"""
+WITH xf AS (
+  SELECT vec_id AS id,
+         list_transform(embedding::DOUBLE[],
+                        e -> floor(e * 1000000.0 + 0.5)::BIGINT) AS x
+  FROM embeddings
+),
+c0 AS (SELECT id AS cluster, x AS c FROM xf WHERE id < {_KM_K}),
+d1 AS (
+  SELECT xf.id, c0.cluster,
+         list_sum(list_transform(generate_series(1, {_KM_DIM}),
+                  j -> (xf.x[j] - c0.c[j]) * (xf.x[j] - c0.c[j])))::BIGINT AS d2
+  FROM xf CROSS JOIN c0
+),
+a1 AS (
+  SELECT id, cluster FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY d2, cluster) AS rn
+    FROM d1) WHERE rn = 1
+),
+xp AS (
+  SELECT id, g.j AS pos, x[g.j] AS v
+  FROM xf, (SELECT unnest(generate_series(1, {_KM_DIM})) AS j) g
+),
+c1 AS (
+  SELECT a1.cluster, xp.pos,
+         floor(sum(xp.v) / (count(*) * 1.0))::BIGINT AS cv
+  FROM a1 JOIN xp USING (id) GROUP BY a1.cluster, xp.pos
+),
+d2r AS (
+  SELECT xp.id, c1.cluster, sum((xp.v - c1.cv) * (xp.v - c1.cv))::BIGINT AS d2
+  FROM xp JOIN c1 ON xp.pos = c1.pos
+  GROUP BY xp.id, c1.cluster
+),
+a2 AS (
+  SELECT id, cluster, d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY d2, cluster) AS rn
+    FROM d2r) WHERE rn = 1
+)
+SELECT cluster, count(*)::BIGINT AS n_points, sum(d2)::BIGINT AS inertia_fp
+FROM a2 GROUP BY cluster
+"""
+
+
+@query("kmeans_lloyd_gate", _KMEANS_SQL)
+def kmeans_lloyd_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed quantized Lloyd's k-means (k=4, two assignment rounds,
+    seed centroids = vec_id 0..3): per-cluster size and exact integer
+    inertia after the second assignment.  Every step of the trajectory —
+    fixed-point squared distances, min-(d2, cluster) argmin, floor-mean
+    centroid update — is BIGINT-exact, so the oracle replays the whole
+    algorithm bit-for-bit (operators/kmeans.py:kmeans_lloyd).
+
+    Scale shape per iteration: assignment = broadcast of k centroids +
+    min_by aggregation (no rank window over the corpus); update = one
+    (cluster, dim) shuffle of k·d partial sums.  The corpus is scanned
+    once per iteration and nothing data-sized ever reaches the driver —
+    the contrast to the driver-side kmeans++ sampler the IVF trainer uses
+    (operators/ann.py)."""
+    from hnsw_spark.operators.kmeans import kmeans_lloyd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = kmeans_lloyd(emb, k=_KM_K, iterations=2)
+    return assign.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("d2").alias("inertia_fp"),
+    )
+
+
+_LPA_N, _LPA_T, _LPA_ROUNDS = 200, 0.3, 3
+
+_LPA_COS = """list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"""
+
+
+def _lpa_sql() -> str:
+    rounds_sql = ""
+    prev = "l0"
+    for r in range(1, _LPA_ROUNDS + 1):
+        rounds_sql += f""",
+c{r} AS (
+  SELECT ee.u AS node, {prev}.label, count(*)::BIGINT AS n
+  FROM ee JOIN {prev} ON ee.v = {prev}.node
+  GROUP BY ee.u, {prev}.label
+),
+p{r} AS (
+  SELECT node, label FROM (
+    SELECT *, row_number() OVER (PARTITION BY node
+                                 ORDER BY n DESC, label) AS rn
+    FROM c{r}) WHERE rn = 1
+),
+l{r} AS (
+  SELECT {prev}.node, coalesce(p{r}.label, {prev}.label) AS label
+  FROM {prev} LEFT JOIN p{r} ON p{r}.node = {prev}.node
+)"""
+        prev = f"l{r}"
+    return f"""
+WITH e AS (
+  SELECT a.vec_id AS u, b.vec_id AS v
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE a.vec_id < {_LPA_N} AND b.vec_id < {_LPA_N} AND {_LPA_COS} >= {_LPA_T}
+),
+ee AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+l0 AS (SELECT vec_id AS node, vec_id AS label FROM embeddings
+       WHERE vec_id < {_LPA_N}){rounds_sql}
+SELECT node, label AS community FROM {prev}
+"""
+
+
+@query("label_propagation_communities", _lpa_sql())
+def label_propagation_communities_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Synchronous label-propagation community detection (3 rounds,
+    min-label tie-break) over the cosine≥0.3 similarity graph on the
+    vec_id<200 window — the same edge set the triangle/k-core gates use,
+    so the three queries together profile one graph.  Deterministic by
+    construction (synchronous update + total tie order), every node's
+    community pinned by the unrolled oracle
+    (operators/lpa.py:label_propagation)."""
+    from hnsw_spark.operators.dedup import embedding_neardup
+    from hnsw_spark.operators.lpa import label_propagation
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _LPA_N
+    )
+    edges = embedding_neardup(emb, threshold=_LPA_T, strategy="brute").select(
+        "id_a", "id_b"
+    )
+    nodes = emb.select(F.col("vec_id").alias("node"))
+    return label_propagation(edges, nodes, rounds=_LPA_ROUNDS)
+
+
+_DRIFT_SQL = """
+WITH pos AS (
+  SELECT label, vec_id % 2 AS cohort, j.j AS pos, embedding[j.j]::DOUBLE AS v
+  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS j) j
+), cent AS (
+  SELECT label, cohort, pos,
+         ((sum(floor(v * 1000000.0 + 0.5)::BIGINT))::DOUBLE / 1000000.0)
+           / count(*) AS c,
+         count(*)::BIGINT AS n
+  FROM pos GROUP BY label, cohort, pos
+), wide AS (
+  SELECT a.label, a.pos, a.c AS ca, b.c AS cb, a.n AS n_a, b.n AS n_b
+  FROM cent a JOIN cent b
+    ON a.label = b.label AND a.pos = b.pos
+   AND a.cohort = 0 AND b.cohort = 1
+), agg AS (
+  SELECT label, max(n_a) AS n_a, max(n_b) AS n_b,
+         sum(ca * cb) AS dot, sum(ca * ca) AS naa, sum(cb * cb) AS nbb
+  FROM wide GROUP BY label
+)
+SELECT label::INT AS label, n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+       round(dot / (sqrt(naa) * sqrt(nbb)), 6) AS drift_cos
+FROM agg
+"""
+
+
+@query("embedding_drift_cohorts", _DRIFT_SQL)
+def embedding_drift_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift screen between two ingestion cohorts (even vs odd
+    vec_id — stand-ins for "last week's model" vs "this week's"): per
+    label, the cosine between the cohorts' centroids.  A drift_cos
+    meaningfully below 1 flags a representation shift that silently
+    degrades ANN indexes and dedup thresholds — the first dashboard a
+    production embedding pipeline needs.
+
+    Scale shape: same fixed-point posexplode centroid pass as
+    ``label_centroid_distances`` (shuffle carries labels×2×64 partial
+    aggregates, never vectors); the cohort-pair join and cosine run on the
+    centroid table, broadcast-tiny at any corpus size."""
+    from hnsw_spark.operators.evaluation import davg
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("cohort"),
+        F.posexplode("embedding").alias("pos", "v"),
+    )
+    cent = pos.groupBy("label", "cohort", "pos").agg(
+        davg(F.col("v").cast("double"), 6).alias("c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    a = cent.filter(F.col("cohort") == 0).select(
+        "label", "pos", F.col("c").alias("ca"), F.col("n").alias("n_a")
+    )
+    b = cent.filter(F.col("cohort") == 1).select(
+        "label",
+        F.col("pos").alias("pos_b"),
+        F.col("c").alias("cb"),
+        F.col("n").alias("n_b"),
+    )
+    wide = a.join(
+        b,
+        (a["label"] == b["label"]) & (a["pos"] == b["pos_b"]),
+    ).select(a["label"].alias("lbl"), "ca", "cb", "n_a", "n_b")
+    agg = wide.groupBy("lbl").agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.sum(F.col("ca") * F.col("cb")).alias("dot"),
+        F.sum(F.col("ca") * F.col("ca")).alias("naa"),
+        F.sum(F.col("cb") * F.col("cb")).alias("nbb"),
+    )
+    return agg.select(
+        F.col("lbl").cast("int").alias("label"),
+        "n_a",
+        "n_b",
+        F.round(
+            F.col("dot") / (F.sqrt("naa") * F.sqrt("nbb")), 6
+        ).alias("drift_cos"),
+    )

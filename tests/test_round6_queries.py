@@ -153,3 +153,117 @@ def test_passage_maxpool_reference(spark):
     assert [(r["chunk_score"], r["best_chunk"], r["doc_id"]) for r in got] == [
         (s, c, d) for s, c, d in ranked
     ]
+
+
+def _ref_kmeans(vectors: dict[int, list[float]], k: int, iterations: int):
+    """Pure-python quantized Lloyd's mirroring operators/kmeans.py."""
+    xf = {
+        i: [math.floor(e * 1_000_000.0 + 0.5) for e in v]
+        for i, v in vectors.items()
+    }
+    cents = {i: list(xf[i]) for i in sorted(xf) if i < k}
+
+    def assign():
+        out = {}
+        for i, x in xf.items():
+            best = min(
+                (sum((a - b) * (a - b) for a, b in zip(x, c)), cl)
+                for cl, c in cents.items()
+            )
+            out[i] = (best[1], best[0])
+        return out
+
+    a = assign()
+    for _ in range(iterations - 1):
+        sums: dict[int, list] = {}
+        counts: dict[int, int] = {}
+        for i, (cl, _) in a.items():
+            counts[cl] = counts.get(cl, 0) + 1
+            s = sums.setdefault(cl, [0] * len(xf[i]))
+            for j, v in enumerate(xf[i]):
+                s[j] += v
+        cents = {
+            cl: [math.floor(s[j] / counts[cl]) for j in range(len(s))]
+            for cl, s in sums.items()
+        }
+        a = assign()
+    return a
+
+
+def test_kmeans_lloyd_matches_python_reference(spark):
+    from hnsw_spark.operators.kmeans import kmeans_lloyd
+    from hnsw_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    got = {
+        r["id"]: (r["cluster"], r["d2"])
+        for r in kmeans_lloyd(emb, k=4, iterations=2).collect()
+    }
+    vecs = {
+        r["vec_id"]: list(r["embedding"])
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    assert got == _ref_kmeans(vecs, 4, 2)
+
+
+def _ref_lpa(edges: list[tuple[int, int]], nodes: list[int], rounds: int):
+    nbrs: dict[int, list[int]] = {n: [] for n in nodes}
+    for a, b in edges:
+        nbrs[a].append(b)
+        nbrs[b].append(a)
+    labels = {n: n for n in nodes}
+    for _ in range(rounds):
+        new = {}
+        for n in nodes:
+            if not nbrs[n]:
+                new[n] = labels[n]
+                continue
+            counts: dict[int, int] = {}
+            for m in nbrs[n]:
+                counts[labels[m]] = counts.get(labels[m], 0) + 1
+            new[n] = min(counts, key=lambda l: (-counts[l], l))
+        labels = new
+    return labels
+
+
+def test_label_propagation_matches_python_reference(spark):
+    import random
+
+    from hnsw_spark.operators.lpa import label_propagation
+
+    rng = random.Random(7)
+    nodes = list(range(60))
+    edges = sorted(
+        {
+            tuple(sorted(rng.sample(nodes, 2)))
+            for _ in range(120)
+        }
+    )
+    e_df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    n_df = spark.createDataFrame([(n,) for n in nodes], ["node"])
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(e_df, n_df, rounds=3).collect()
+    }
+    assert got == _ref_lpa(edges, nodes, 3)
+
+
+def test_embedding_drift_bounds(spark):
+    rows = _queries()["embedding_drift_cohorts"](spark, SF).collect()
+    from hnsw_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    sizes = {
+        (r["label"], r["cohort"]): r["n"]
+        for r in emb.select(
+            "label", (F.col("vec_id") % 2).alias("cohort")
+        )
+        .groupBy("label", "cohort")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert rows
+    for r in rows:
+        assert -1.0 <= r["drift_cos"] <= 1.0
+        assert r["n_a"] == sizes[(r["label"], 0)]
+        assert r["n_b"] == sizes[(r["label"], 1)]
