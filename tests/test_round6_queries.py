@@ -267,3 +267,48 @@ def test_embedding_drift_bounds(spark):
         assert -1.0 <= r["drift_cos"] <= 1.0
         assert r["n_a"] == sizes[(r["label"], 0)]
         assert r["n_b"] == sizes[(r["label"], 1)]
+
+
+def test_npy_writer_reader_numpy_cross_check(tmp_path, spark):
+    """Our NPY writer must be readable by numpy, and our reader must read
+    numpy's own writer — both directions, plus limit/offset pushdown and
+    corrupt-input rejection."""
+    import numpy as np
+
+    from hnsw_spark.sources.npy import decode_npy, read_npy, write_npy
+
+    rng = np.random.default_rng(11)
+    mat = rng.standard_normal((37, 5)).astype(np.float32)
+
+    ours = str(tmp_path / "ours.npy")
+    write_npy(ours, mat)
+    assert np.array_equal(np.load(ours), mat)
+
+    theirs = str(tmp_path / "theirs.npy")
+    np.save(theirs, mat)
+    ids, dec = decode_npy(open(theirs, "rb").read())
+    assert np.array_equal(dec, mat) and list(ids) == list(range(37))
+
+    out = read_npy(spark, ours, limit=10, offset=5).orderBy("vec_id").collect()
+    assert [r["vec_id"] for r in out] == list(range(5, 15))
+    assert np.array_equal(
+        np.stack([np.array(r["embedding"], np.float32) for r in out]),
+        mat[5:15],
+    )
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="magic"):
+        decode_npy(b"NOTNPY" + b"\x00" * 64)
+    fortran = str(tmp_path / "f.npy")
+    np.save(fortran, np.asfortranarray(mat))
+    with _pytest.raises(ValueError, match="fortran"):
+        decode_npy(open(fortran, "rb").read())
+    with _pytest.raises(ValueError, match="2-D"):
+        one_d = str(tmp_path / "one.npy")
+        np.save(one_d, mat.ravel())
+        decode_npy(open(one_d, "rb").read())
+    with _pytest.raises(ValueError, match="dtype"):
+        f8 = str(tmp_path / "f8.npy")
+        np.save(f8, mat.astype(np.float64))
+        decode_npy(open(f8, "rb").read())
