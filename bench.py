@@ -152,6 +152,18 @@ HEADLINE = [
     "supplier_part_variety",
     "bracketed_quantity_revenue",
     "excess_shipment_suppliers",
+    "trending_topn",
+    "ohlc_bars",
+    "top_event_paths",
+    "snapshot_diff_cdc",
+    "calibration_bins",
+    "lsh_incremental_candidates",
+    "query_expansion_prf",
+    "passage_search_maxpool",
+    "kmeans_lloyd_gate",
+    "label_propagation_communities",
+    "embedding_drift_cohorts",
+    "npy_roundtrip",
     # NOT benched: bpe_encode_gate (BPE training cost already measured by
     # the bpe_merges cell), pagerank_gate (wall is the O(n²) exact-kNN
     # graph build, not the operator under test), and classifier_eval_kappa

@@ -296,7 +296,10 @@ def bigram_logprob(
     bg = base.select(
         "doc_id", F.explode(shingles_w(F.col("w"), 2)).alias("bg")
     )
-    tf = bg.groupBy("doc_id", "bg").agg(F.count("*").alias("tf"))
+    # tf feeds three consumers (cbg, ctx via cbg, and the scoring join);
+    # persist it so the bigram explode+aggregate runs once, the same
+    # 3-scans→1 treatment the tfidf tier got (queries/text.py:610)
+    tf = bg.groupBy("doc_id", "bg").agg(F.count("*").alias("tf")).persist()
     cbg = tf.groupBy("bg").agg(F.sum("tf").alias("c_bg"))
     ctx = (
         cbg.withColumn("ctx", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))

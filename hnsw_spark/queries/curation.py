@@ -382,8 +382,15 @@ def chunk_pooled_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("v") * 1000000.0 + 0.5).cast("long").alias("qv"),
     )
     sq = comps.groupBy("doc_id", "k").agg(F.sum("qv").alias("s"))
-    s2 = sq.groupBy("doc_id").agg(F.sum(F.col("s") * F.col("s")).alias("s2"))
-    return sq.join(s2, "doc_id").select(
+    # norm via a doc-partitioned window (32 rows per partition) instead of
+    # a second aggregate + self-join: the chunk→hash→pool pipeline above
+    # is evaluated ONCE (the join formulation recomputed it for both
+    # branches), and the BIGINT Σs² is order-insensitive so results are
+    # unchanged
+    w = Window.partitionBy("doc_id")
+    return sq.withColumn(
+        "s2", F.sum(F.col("s") * F.col("s")).over(w)
+    ).select(
         "doc_id",
         "k",
         F.round(F.col("s") / F.sqrt(F.col("s2")), 6).alias("value"),
