@@ -262,3 +262,178 @@ def snapshot_diff_cdc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("total_fp_before", F.lit(0)).alias("total_fp_before"),
         F.coalesce("total_fp_after", F.lit(0)).alias("total_fp_after"),
     )
+
+
+_LATE_BUCKET, _LATE_THRESH_US = 1024, 3_600_000_000
+
+_LATENESS_SQL = f"""
+WITH arr AS (
+  SELECT event_id, ts,
+         max(ts) OVER (ORDER BY event_id
+                       ROWS UNBOUNDED PRECEDING) AS watermark
+  FROM events
+), late AS (
+  SELECT date_trunc('hour', ts) AS event_hour,
+         date_diff('microsecond', ts, watermark)::BIGINT AS late_us
+  FROM arr
+)
+SELECT event_hour, count(*)::BIGINT AS n_events,
+       sum(CASE WHEN late_us > {_LATE_THRESH_US} THEN 1 ELSE 0 END)::BIGINT
+         AS n_late_1h,
+       max(late_us)::BIGINT AS max_late_us
+FROM late GROUP BY event_hour
+"""
+
+
+@query("watermark_lateness_report", _LATENESS_SQL)
+def watermark_lateness_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-design audit: with arrival order = event_id, how far
+    behind the running max event-time does each event arrive?  Per
+    event-time hour: event count, events more than 1 h late (what a 1 h
+    watermark would drop), and the worst lateness — THE report read before
+    choosing a Structured Streaming watermark for this source
+    (streaming/ingest.py's default comes from exactly this distribution).
+
+    Scale shape — distributed prefix max, no global window: the oracle's
+    single ``ORDER BY event_id ROWS UNBOUNDED PRECEDING`` window would run
+    one-partition at corpus scale, so the plan splits arrival order into
+    {bucket}-row buckets, takes per-bucket maxima (one aggregate), runs
+    the running max over the BUCKET table (tiny, one partition of
+    n/{bucket} rows), and broadcasts it back as each bucket's carry-in:
+    max is associative, so two-level == global, bit-for-bit.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    bucket = F.expr(f"event_id div {_LATE_BUCKET}")
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = ev.withColumn("bucket", bucket).withColumn(
+        "run_in", F.max("ts").over(w_in)
+    )
+    bmax = (
+        within.groupBy("bucket")
+        .agg(F.max("ts").alias("bmax"))
+    )
+    w_b = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = bmax.select(
+        "bucket", F.max("bmax").over(w_b).alias("prev_max")
+    )
+    arr = within.join(F.broadcast(carry), "bucket").select(
+        "ts",
+        F.when(
+            F.col("prev_max").isNull() | (F.col("run_in") >= F.col("prev_max")),
+            F.col("run_in"),
+        )
+        .otherwise(F.col("prev_max"))
+        .alias("watermark"),
+    )
+    late = arr.select(
+        F.date_trunc("hour", "ts").alias("event_hour"),
+        F.expr("timestampdiff(MICROSECOND, ts, watermark)")
+        .cast("bigint")
+        .alias("late_us"),
+    )
+    return late.groupBy("event_hour").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(F.col("late_us") > _LATE_THRESH_US, 1).otherwise(0)
+        ).cast("bigint").alias("n_late_1h"),
+        F.max("late_us").alias("max_late_us"),
+    )
+
+
+_RFM_SQL = """
+WITH agg AS (
+  SELECT user_id,
+         max(ts) AS last_ts,
+         count(*)::BIGINT AS frequency,
+         sum(floor(value * 1000000.0 + 0.5)::BIGINT)::BIGINT AS monetary_fp
+  FROM events GROUP BY user_id
+), t AS (SELECT max(last_ts) AS now FROM agg),
+m AS (
+  SELECT user_id, frequency, monetary_fp,
+         (date_diff('microsecond', last_ts, t.now) // 1000000)::BIGINT
+           AS recency_s
+  FROM agg, t
+), n AS (SELECT count(*)::BIGINT AS n_users FROM m),
+r AS (
+  SELECT m.*, n.n_users,
+         row_number() OVER (ORDER BY recency_s, user_id) AS rk_r,
+         row_number() OVER (ORDER BY frequency DESC, user_id) AS rk_f,
+         row_number() OVER (ORDER BY monetary_fp DESC, user_id) AS rk_m
+  FROM m, n
+)
+SELECT user_id, recency_s, frequency, monetary_fp,
+       (5 - (5 * (rk_r - 1)) // n_users)::INT AS r_score,
+       (5 - (5 * (rk_f - 1)) // n_users)::INT AS f_score,
+       (5 - (5 * (rk_m - 1)) // n_users)::INT AS m_score
+FROM r
+"""
+
+
+@query("user_rfm_scores", _RFM_SQL)
+def user_rfm_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM feature table: per user, recency in exact integer seconds
+    behind the corpus frontier, event frequency, fixed-point monetary
+    total, and 1-5 quintile scores (5 = best) via the floor-index rank
+    cut — deterministic ties on user_id, no ntile (whose remainder
+    distribution is engine-defined).
+
+    Scale shape: the corpus reduces to one row per user BEFORE any window;
+    the three rank windows run over the user dimension only.  For user
+    counts where even that table is too wide for one partition, the
+    quantile cut swaps for the two-pass bucket-threshold trick
+    (``token_budget_selection``); at fixture scale the honest plan is the
+    simple one."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(
+            F.floor(F.col("value") * 1000000.0 + 0.5).cast("bigint")
+        ).alias("monetary_fp"),
+    )
+    t = agg.agg(F.max("last_ts").alias("now"))
+    n = agg.agg(F.count(F.lit(1)).alias("n_users"))
+    m = agg.crossJoin(F.broadcast(t)).select(
+        "user_id",
+        "frequency",
+        "monetary_fp",
+        F.expr("timestampdiff(MICROSECOND, last_ts, now) div 1000000")
+        .cast("bigint")
+        .alias("recency_s"),
+    )
+    rk_r = F.row_number().over(Window.orderBy("recency_s", "user_id"))
+    rk_f = F.row_number().over(
+        Window.orderBy(F.col("frequency").desc(), "user_id")
+    )
+    rk_m = F.row_number().over(
+        Window.orderBy(F.col("monetary_fp").desc(), "user_id")
+    )
+    ranked = m.crossJoin(F.broadcast(n)).select(
+        "user_id",
+        "recency_s",
+        "frequency",
+        "monetary_fp",
+        rk_r.alias("rk_r"),
+        rk_f.alias("rk_f"),
+        rk_m.alias("rk_m"),
+        "n_users",
+    )
+    score = lambda rk: (  # noqa: E731
+        F.lit(5) - F.expr(f"(5 * ({rk} - 1)) div n_users")
+    ).cast("int")
+    return ranked.select(
+        "user_id",
+        "recency_s",
+        "frequency",
+        "monetary_fp",
+        score("rk_r").alias("r_score"),
+        score("rk_f").alias("f_score"),
+        score("rk_m").alias("m_score"),
+    )

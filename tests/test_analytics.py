@@ -122,3 +122,61 @@ def test_snapshot_diff_ops(spark):
         assert op in ("insert", "delete", "update")
         if op == "insert":
             assert (nb, fb) == (0, 0)
+
+
+def test_watermark_lateness_two_level_equals_naive(spark):
+    """The bucketed prefix-max must equal the naive single-window running
+    max row-for-row (associativity proof by example)."""
+    rows = _queries()["watermark_lateness_report"](spark, SF).collect()
+    ev = sorted(_events(spark), key=lambda r: r["event_id"])
+    run, naive = None, {}
+    for r in ev:
+        run = r["ts"] if run is None or r["ts"] > run else run
+        hour = r["ts"].replace(minute=0, second=0, microsecond=0)
+        late = int((run - r["ts"]).total_seconds() * 1_000_000)
+        n, nl, mx = naive.get(hour, (0, 0, 0))
+        naive[hour] = (
+            n + 1,
+            nl + (1 if late > 3_600_000_000 else 0),
+            max(mx, late),
+        )
+    got = {
+        r["event_hour"]: (r["n_events"], r["n_late_1h"], r["max_late_us"])
+        for r in rows
+    }
+    assert got == naive
+
+
+def test_user_rfm_scores_reference(spark):
+    rows = {r["user_id"]: r for r in _queries()["user_rfm_scores"](spark, SF).collect()}
+    ev = _events(spark)
+    agg: dict[int, list] = {}
+    for r in ev:
+        a = agg.setdefault(r["user_id"], [None, 0, 0])
+        a[0] = r["ts"] if a[0] is None or r["ts"] > a[0] else a[0]
+        a[1] += 1
+        a[2] += math.floor(r["value"] * 1_000_000.0 + 0.5)
+    now = max(a[0] for a in agg.values())
+    m = {
+        u: (
+            int((now - a[0]).total_seconds()),
+            a[1],
+            a[2],
+        )
+        for u, a in agg.items()
+    }
+    n = len(m)
+
+    def scores(key, reverse):
+        order = sorted(m, key=lambda u: (m[u][key] * (-1 if reverse else 1), u))
+        return {u: 5 - (5 * i) // n for i, u in enumerate(order)}
+
+    r_s, f_s, m_s = scores(0, False), scores(1, True), scores(2, True)
+    assert set(rows) == set(m)
+    for u, r in rows.items():
+        assert (r["recency_s"], r["frequency"], r["monetary_fp"]) == m[u]
+        assert (r["r_score"], r["f_score"], r["m_score"]) == (
+            r_s[u],
+            f_s[u],
+            m_s[u],
+        )
