@@ -164,6 +164,8 @@ HEADLINE = [
     "label_propagation_communities",
     "embedding_drift_cohorts",
     "npy_roundtrip",
+    "watermark_lateness_report",
+    "user_rfm_scores",
     # NOT benched: bpe_encode_gate (BPE training cost already measured by
     # the bpe_merges cell), pagerank_gate (wall is the O(n²) exact-kNN
     # graph build, not the operator under test), and classifier_eval_kappa

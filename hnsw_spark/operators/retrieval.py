@@ -41,8 +41,18 @@ def bm25_scores(
     idf = ln((N − df + 0.5)/(df + 0.5) + 1)  (the standard non-negative
     Robertson–Spärck Jones smoothing); term = idf · tf·(k1+1) /
     (tf + k1·(1 − b + b·dl/avgdl))."""
+    tok, dlen, stats = bm25_corpus(docs, text_col, id_col)
+    return bm25_scores_from(tok, dlen, stats, query_tokens, k1, b)
+
+
+def bm25_corpus(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(tok, dlen, stats) — the corpus-side frames every BM25 pass needs.
+    Build once and share across passes (PRF runs two; a query service runs
+    thousands): ``tok`` is the one corpus explode, ``dlen``/``stats``
+    derive from it.  Callers that reuse them should ``persist`` ``tok``."""
     from hnsw_spark.functions.text import words
-    from hnsw_spark.operators.evaluation import dquant
 
     tok = docs.select(
         F.col(id_col).alias("id"), F.explode(words(text_col)).alias("token")
@@ -52,6 +62,20 @@ def bm25_scores(
         F.count("*").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
     )
+    return tok, dlen, stats
+
+
+def bm25_scores_from(
+    tok: DataFrame,
+    dlen: DataFrame,
+    stats: DataFrame,
+    query_tokens: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 scoring pass over prebuilt corpus frames (see ``bm25_corpus``)."""
+    from hnsw_spark.operators.evaluation import dquant
+
     qtok = F.broadcast(query_tokens.select("token").distinct())
     qtf = tok.join(qtok, "token").groupBy("id", "token").agg(
         F.count("*").alias("tf")
@@ -207,6 +231,7 @@ def prf_expansion_terms(
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    corpus: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Pseudo-relevance-feedback expansion terms (Rocchio/RM-style): run
     BM25 for the seed query, take the top ``feedback_k`` documents, and
@@ -220,21 +245,21 @@ def prf_expansion_terms(
     ASC) cut is engine-invariant.  Scale shape: the feedback set is
     ``feedback_k`` ids broadcast into the exploded corpus; the only
     corpus-sized aggregates are the df table (one groupBy the BM25 pass
-    already needs) and the tf explode it shares."""
-    from hnsw_spark.functions.text import words
+    already needs) and the tf explode it shares.  Pass ``corpus`` (a
+    persisted ``bm25_corpus`` triple) to share the one corpus explode with
+    the caller's own scoring passes — the PRF query does, cutting three
+    corpus explodes to one."""
     from hnsw_spark.operators.evaluation import dquant
 
     seed = F.broadcast(query_tokens.select("token").distinct())
-    scores = bm25_scores(docs, seed, k1, b, text_col, id_col)
+    tok, dlen, stats = (
+        corpus if corpus is not None else bm25_corpus(docs, text_col, id_col)
+    )
+    scores = bm25_scores_from(tok, dlen, stats, seed, k1, b)
     fb = F.broadcast(
         scores.orderBy(F.col("bm25").desc(), "id").limit(feedback_k).select("id")
     )
-    tok = docs.select(
-        F.col(id_col).alias("id"), F.explode(words(text_col)).alias("token")
-    ).filter(F.col("token") != "")
-    n_docs_df = tok.select("id").distinct().agg(
-        F.count(F.lit(1)).alias("n_docs")
-    )
+    n_docs_df = dlen.agg(F.count(F.lit(1)).alias("n_docs"))
     df_all = tok.distinct().groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     tf_fb = (
         tok.join(fb, "id")

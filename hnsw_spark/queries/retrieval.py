@@ -487,10 +487,15 @@ def query_expansion_prf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-ranker (operators/retrieval.py:prf_expansion_terms).
 
     Scale shape: both BM25 passes broadcast their (tiny) token sets into
-    one shared corpus explode; the feedback set is 10 broadcast ids; the
-    only corpus-sized aggregates are the df/dlen tables every BM25 run
-    already needs."""
-    from hnsw_spark.operators.retrieval import bm25_scores, prf_expansion_terms
+    ONE shared persisted corpus explode (``bm25_corpus``) — seed scoring,
+    expansion mining, and the expanded re-run all read the same tok/dlen
+    frames, so the corpus is tokenized once; the feedback set is 10
+    broadcast ids."""
+    from hnsw_spark.operators.retrieval import (
+        bm25_corpus,
+        bm25_scores_from,
+        prf_expansion_terms,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     qtok = (
@@ -498,11 +503,18 @@ def query_expansion_prf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(F.slice(words("text"), 1, 4)).alias("token"))
         .distinct()
     )
+    tok, dlen, stats = bm25_corpus(docs)
+    tok = tok.persist()
+    dlen = dlen.persist()
     exp = prf_expansion_terms(
-        docs, qtok, feedback_k=_PRF_FB_K, n_terms=_PRF_TERMS
+        docs,
+        qtok,
+        feedback_k=_PRF_FB_K,
+        n_terms=_PRF_TERMS,
+        corpus=(tok, dlen, stats),
     )
     qtok1 = qtok.union(exp.select("token")).distinct()
-    scores = bm25_scores(docs, qtok1)
+    scores = bm25_scores_from(tok, dlen, stats, qtok1)
     w = Window.orderBy(F.col("bm25").desc(), "id")
     return (
         scores.orderBy(F.col("bm25").desc(), "id")

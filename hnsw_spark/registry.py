@@ -23,23 +23,20 @@ ORACLES: dict[str, str] = {}
 # evidence) run LAST, and everything with a fresh driver row rides behind.
 #
 # EVIDENCE-FRESHNESS BUDGET (adopted round 5, per VERDICT r4 #4): net-new
-# registrations are capped at ~25 per round so the 50-row window can
-# re-certify the whole registry within roughly two rounds of any addition.
-# Every oracle-backed query must hold either a driver CORRECTNESS row or a
-# builder-side ORACLE_FULL row (exact at sf0.01 AND sf0.1) from the current
-# round, and no query may go more than ~3 rounds without rotating back into
-# the driver window.
+# registrations are capped at ~25 per round so the window can re-certify
+# the whole registry within roughly two rounds of any addition.
 #
-# Round-5 rotation: the 44 oracle-backed queries that have NEVER earned a
-# driver CORRECTNESS row (union of r1-r4 green rows = 103 of 150; the gap is
-# exactly the round-4 additions that outgrew the window, per VERDICT r4
-# What's-missing #1) run first, in registration-age order.  All 44 hold
-# builder-side oracle-exact rows at BOTH sf0.01 and sf0.1
-# (ORACLE_FULL_r04.json); this rotation upgrades them to driver-certified.
-# Round-5 additions (never sampled, by definition) take the tail of the
-# window; the 7 r2-green relational queries queue just past it for round 6.
+# Round-6 rotation: the driver committed NO correctness artifact for round
+# 5 (the r5 gate never ran), so the never-driver-sampled set is now the 44
+# from round 4 plus every round-5/6 addition — 82 queries, all holding
+# builder-side ORACLE_FULL rows (exact at sf0.01 AND sf0.1).  They queue
+# here in evidence-staleness order (registration-age within the
+# never-sampled class, per tools/rotation_plan.py), so WHATEVER window the
+# driver samples converts the stalest evidence first; the 103 queries with
+# r1-r4 driver-green rows ride behind in registration order, and the 3
+# rows-only checks stay last.  With the ~25/round registration budget this
+# backlog clears within two driver-sampled rounds.
 _RUN_FIRST = (
-    # --- 44 never-driver-sampled (oracle-exact r4 at both SFs) ---
     "knn_hamming_rerank",
     "mutual_knn_pairs",
     "matryoshka_recall",
@@ -84,24 +81,44 @@ _RUN_FIRST = (
     "scd2_intervals",
     "ann_binary_full_probe",
     "ann_binary_recall",
-    # --- round-5 additions (never sampled) fill the window tail here ---
     "wav_audio_features",
     "retrieval_quality_metrics",
     "containment_pairs",
     "classifier_eval_kappa",
     "quality_auc",
     "cross_split_contamination_gate",
-    # --- just past the 50-row window: the 17 later round-5 additions that
-    #     outgrew it (TPC-H completion shapes + layout gates) carry
-    #     builder-side ORACLE_FULL_r05 evidence at both SFs and lead the
-    #     round-6 window, followed by the r2-green relational queries ---
-    "top_customers_per_segment",
-    "customers_without_orders",
-    "revenue_rollup",
-    "order_priority_rolling",
-    "promo_revenue_by_type",
-    "top_suppliers_per_nation",
-    "returns_cube",
+    "kmeans_lloyd_gate",
+    "label_propagation_communities",
+    "embedding_drift_cohorts",
+    "lsh_incremental_candidates",
+    "calibration_bins",
+    "query_expansion_prf",
+    "passage_search_maxpool",
+    "small_quantity_revenue",
+    "large_volume_orders",
+    "shipping_priority_topk",
+    "returned_item_losses",
+    "min_cost_supplier",
+    "sole_supplier_orders",
+    "important_part_value",
+    "ewma_recency",
+    "zorder_clustering_gate",
+    "salted_aggregation_gate",
+    "bucketed_join_gate",
+    "profit_by_nation_year",
+    "shipping_delay_priority",
+    "top_revenue_supplier",
+    "supplier_part_variety",
+    "bracketed_quantity_revenue",
+    "excess_shipment_suppliers",
+    "trending_topn",
+    "ohlc_bars",
+    "top_event_paths",
+    "snapshot_diff_cdc",
+    "watermark_lateness_report",
+    "user_rfm_scores",
+    "npy_roundtrip",
+    "ppm_image_features",
 )
 _RUN_LAST = (
     "ann_ivf_knn",
