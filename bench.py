@@ -166,6 +166,9 @@ HEADLINE = [
     "npy_roundtrip",
     "watermark_lateness_report",
     "user_rfm_scores",
+    "ngram_novelty",
+    "grouped_split_gate",
+    "duplicate_span_lengths",
     # NOT benched: bpe_encode_gate (BPE training cost already measured by
     # the bpe_merges cell), pagerank_gate (wall is the O(n²) exact-kNN
     # graph build, not the operator under test), and classifier_eval_kappa

@@ -768,3 +768,103 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "n_common", "size_a", "size_b", "containment")
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_shingles, n_unique, novelty_fp): per-doc share of distinct
+    word n-grams with corpus document-frequency 1, as a 1e-6 fixed-point
+    integer-DIV ratio (NULL for shingle-less docs).  The cheap
+    memorization/boilerplate screen that needs no pair generation — Σ df
+    work on the shingle table the dedup ladder already builds."""
+    from hnsw_spark.functions.text import shingles_w, words
+
+    base = df.select(F.col(id_col).alias("id"), words(text_col).alias("_w"))
+    sh = base.select(
+        "id", F.explode(shingles_w(F.col("_w"), n)).alias("shingle")
+    ).distinct()
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    per = (
+        sh.join(freq, "shingle")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_unique"),
+        )
+    )
+    return per.select(
+        F.col("id").alias("doc_id"),
+        "n_shingles",
+        "n_unique",
+        F.when(
+            F.col("n_shingles") > 0,
+            F.expr("(n_unique * 1000000) div n_shingles"),
+        ).cast("bigint").alias("novelty_fp"),
+    )
+
+
+def duplicate_spans(
+    pairs: DataFrame,
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span-level diagnosis of near-dup candidate pairs: for each
+    (id_a, id_b) pair, the LONGEST common contiguous word run and the
+    total count of matching n-gram positions — the CCNet/RefinedWeb-style
+    signal separating "same boilerplate header" (short shared span) from
+    "one document quotes half the other" (long span), which a scalar
+    Jaccard cannot distinguish.
+
+    Method: positional n-gram shingles (id, pos, shingle); matches between
+    the pair's docs land on diagonals d = pos_a − pos_b; within a diagonal
+    a run of R consecutive matching positions is a common word run of
+    R + n − 1 words (gaps-and-islands per diagonal — the same technique
+    the temporal episode operators use, applied to text geometry).
+
+    Scale shape: pair verification only — the positional-shingle join is
+    driven BY the candidate pair list (pairs ⋈ shingles_a ⋈ shingles_b on
+    the shingle), so cost is Σ over pairs of doc-length work, never
+    corpus²; the islands window partitions by (pair, diagonal)."""
+    from hnsw_spark.functions.text import shingles_w, words
+
+    pos3 = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(shingles_w(words(text_col), n)).alias("pos0", "sh"),
+    ).select("id", (F.col("pos0") + 1).alias("pos"), "sh")
+    p = pairs.select("id_a", "id_b")
+    a = pos3.select(
+        F.col("id").alias("id_a"), F.col("pos").alias("pa"), F.col("sh").alias("sha")
+    )
+    b = pos3.select(
+        F.col("id").alias("_idb"), F.col("pos").alias("pb"), F.col("sh").alias("shb")
+    )
+    m = (
+        p.join(a, "id_a")
+        .join(
+            b,
+            (F.col("id_b") == F.col("_idb")) & (F.col("sha") == F.col("shb")),
+        )
+        .select("id_a", "id_b", "pa", "pb")
+    )
+    isl = m.select(
+        "id_a",
+        "id_b",
+        (F.col("pa") - F.col("pb")).alias("diag"),
+        "pa",
+    )
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    isl = isl.withColumn("grp", F.col("pa") - F.row_number().over(w))
+    runs = isl.groupBy("id_a", "id_b", "diag", "grp").agg(
+        F.count(F.lit(1)).alias("run")
+    )
+    longest = runs.groupBy("id_a", "id_b").agg(
+        (F.max("run") + F.lit(n - 1)).alias("longest_span_words")
+    )
+    nm = m.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_matches"))
+    return longest.join(nm, ["id_a", "id_b"])

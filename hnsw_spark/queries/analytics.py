@@ -437,3 +437,76 @@ def user_rfm_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         score("rk_f").alias("f_score"),
         score("rk_m").alias("m_score"),
     )
+
+
+_GSPLIT_FRAC = 0.8  # train share of USERS (not events)
+
+_GROUPED_SPLIT_SQL = f"""
+WITH u AS (
+  SELECT user_id,
+         CASE WHEN ('0x' || substr(md5(user_id::VARCHAR || 'gsplit'), 1, 8))::BIGINT
+                   / 4294967296.0 < {_GSPLIT_FRAC}
+              THEN 'train' ELSE 'eval' END AS split
+  FROM (SELECT DISTINCT user_id FROM events)
+), j AS (
+  SELECT u.split, e.user_id, e.event_id
+  FROM events e JOIN u USING (user_id)
+), straddle AS (
+  SELECT count(*)::BIGINT AS n_straddlers FROM (
+    SELECT user_id FROM j GROUP BY user_id
+    HAVING count(DISTINCT split) > 1)
+)
+SELECT split, count(DISTINCT user_id)::BIGINT AS n_users,
+       count(*)::BIGINT AS n_events,
+       (SELECT n_straddlers FROM straddle) AS n_straddlers
+FROM j GROUP BY split
+"""
+
+
+@query("grouped_split_gate", _GROUPED_SPLIT_SQL)
+def grouped_split_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware train/eval split (GroupKFold semantics): the split is
+    assigned to the USER via the append-stable md5 unit hash, and every
+    event inherits its user's split — so no user's behavior can leak from
+    train into eval, the failure mode a row-level split has on behavioral
+    data.  The gate certifies it: n_straddlers (users seen in both splits)
+    is computed from the assignment itself and must be 0, alongside
+    per-split user/event counts.
+
+    Scale shape: the distinct-user frame is aggregate-sized; the split is
+    a scan-stage expression on it; events inherit via one broadcast-able
+    equi-join on user_id.  Same hash convention as ``dataset_split``
+    (operators/curation.py:_unit_hash), so a user keeps their split when
+    the corpus grows — eval never contaminates under appends."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("user_id").cast("string"), F.lit("gsplit"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("double") / F.lit(4294967296.0)
+    u = users.select(
+        "user_id",
+        F.when(h < _GSPLIT_FRAC, F.lit("train"))
+        .otherwise(F.lit("eval"))
+        .alias("split"),
+    )
+    j = ev.select("user_id", "event_id").join(F.broadcast(u), "user_id")
+    straddle = (
+        j.groupBy("user_id")
+        .agg(F.count_distinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).alias("n_straddlers"))
+    )
+    return (
+        j.groupBy("split")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .crossJoin(F.broadcast(straddle))
+    )

@@ -933,3 +933,110 @@ def lsh_incremental_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_incremental_candidates(
         new_b, corpus, num_perm=NUM_PERM, bands=BANDS, n=3, max_bucket=None
     )
+
+
+_NOVELTY_SQL = f"""
+WITH docs AS (SELECT doc_id, {_W} AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id AS id, shingle FROM (
+    SELECT doc_id, unnest({_shingle_sql(3)}) AS shingle FROM docs)
+),
+freq AS (SELECT shingle, count(*)::BIGINT AS df FROM sh GROUP BY shingle),
+per AS (
+  SELECT sh.id, count(*)::BIGINT AS n_shingles,
+         sum(CASE WHEN freq.df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique
+  FROM sh JOIN freq USING (shingle) GROUP BY sh.id
+)
+SELECT id AS doc_id, n_shingles, n_unique,
+       CASE WHEN n_shingles > 0
+            THEN (n_unique * 1000000) // n_shingles END::BIGINT AS novelty_fp
+FROM per
+"""
+
+
+@query("ngram_novelty", _NOVELTY_SQL)
+def ngram_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the share of a doc's distinct 3-gram
+    shingles that appear NOWHERE else in the corpus (df = 1) — low novelty
+    flags boilerplate/templated/duplicated text that survived exact dedup,
+    high novelty is the "fresh content" signal mixing policies upweight.
+    Fixed-point integer-DIV ratio.
+
+    Scale shape: the same shingle-explode + df aggregate every dedup tier
+    runs (Σ df work, never pairs); the per-doc rollup joins the df table
+    back on shingle — two keyed shuffles total, no pair generation at
+    all."""
+    from hnsw_spark.operators.dedup import ngram_novelty
+
+    return ngram_novelty(load_table(spark, sf_dir, "documents"), n=3)
+
+
+_SPAN_N_DOCS, _SPAN_T, _SPAN_N = 150, 0.05, 3
+
+_SPANS_SQL = f"""
+WITH docs AS (SELECT doc_id, {_W} AS w FROM documents WHERE doc_id < {_SPAN_N_DOCS}),
+sh_all AS (
+  SELECT DISTINCT doc_id AS id, shingle FROM (
+    SELECT doc_id, unnest({_shingle_sql(2)}) AS shingle FROM docs)
+),
+sizes AS (SELECT id, count(*)::BIGINT AS sz FROM sh_all GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS n_common
+  FROM sh_all a JOIN sh_all b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON id_a = sa.id
+  JOIN sizes sb ON id_b = sb.id
+  WHERE n_common / (sa.sz + sb.sz - n_common) >= {_SPAN_T}
+),
+pos3 AS (
+  SELECT doc_id AS id, p.p AS pos,
+         w[p.p] || ' ' || w[p.p + 1] || ' ' || w[p.p + 2] AS sh
+  FROM docs, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS p(p)
+  WHERE len(w) >= 3
+),
+m AS (
+  SELECT pr.id_a, pr.id_b, a.pos AS pa, b.pos AS pb
+  FROM pairs pr
+  JOIN pos3 a ON a.id = pr.id_a
+  JOIN pos3 b ON b.id = pr.id_b AND b.sh = a.sh
+),
+isl AS (
+  SELECT id_a, id_b, pa - pb AS diag, pa,
+         pa - row_number() OVER (PARTITION BY id_a, id_b, pa - pb
+                                 ORDER BY pa) AS grp
+  FROM m
+),
+runs AS (
+  SELECT id_a, id_b, count(*)::BIGINT AS run
+  FROM isl GROUP BY id_a, id_b, diag, grp
+),
+longest AS (
+  SELECT id_a, id_b, (max(run) + {_SPAN_N - 1})::BIGINT AS longest_span_words
+  FROM runs GROUP BY id_a, id_b
+),
+nm AS (SELECT id_a, id_b, count(*)::BIGINT AS n_matches FROM m GROUP BY id_a, id_b)
+SELECT longest.id_a, longest.id_b, longest_span_words, nm.n_matches
+FROM longest JOIN nm USING (id_a, id_b)
+"""
+
+
+@query("duplicate_span_lengths", _SPANS_SQL)
+def duplicate_span_lengths_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level near-dup diagnosis: for every 2-gram-Jaccard ≥ 0.05
+    candidate pair in the doc_id<150 window, the longest common contiguous
+    word run (via per-diagonal gaps-and-islands over positional 3-gram
+    matches) and the total matching-position count — boilerplate-vs-quote
+    separation the scalar Jaccard tiers cannot express
+    (operators/dedup.py:duplicate_spans)."""
+    from hnsw_spark.operators.dedup import duplicate_spans, ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _SPAN_N_DOCS
+    )
+    pairs = ngram_jaccard_pairs(
+        docs, n=2, threshold=_SPAN_T, max_doc_freq=None
+    ).select("id_a", "id_b")
+    return duplicate_spans(pairs, docs, n=_SPAN_N)

@@ -28,7 +28,7 @@ ORACLES: dict[str, str] = {}
 #
 # Round-6 rotation: the driver committed NO correctness artifact for round
 # 5 (the r5 gate never ran), so the never-driver-sampled set is now the 44
-# from round 4 plus every round-5/6 addition — 82 queries, all holding
+# from round 4 plus every round-5/6 addition — 85 queries, all holding
 # builder-side ORACLE_FULL rows (exact at sf0.01 AND sf0.1).  They queue
 # here in evidence-staleness order (registration-age within the
 # never-sampled class, per tools/rotation_plan.py), so WHATEVER window the
@@ -119,6 +119,9 @@ _RUN_FIRST = (
     "user_rfm_scores",
     "npy_roundtrip",
     "ppm_image_features",
+    "ngram_novelty",
+    "grouped_split_gate",
+    "duplicate_span_lengths",
 )
 _RUN_LAST = (
     "ann_ivf_knn",

@@ -312,3 +312,62 @@ def test_npy_writer_reader_numpy_cross_check(tmp_path, spark):
         f8 = str(tmp_path / "f8.npy")
         np.save(f8, mat.astype(np.float64))
         decode_npy(open(f8, "rb").read())
+
+
+def test_duplicate_spans_planted_quote(spark):
+    """A doc that quotes a 10-word run from another must report exactly a
+    10-word longest span; unrelated docs report n-1+1..smaller runs."""
+    from hnsw_spark.operators.dedup import duplicate_spans
+
+    quote = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        (0, f"start {quote} end of first document content here"),
+        (1, f"totally different preamble {quote} and then a different tail"),
+        (2, "no overlap with anything else whatsoever in this text"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = spark.createDataFrame([(0, 1), (0, 2)], ["id_a", "id_b"])
+    out = {
+        (r["id_a"], r["id_b"]): (r["longest_span_words"], r["n_matches"])
+        for r in duplicate_spans(pairs, docs, n=3).collect()
+    }
+    # pair (0,1): the quote is 10 words → 8 consecutive 3-gram positions
+    assert out[(0, 1)][0] == 10
+    assert out[(0, 1)][1] == 8
+    # pair (0,2): zero matching shingles → pair absent entirely
+    assert (0, 2) not in out
+
+
+def test_ngram_novelty_reference(spark):
+    from hnsw_spark.operators.dedup import ngram_novelty
+    from hnsw_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    out = {r["doc_id"]: r for r in ngram_novelty(docs, n=3).collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    sets = {}
+    for d, t in texts.items():
+        w = t.strip().lower().split()
+        sets[d] = {
+            " ".join(w[i : i + 3]) for i in range(len(w) - 2)
+        } if len(w) >= 3 else set()
+    df_count: dict[str, int] = {}
+    for s in sets.values():
+        for sh in s:
+            df_count[sh] = df_count.get(sh, 0) + 1
+    for d, s in sets.items():
+        if not s:
+            assert out[d]["novelty_fp"] is None
+            continue
+        uniq = sum(1 for sh in s if df_count[sh] == 1)
+        assert out[d]["n_shingles"] == len(s)
+        assert out[d]["n_unique"] == uniq
+        assert out[d]["novelty_fp"] == (uniq * 1_000_000) // len(s)
+
+
+def test_grouped_split_no_straddlers(spark):
+    rows = _queries()["grouped_split_gate"](spark, SF).collect()
+    assert {r["split"] for r in rows} <= {"train", "eval"}
+    for r in rows:
+        assert r["n_straddlers"] == 0
+        assert r["n_events"] >= r["n_users"] > 0
