@@ -169,6 +169,11 @@ HEADLINE = [
     "ngram_novelty",
     "grouped_split_gate",
     "duplicate_span_lengths",
+    "event_transitions",
+    "dau_wau_stickiness",
+    "robust_outlier_days",
+    "phrase_search",
+    "doc_keywords",
     # NOT benched: bpe_encode_gate (BPE training cost already measured by
     # the bpe_merges cell), pagerank_gate (wall is the O(n²) exact-kNN
     # graph build, not the operator under test), and classifier_eval_kappa

@@ -286,3 +286,44 @@ def prf_expansion_terms(
     return w_cut.withColumn("rank", F.row_number().over(win)).select(
         "token", "score_fp", "rank"
     )
+
+
+def phrase_match(
+    docs: DataFrame,
+    phrase: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-phrase retrieval over a positional token index →
+    (doc_id, n_occurrences, first_pos), first_pos 1-based.
+
+    The positional-inverted-index primitive BM25 cannot express: a
+    document matches only where the phrase's tokens occur CONSECUTIVELY.
+    Method: posexplode the token array, keep only the phrase's tokens
+    (the filter prunes before any shuffle — for a k-token phrase over a
+    V-term vocabulary this drops ~(1 - k/V) of positions at the scan),
+    then chain equi-joins on (id, pos - i): token i must sit exactly i
+    places after token 0.  Every join is co-partitioned on the same
+    (id, aligned-position) key, so a k-token phrase costs one shuffle of
+    the phrase-token positions reused k-1 times, never a corpus scan per
+    token.
+    """
+    from hnsw_spark.functions.text import words
+
+    toks = phrase.strip().lower().split()
+    if not toks:
+        raise ValueError("phrase must contain at least one token")
+    pos = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(words(text_col)).alias("pos0", "tok"),
+    ).filter(F.col("tok").isin(toks))
+    base = pos.filter(F.col("tok") == toks[0]).select("id", F.col("pos0").alias("p"))
+    for i, t in enumerate(toks[1:], start=1):
+        nxt = pos.filter(F.col("tok") == t).select(
+            "id", (F.col("pos0") - i).alias("p")
+        )
+        base = base.join(nxt, ["id", "p"])
+    return base.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        (F.min("p") + 1).cast("bigint").alias("first_pos"),
+    ).select(F.col("id").alias(id_col), "n_occurrences", "first_pos")

@@ -510,3 +510,176 @@ def grouped_split_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(straddle))
     )
+
+
+# ---- Markov next-event transitions -------------------------------------------
+
+_TRANSITIONS_SQL = """
+WITH nxt AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+), c AS (
+  SELECT from_type, to_type, count(*)::BIGINT AS n
+  FROM nxt WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       ((n * 1000000) // sum(n) OVER (PARTITION BY from_type))::BIGINT
+         AS prob_fp
+FROM c
+"""
+
+
+@query("event_transitions", _TRANSITIONS_SQL)
+def event_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    for every (from_type, to_type) pair, the transition count and the
+    row-normalized probability as a 1e-6 fixed-point integer — the
+    session-model input for next-action prediction / anomaly scoring.
+
+    Scale shape: ONE keyed shuffle (the per-user event-time window —
+    events co-partition by user_id, the same partitioning sessionize and
+    funnel reuse); the pair census reduces to |types|² rows, so the
+    row-normalizing window runs over an aggregate-sized frame.  The lead()
+    ordering is (ts, event_id) in both engines, so ties cannot flip."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("from_type")
+    return pairs.withColumns(
+        {"_tot": F.sum("n").over(tot)}
+    ).select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("(n * 1000000) div _tot").cast("bigint").alias("prob_fp"),
+    )
+
+
+# ---- DAU / WAU stickiness -----------------------------------------------------
+
+_DAU_WAU_SQL = """
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+), dau AS (
+  SELECT day, count(*)::BIGINT AS dau FROM du GROUP BY day
+)
+SELECT d.day, d.dau, count(DISTINCT u.user_id)::BIGINT AS wau,
+       ((d.dau * 1000000) // count(DISTINCT u.user_id))::BIGINT
+         AS stickiness_fp
+FROM dau d
+JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+GROUP BY d.day, d.dau
+"""
+
+
+@query("dau_wau_stickiness", _DAU_WAU_SQL)
+def dau_wau_stickiness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users, trailing-7-day active users, and the DAU/WAU
+    "stickiness" ratio (1e-6 fixed point) — the product-analytics staple.
+
+    Scale shape: the corpus-sized work is ONE distinct on (day, user_id)
+    that collapses the event stream to at most days×users rows; the day
+    table is aggregate-sized and broadcast, so the trailing-window
+    expansion is a 7×|du| range join on a tiny build side — never a
+    self-join of raw events, and no per-day rescan.  A 100 TB stream with
+    bounded users-per-day keeps every frame after the first distinct
+    broadcast-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    joined = du.alias("u").join(
+        F.broadcast(dau.alias("d")),
+        (F.col("u.day") >= F.date_sub(F.col("d.day"), 6))
+        & (F.col("u.day") <= F.col("d.day")),
+    )
+    return (
+        joined.groupBy(F.col("d.day").alias("day"), F.col("d.dau").alias("dau"))
+        .agg(F.count_distinct(F.col("u.user_id")).alias("wau"))
+        .withColumn(
+            "stickiness_fp",
+            F.expr("(dau * 1000000) div wau").cast("bigint"),
+        )
+    )
+
+
+# ---- Robust daily-volume anomaly flags ----------------------------------------
+
+_OUTLIER_DAYS_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1
+), med AS (
+  SELECT max(CASE WHEN rn = floor(50.0/100*(n-1))+1 THEN n_events END) AS med
+  FROM (SELECT n_events, row_number() OVER (ORDER BY n_events) AS rn,
+               count(*) OVER () AS n
+        FROM daily)
+), dev AS (
+  SELECT day, n_events, med, abs(n_events - med)::BIGINT AS absdev
+  FROM daily, med
+), mad AS (
+  SELECT max(CASE WHEN rn = floor(50.0/100*(n-1))+1 THEN absdev END) AS mad
+  FROM (SELECT absdev, row_number() OVER (ORDER BY absdev) AS rn,
+               count(*) OVER () AS n
+        FROM dev)
+)
+SELECT day, n_events, med, mad,
+       CASE WHEN mad > 0
+            THEN ((absdev * 1000000) // mad)::BIGINT END AS z_fp,
+       CASE WHEN mad > 0 AND (absdev * 1000000) // mad >= 3000000
+            THEN 1 ELSE 0 END::BIGINT AS is_outlier
+FROM dev, mad
+"""
+
+
+@query("robust_outlier_days", _OUTLIER_DAYS_SQL)
+def robust_outlier_days_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) daily-volume anomaly detection: each day's
+    event count scored as a fixed-point robust z = |n − median| / MAD,
+    flagged at z ≥ 3 — the monitoring primitive that, unlike mean/stddev,
+    a single crashed-ingest day cannot poison.  Pure-BIGINT arithmetic on
+    the repo's floor-index percentile convention, so the oracle replays
+    it exactly.
+
+    Scale shape: the only corpus-sized stage is the daily groupBy (one
+    shuffle, partial-aggregated map-side); median and MAD are floor-index
+    percentiles over the days frame (aggregate-sized) attached back as
+    single-row broadcasts — no global sort of raw events anywhere."""
+    from hnsw_spark.operators.evaluation import percentile_floor
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    med = percentile_floor(daily, "n_events", (50,)).select(
+        F.col("p50").alias("med")
+    )
+    dev = daily.crossJoin(F.broadcast(med)).withColumn(
+        "absdev", F.abs(F.col("n_events") - F.col("med")).cast("bigint")
+    )
+    mad = percentile_floor(dev, "absdev", (50,)).select(
+        F.col("p50").alias("mad")
+    )
+    z = F.expr("(absdev * 1000000) div mad")
+    return dev.crossJoin(F.broadcast(mad)).select(
+        "day",
+        "n_events",
+        "med",
+        "mad",
+        F.when(F.col("mad") > 0, z).cast("bigint").alias("z_fp"),
+        F.when((F.col("mad") > 0) & (z >= 3000000), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_outlier"),
+    )

@@ -605,3 +605,40 @@ def passage_search_maxpool_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .select("doc_id", "best_chunk", "chunk_score", "rank")
     )
+
+
+# ---- exact phrase search ------------------------------------------------------
+
+_PHRASE = "table scan"
+
+_PHRASE_SQL = f"""
+WITH w AS (SELECT doc_id, {_W} AS w FROM documents),
+pos AS (
+  SELECT doc_id AS id, p.p AS pos, w[p.p] AS tok
+  FROM w, unnest(generate_series(1, len(w))) AS p(p)
+),
+a AS (SELECT id, pos FROM pos WHERE tok = 'table'),
+b AS (SELECT id, pos FROM pos WHERE tok = 'scan')
+SELECT a.id AS doc_id, count(*)::BIGINT AS n_occurrences,
+       min(a.pos)::BIGINT AS first_pos
+FROM a JOIN b ON b.id = a.id AND b.pos = a.pos + 1
+GROUP BY a.id
+"""
+
+
+@query("phrase_search", _PHRASE_SQL)
+def phrase_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval ("table scan") over a positional token
+    index: per matching document, the occurrence count and the 1-based
+    position of the first occurrence — the consecutive-token semantics
+    BM25's bag-of-words scoring cannot express
+    (operators/retrieval.py:phrase_match)."""
+    from hnsw_spark.operators.retrieval import phrase_match
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = phrase_match(docs, _PHRASE)
+    return out.select(
+        "doc_id",
+        F.col("n_occurrences").cast("bigint").alias("n_occurrences"),
+        "first_pos",
+    )

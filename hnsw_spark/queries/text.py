@@ -698,3 +698,56 @@ def tfidf_doc_similarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(cos * 1e6 + F.lit(0.5)).cast("bigint").alias("cosine_fp"),
         )
     )
+
+
+# ---- per-document keyword extraction ------------------------------------------
+
+_KW_TOP = 3
+
+_DOC_KEYWORDS_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest({_W}) AS word FROM documents),
+tf AS (SELECT doc_id, word, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT word, count(*)::BIGINT AS df FROM tf GROUP BY 1)
+SELECT doc_id, rank, word, tf, df, score_fp FROM (
+  SELECT tf.doc_id, tf.word, tf, df,
+         ((tf * 1000000) // df)::BIGINT AS score_fp,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY (tf * 1000000) // df DESC, tf.word)
+           AS rank
+  FROM tf JOIN df USING (word)
+) WHERE rank <= {_KW_TOP}
+"""
+
+
+@query("doc_keywords", _DOC_KEYWORDS_SQL)
+def doc_keywords_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 keywords per document by tf/df weighting (term
+    frequency damped by corpus document frequency — the same monotone
+    ordering as tf·idf without a float logarithm, so the score is a pure
+    integer ratio both engines compute identically).  The per-doc tag
+    surface a curation UI or a topic-routing mixer reads.
+
+    Scale shape: ONE token explode feeds the (doc, word) tf aggregate;
+    document frequency is derived from the tf frame itself (its rows are
+    already distinct doc-word pairs) — no second corpus pass; the df
+    table is vocabulary-sized and broadcast into the scoring join; the
+    per-doc top-k window partitions by doc_id, so no global sort."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(words("text")).alias("word")
+    )
+    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df), "word").withColumn(
+        "score_fp", F.expr("(tf * 1000000) div df").cast("bigint")
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_fp"), F.asc("word")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= _KW_TOP)
+        .select("doc_id", "rank", "word", "tf", "df", "score_fp")
+    )

@@ -122,6 +122,11 @@ _RUN_FIRST = (
     "ngram_novelty",
     "grouped_split_gate",
     "duplicate_span_lengths",
+    "event_transitions",
+    "dau_wau_stickiness",
+    "robust_outlier_days",
+    "phrase_search",
+    "doc_keywords",
 )
 _RUN_LAST = (
     "ann_ivf_knn",
