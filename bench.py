@@ -174,6 +174,9 @@ HEADLINE = [
     "robust_outlier_days",
     "phrase_search",
     "doc_keywords",
+    "events_type_pivot",
+    "growth_accounting",
+    "revenue_pareto",
     # NOT benched: bpe_encode_gate (BPE training cost already measured by
     # the bpe_merges cell), pagerank_gate (wall is the O(n²) exact-kNN
     # graph build, not the operator under test), and classifier_eval_kappa

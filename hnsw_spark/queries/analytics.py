@@ -683,3 +683,136 @@ def robust_outlier_days_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("is_outlier"),
     )
+
+
+# ---- daily event-type pivot ----------------------------------------------------
+
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+_PIVOT_SQL = """
+SELECT CAST(ts AS DATE) AS day,
+       count(*) FILTER (WHERE event_type = 'click')::BIGINT    AS n_click,
+       count(*) FILTER (WHERE event_type = 'error')::BIGINT    AS n_error,
+       count(*) FILTER (WHERE event_type = 'purchase')::BIGINT AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'signup')::BIGINT   AS n_signup,
+       count(*) FILTER (WHERE event_type = 'view')::BIGINT     AS n_view,
+       count(*) FILTER (WHERE event_type IN
+         ('click','error','purchase','signup','view'))::BIGINT AS n_total
+FROM events GROUP BY 1
+"""
+
+
+@query("events_type_pivot", _PIVOT_SQL)
+def events_type_pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily long-to-wide PIVOT: one row per day, one count column per
+    event type plus the row total — the dashboard-matrix shape every BI
+    export of an event stream ends up in.
+
+    Scale shape: ``pivot`` is called WITH the explicit value list, which
+    matters twice at 100 TB — it skips the eager extra corpus pass Spark
+    otherwise runs just to discover the distinct pivot values, and it
+    keeps the output schema statically known so downstream plans compile
+    without an action.  The pivot itself is then nothing more than one
+    day-keyed hash aggregate with map-side partials (conditional counts
+    per type), identical in cost to the oracle's FILTER aggregate — never
+    a per-type scan.  Missing (day, type) cells surface as NULL and are
+    coalesced to 0, matching the FILTER count's 0 on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", list(_PIVOT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    counts = [
+        F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}")
+        for t in _PIVOT_TYPES
+    ]
+    total = sum(
+        (F.coalesce(F.col(t), F.lit(0)) for t in _PIVOT_TYPES), F.lit(0)
+    ).cast("bigint").alias("n_total")
+    return wide.select("day", *counts, total)
+
+
+# ---- weekly growth accounting --------------------------------------------------
+
+_GROWTH_SQL = """
+WITH wu AS (
+  SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS week, user_id
+  FROM events
+), lab AS (
+  SELECT week, user_id,
+         lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev_week,
+         min(week) OVER (PARTITION BY user_id) AS first_week
+  FROM wu
+), weekly AS (
+  SELECT week,
+         count(*)::BIGINT AS n_active,
+         count(*) FILTER (WHERE week = first_week)::BIGINT AS n_new,
+         count(*) FILTER (WHERE prev_week IS NOT NULL
+                            AND date_diff('day', prev_week, week) = 7
+                         )::BIGINT AS n_retained,
+         count(*) FILTER (WHERE week <> first_week
+                            AND (prev_week IS NULL
+                                 OR date_diff('day', prev_week, week) <> 7)
+                         )::BIGINT AS n_resurrected
+  FROM lab GROUP BY week
+)
+SELECT week, n_active, n_new, n_retained, n_resurrected,
+       CASE WHEN date_diff('day', lag(week) OVER (ORDER BY week), week) = 7
+            THEN lag(n_active) OVER (ORDER BY week) - n_retained
+       END::BIGINT AS n_churned
+FROM weekly
+"""
+
+
+@query("growth_accounting", _GROWTH_SQL)
+def growth_accounting_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting: per ISO week, active users split into
+    new (first-ever week), retained (also active the immediately
+    preceding week), and resurrected (returning after a gap), plus
+    churned = last week's actives who did not return (prev_active −
+    retained, defined only when the preceding calendar week exists in the
+    frame).  The canonical DAU/MAU-decomposition both engines pin row-for-row.
+
+    Scale shape: the only corpus-sized stage is the distinct collapse to
+    (week, user_id) — the same first move as dau_wau_stickiness, one
+    shuffle with map-side partial distinct.  The lag/min labels ride ONE
+    user-keyed window over that collapsed frame, the weekly census is
+    |weeks|-sized, and the churn lag runs over that tiny aggregate — no
+    self-join of activity against itself anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    wu = ev.select(
+        F.date_trunc("week", "ts").cast("date").alias("week"), "user_id"
+    ).distinct()
+    uw = Window.partitionBy("user_id").orderBy("week")
+    lab = wu.withColumns(
+        {
+            "prev_week": F.lag("week").over(uw),
+            "first_week": F.min("week").over(Window.partitionBy("user_id")),
+        }
+    )
+    is_ret = F.col("prev_week").isNotNull() & (
+        F.datediff("week", "prev_week") == 7
+    )
+    weekly = lab.groupBy("week").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.sum((F.col("week") == F.col("first_week")).cast("long")).alias("n_new"),
+        F.sum(is_ret.cast("long")).alias("n_retained"),
+        F.sum(
+            ((F.col("week") != F.col("first_week")) & ~is_ret).cast("long")
+        ).alias("n_resurrected"),
+    )
+    ww = Window.orderBy("week")
+    return weekly.select(
+        "week",
+        "n_active",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        F.when(
+            F.datediff("week", F.lag("week").over(ww)) == 7,
+            F.lag("n_active").over(ww) - F.col("n_retained"),
+        )
+        .cast("bigint")
+        .alias("n_churned"),
+    )

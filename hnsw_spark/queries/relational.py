@@ -3097,3 +3097,77 @@ def excess_shipment_suppliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sup.join(
         F.broadcast(qual), sup.s_suppkey == F.col("l_suppkey"), "left_semi"
     ).select("s_suppkey", "s_name")
+
+
+# ---- revenue concentration (Pareto / Lorenz deciles) ---------------------------
+
+_PARETO_SQL = """
+WITH cust AS (
+  SELECT o_custkey,
+         sum(floor(o_totalprice * 10000.0 + 0.5)::BIGINT) AS revenue_fp
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT revenue_fp,
+         row_number() OVER (ORDER BY revenue_fp DESC, o_custkey) AS rn,
+         count(*) OVER () AS n
+  FROM cust
+), deciles AS (
+  SELECT (((rn - 1) * 10) // n + 1)::BIGINT AS decile,
+         count(*)::BIGINT AS n_customers,
+         sum(revenue_fp) AS rev_fp
+  FROM ranked GROUP BY 1
+)
+SELECT decile, n_customers,
+       (rev_fp::DOUBLE / 10000.0) AS revenue,
+       ((sum(rev_fp) OVER (ORDER BY decile) * 1000000)
+          // sum(rev_fp) OVER ())::BIGINT AS cum_share_fp
+FROM deciles
+"""
+
+
+@query("revenue_pareto", _PARETO_SQL)
+def revenue_pareto_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Pareto/Lorenz) table: customers ranked by
+    lifetime revenue, cut into 10 equal-population deciles, each reporting
+    its customer count, revenue, and the CUMULATIVE share of total revenue
+    in 1e-6 fixed point — the "top 10% of customers drive X% of revenue"
+    readout.  Ties in revenue break on o_custkey in both engines, and the
+    whole share ladder is integer-exact: per-row 1e4 quantization, decimal
+    accumulation (HUGEINT on the oracle side), and an integer floor-DIV
+    for the ppm share, so no division result ever rides engine rounding.
+
+    Scale shape: the fact table collapses to the per-customer aggregate in
+    ONE map-side-combined shuffle; everything after runs on that
+    output-sized frame.  The global rank is the one single-partition
+    window here — at true 100 TB customer cardinality the same decile
+    labels come from a range-partitioned sort (the sorted_export_gate
+    machinery) with per-range offsets, an exact drop-in because the decile
+    cut needs only rn and n, not neighbor rows.  The decile census and the
+    cumulative window are 10-row frames."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(dquant("o_totalprice").cast("decimal(38,0)")).alias("revenue_fp")
+    )
+    rw = Window.orderBy(F.desc("revenue_fp"), F.asc("o_custkey"))
+    ranked = cust.withColumns(
+        {
+            "rn": F.row_number().over(rw),
+            "n": F.count("*").over(Window.partitionBy(F.lit(1))),
+        }
+    )
+    deciles = ranked.groupBy(
+        (F.expr("((rn - 1) * 10) div n") + 1).cast("bigint").alias("decile")
+    ).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("revenue_fp").alias("rev_fp"),
+    )
+    return deciles.select(
+        "decile",
+        "n_customers",
+        (F.col("rev_fp").cast("double") / F.lit(10000.0)).alias("revenue"),
+        F.expr(
+            "CAST((sum(rev_fp) OVER (ORDER BY decile "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000) "
+            "div sum(rev_fp) OVER () AS BIGINT)"
+        ).alias("cum_share_fp"),
+    )

@@ -127,6 +127,9 @@ _RUN_FIRST = (
     "robust_outlier_days",
     "phrase_search",
     "doc_keywords",
+    "events_type_pivot",
+    "growth_accounting",
+    "revenue_pareto",
 )
 _RUN_LAST = (
     "ann_ivf_knn",
