@@ -712,11 +712,12 @@ def events_type_pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     matters twice at 100 TB — it skips the eager extra corpus pass Spark
     otherwise runs just to discover the distinct pivot values, and it
     keeps the output schema statically known so downstream plans compile
-    without an action.  The pivot itself is then nothing more than one
-    day-keyed hash aggregate with map-side partials (conditional counts
-    per type), identical in cost to the oracle's FILTER aggregate — never
-    a per-type scan.  Missing (day, type) cells surface as NULL and are
-    coalesced to 0, matching the FILTER count's 0 on both engines."""
+    without an action.  The compiled plan is ONE parquet scan into a
+    (day, type) count with map-side partials, then a day-keyed pivotfirst
+    — both exchanges move aggregate-sized frames (≤ days×types rows), so
+    the corpus is read and reduced exactly once, never per-type.  Missing
+    (day, type) cells surface as NULL and are coalesced to 0, matching
+    the FILTER count's 0 on both engines."""
     ev = load_table(spark, sf_dir, "events")
     wide = (
         ev.groupBy(F.to_date("ts").alias("day"))

@@ -28,7 +28,7 @@ ORACLES: dict[str, str] = {}
 #
 # Round-6 rotation: the driver committed NO correctness artifact for round
 # 5 (the r5 gate never ran), so the never-driver-sampled set is now the 44
-# from round 4 plus every round-5/6 addition — 85 queries, all holding
+# from round 4 plus every round-5/6 addition — 93 queries, all holding
 # builder-side ORACLE_FULL rows (exact at sf0.01 AND sf0.1).  They queue
 # here in evidence-staleness order (registration-age within the
 # never-sampled class, per tools/rotation_plan.py), so WHATEVER window the
