@@ -317,6 +317,13 @@ def phrase_match(
         F.col(id_col).alias("id"),
         F.posexplode(words(text_col)).alias("pos0", "tok"),
     ).filter(F.col("tok").isin(toks))
+    if len(toks) > 1:
+        # Spark does not common-subexpression-eliminate the shared subtree:
+        # without this persist each of the k per-token branches re-scans and
+        # re-explodes the corpus.  The cached frame holds only the phrase's
+        # own token positions (~k/V of all positions), so this is what makes
+        # the "one corpus explode total" cost claim true in the compiled plan.
+        pos = pos.persist()
     base = pos.filter(F.col("tok") == toks[0]).select("id", F.col("pos0").alias("p"))
     for i, t in enumerate(toks[1:], start=1):
         nxt = pos.filter(F.col("tok") == t).select(

@@ -728,10 +728,13 @@ def doc_keywords_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface a curation UI or a topic-routing mixer reads.
 
     Scale shape: ONE token explode feeds the (doc, word) tf aggregate;
-    document frequency is derived from the tf frame itself (its rows are
-    already distinct doc-word pairs) — no second corpus pass; the df
-    table is vocabulary-sized and broadcast into the scoring join; the
-    per-doc top-k window partitions by doc_id, so no global sort."""
+    document frequency is a count window over that SAME frame partitioned
+    by word (tf's rows are already distinct doc-word pairs, so the
+    partition size IS df) — no second corpus pass, no self-join, and no
+    persist of a corpus-scale intermediate: the plan is explode → tf
+    aggregate → word-keyed count window → doc-keyed top-k window, every
+    stage a single linear pass.  The count window carries no ORDER BY, so
+    even a stopword's fat partition is a streaming count, not a sort."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -739,10 +742,9 @@ def doc_keywords_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(words("text")).alias("word")
     )
     tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(F.broadcast(df), "word").withColumn(
-        "score_fp", F.expr("(tf * 1000000) div df").cast("bigint")
-    )
+    scored = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("word"))
+    ).withColumn("score_fp", F.expr("(tf * 1000000) div df").cast("bigint"))
     win = Window.partitionBy("doc_id").orderBy(
         F.desc("score_fp"), F.asc("word")
     )
