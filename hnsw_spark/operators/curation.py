@@ -599,7 +599,9 @@ def quality_classifier(
     rounded boundaries).  Pure per-row Catalyst expressions: the classifier
     fuses into the scan stage, zero shuffles at any corpus size."""
     z = quality_logit(text_col)
-    prob = F.lit(0.5) + F.lit(0.5) * z / (F.lit(1.0) + F.abs(z))
+    # the single sigmoid definition — calibration_bins scores via the same
+    # quality_prob, so a recalibration edit cannot drift the two apart
+    prob = quality_prob(text_col)
     return df.select(
         F.col(id_col),
         F.round(z, 6).alias("z"),

@@ -748,6 +748,13 @@ def containment_pairs(
             .join(F.broadcast(banned), "shingle", "left_anti")
             .withColumn("size", F.count("*").over(Window.partitionBy("id")))
         )
+    # self-joined below: without the persist the tokenize+shingle lineage
+    # (and, with max_doc_freq, the anti-join + size-recount window) is
+    # compiled and executed once PER SIDE — the corpus would be scanned
+    # and shingled twice
+    from pyspark.storagelevel import StorageLevel
+
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     pair_cond = (F.col("a.shingle") == F.col("b.shingle")) & (
         F.col("a.id") != F.col("b.id")
     )
@@ -780,13 +787,10 @@ def ngram_novelty(
     word n-grams with corpus document-frequency 1, as a 1e-6 fixed-point
     integer-DIV ratio (NULL for shingle-less docs).  The cheap
     memorization/boilerplate screen that needs no pair generation — Σ df
-    work on the shingle table the dedup ladder already builds."""
-    from hnsw_spark.functions.text import shingles_w, words
-
-    base = df.select(F.col(id_col).alias("id"), words(text_col).alias("_w"))
-    sh = base.select(
-        "id", F.explode(shingles_w(F.col("_w"), n)).alias("shingle")
-    ).distinct()
+    work on the shingle table the dedup ladder already builds (the SAME
+    ``doc_shingles`` frame: per-row array_distinct set representation, no
+    post-explode corpus shuffle, narrow-input fan-out guard)."""
+    sh = doc_shingles(df, n, text_col, id_col)
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     per = (
         sh.join(freq, "shingle")
@@ -867,4 +871,19 @@ def duplicate_spans(
         (F.max("run") + F.lit(n - 1)).alias("longest_span_words")
     )
     nm = m.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_matches"))
-    return longest.join(nm, ["id_a", "id_b"])
+    # left joins from the candidate list: a pair that shares no positional
+    # n-gram at THIS n (candidates can come from a coarser shingle size) is
+    # still reported, as (0, 0) — silent omission would make a consumer
+    # read "no diagnosis" as "not a candidate"
+    return (
+        p.join(longest, ["id_a", "id_b"], "left")
+        .join(nm, ["id_a", "id_b"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce("longest_span_words", F.lit(0))
+            .cast("bigint")
+            .alias("longest_span_words"),
+            F.coalesce("n_matches", F.lit(0)).cast("bigint").alias("n_matches"),
+        )
+    )

@@ -57,6 +57,18 @@ def dsum(col: Column | str, scale: int = 4) -> Column:
     ) / F.lit(float(10**scale))
 
 
+def dsum_fp(col: Column | str, scale: int = 4) -> Column:
+    """Fixed-point BIGINT sum with the same overflow guard as ``dsum``:
+    per-row ``dquant`` BIGINTs accumulated in decimal(38,0) (a plain
+    ``F.sum`` over BIGINT wraps SILENTLY in Spark non-ANSI mode at ~9.2e18
+    — reachable by a 100 TB-regime group — while DuckDB widens to HUGEINT,
+    so the engines would silently diverge exactly when it matters).  The
+    final cast back to long keeps the column BIGINT: below the overflow
+    point it is value-identical to the naive sum, beyond it Spark nulls
+    loudly instead of wrapping."""
+    return F.sum(dquant(col, scale).cast("decimal(38,0)")).cast("long")
+
+
 def davg(col: Column | str, scale: int = 4) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return dsum(c, scale) / F.count(c)

@@ -61,11 +61,12 @@ def lloyd_assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
         "cluster",
         _d2(F.col("x"), F.col("c")).alias("d2"),
     )
+    # one aggregate: the struct is totally ordered (d2 first, cluster as the
+    # tie-break), so min(pick) carries both the argmin cluster and its d2
     pick = F.struct(F.col("d2"), F.col("cluster"))
-    return scored.groupBy("id").agg(
-        F.min_by("cluster", pick).alias("cluster"),
-        F.min(pick).alias("_m"),
-    ).select("id", "cluster", F.col("_m.d2").alias("d2"))
+    return scored.groupBy("id").agg(F.min(pick).alias("_m")).select(
+        "id", F.col("_m.cluster").alias("cluster"), F.col("_m.d2").alias("d2")
+    )
 
 
 def lloyd_update(vecs: DataFrame, assign: DataFrame) -> DataFrame:
@@ -106,7 +107,11 @@ def kmeans_lloyd(
     centroid update between consecutive rounds, returning the last
     assignment (id, cluster, d2)."""
     vecs = quantize_vectors(df, vec_col, id_col)
-    cents = vecs.filter(F.col("id") < k).select(
+    # the k smallest ids, not ``id < k``: ids need not be 0-based or dense
+    # (a filter would silently under-seed or empty the centroid set).
+    # orderBy+limit compiles to TakeOrderedAndProject — a k-row per-partition
+    # heap merged on the driver, never a global sort.
+    cents = vecs.orderBy("id").limit(k).select(
         F.col("id").alias("cluster"), F.col("x").alias("c")
     )
     assign = lloyd_assign(vecs, cents)

@@ -259,7 +259,9 @@ def prf_expansion_terms(
     fb = F.broadcast(
         scores.orderBy(F.col("bm25").desc(), "id").limit(feedback_k).select("id")
     )
-    n_docs_df = dlen.agg(F.count(F.lit(1)).alias("n_docs"))
+    # stats (from the shared bm25_corpus triple) already carries n_docs —
+    # re-aggregating dlen here would add a pass over the per-doc frame
+    n_docs_df = stats.select("n_docs")
     df_all = tok.distinct().groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     tf_fb = (
         tok.join(fb, "id")

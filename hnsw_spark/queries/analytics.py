@@ -118,8 +118,10 @@ def ohlc_bars_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("value").alias("low"),
             F.max_by("value", ordinal).alias("close"),
             F.sum(
-                F.floor(F.col("value") * 1000000.0 + 0.5).cast("bigint")
-            ).alias("volume_fp"),
+                F.floor(F.col("value") * 1000000.0 + 0.5)
+                .cast("bigint")
+                .cast("decimal(38,0)")
+            ).cast("long").alias("volume_fp"),
         )
     )
 
@@ -227,7 +229,8 @@ def snapshot_diff_cdc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def snap(df: DataFrame) -> DataFrame:
         return df.groupBy("o_custkey").agg(
-            F.count(F.lit(1)).alias("n_orders"), F.sum(fp).alias("total_fp")
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(fp.cast("decimal(38,0)")).cast("long").alias("total_fp"),
         )
 
     s1 = snap(orders.filter(F.col("o_orderdate") < F.lit(_SNAP_CUT).cast("timestamp_ntz")))
@@ -297,9 +300,10 @@ def watermark_lateness_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape — distributed prefix max, no global window: the oracle's
     single ``ORDER BY event_id ROWS UNBOUNDED PRECEDING`` window would run
     one-partition at corpus scale, so the plan splits arrival order into
-    {bucket}-row buckets, takes per-bucket maxima (one aggregate), runs
-    the running max over the BUCKET table (tiny, one partition of
-    n/{bucket} rows), and broadcasts it back as each bucket's carry-in:
+    1024-row buckets (_LATE_BUCKET), takes per-bucket maxima (one
+    aggregate), runs the running max over the BUCKET table (tiny, one
+    partition of n/1024 rows), and broadcasts it back as each bucket's
+    carry-in:
     max is associative, so two-level == global, bit-for-bit.
     """
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
@@ -395,8 +399,10 @@ def user_rfm_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("last_ts"),
         F.count(F.lit(1)).alias("frequency"),
         F.sum(
-            F.floor(F.col("value") * 1000000.0 + 0.5).cast("bigint")
-        ).alias("monetary_fp"),
+            F.floor(F.col("value") * 1000000.0 + 0.5)
+            .cast("bigint")
+            .cast("decimal(38,0)")
+        ).cast("long").alias("monetary_fp"),
     )
     t = agg.agg(F.max("last_ts").alias("now"))
     n = agg.agg(F.count(F.lit(1)).alias("n_users"))

@@ -1018,8 +1018,12 @@ longest AS (
   FROM runs GROUP BY id_a, id_b
 ),
 nm AS (SELECT id_a, id_b, count(*)::BIGINT AS n_matches FROM m GROUP BY id_a, id_b)
-SELECT longest.id_a, longest.id_b, longest_span_words, nm.n_matches
-FROM longest JOIN nm USING (id_a, id_b)
+SELECT pr.id_a, pr.id_b,
+       coalesce(longest_span_words, 0)::BIGINT AS longest_span_words,
+       coalesce(n_matches, 0)::BIGINT AS n_matches
+FROM pairs pr
+LEFT JOIN longest ON longest.id_a = pr.id_a AND longest.id_b = pr.id_b
+LEFT JOIN nm ON nm.id_a = pr.id_a AND nm.id_b = pr.id_b
 """
 
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from hnsw_spark.operators.evaluation import davg, dquant, dsum
+from hnsw_spark.operators.evaluation import davg, dquant, dsum, dsum_fp
 from hnsw_spark.registry import query
 from hnsw_spark.sources.tables import load_table
 
@@ -2114,7 +2114,7 @@ def small_quantity_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pt = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4")
     pavg = li.groupBy("l_partkey").agg(
         F.count("*").alias("cnt"),
-        F.sum(dquant("l_quantity")).alias("qty_fp_sum"),
+        dsum_fp("l_quantity").alias("qty_fp_sum"),
     )
     qualified = (
         li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
@@ -2124,7 +2124,7 @@ def small_quantity_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return qualified.agg(
         F.count("*").alias("n_small_lines"),
-        F.sum(dquant("l_extendedprice")).cast("long").alias("revenue_fp"),
+        dsum_fp("l_extendedprice").alias("revenue_fp"),
     )
 
 
@@ -2159,7 +2159,7 @@ def large_volume_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(dquant("l_quantity")).alias("qty_fp"))
+        .agg(dsum_fp("l_quantity").alias("qty_fp"))
         .filter(F.col("qty_fp") > _Q18_QTY_T * 10000)
     )
     o = load_table(spark, sf_dir, "orders")
@@ -2691,13 +2691,13 @@ def salted_aggregation_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     direct = ev.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
-        F.sum(dquant("value")).cast("long").alias("total_fp"),
+        dsum_fp("value").alias("total_fp"),
     )
     salted = (
         ev.groupBy("event_type", (F.col("event_id") % 32).alias("salt"))
         .agg(
             F.count("*").alias("pn"),
-            F.sum(dquant("value")).cast("long").alias("pfp"),
+            dsum_fp("value").alias("pfp"),
         )
         .groupBy("event_type")
         .agg(
@@ -2850,7 +2850,7 @@ def profit_by_nation_year_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("l_shipdate").cast("long").alias("o_year"),
         )
-        .agg(F.sum(dquant(profit)).cast("long").alias("profit_fp"))
+        .agg(dsum_fp(profit).alias("profit_fp"))
     )
 
 
@@ -2937,8 +2937,7 @@ def top_revenue_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
     )
     rev = li.groupBy("l_suppkey").agg(
-        F.sum(dquant(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
-        .cast("long")
+        dsum_fp(F.col("l_extendedprice") * (1 - F.col("l_discount")))
         .alias("total_revenue_fp")
     )
     sup = load_table(spark, sf_dir, "supplier")
@@ -3036,8 +3035,7 @@ def bracketed_quantity_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(bracket)
         .agg(
             F.count("*").alias("n_lines"),
-            F.sum(dquant(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
-            .cast("long")
+            dsum_fp(F.col("l_extendedprice") * (1 - F.col("l_discount")))
             .alias("revenue_fp"),
         )
     )
@@ -3088,7 +3086,7 @@ def excess_shipment_suppliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     qual = (
         li.join(F.broadcast(small), li.l_partkey == F.col("p_partkey"))
         .groupBy("l_suppkey", "l_partkey")
-        .agg(F.sum(dquant("l_quantity")).cast("long").alias("qty_fp"))
+        .agg(dsum_fp("l_quantity").alias("qty_fp"))
         .filter(F.col("qty_fp") > _Q20_QTY_T * 10000)
         .select("l_suppkey")
         .distinct()

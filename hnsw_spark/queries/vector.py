@@ -767,7 +767,7 @@ WITH xf AS (
                         e -> floor(e * 1000000.0 + 0.5)::BIGINT) AS x
   FROM embeddings
 ),
-c0 AS (SELECT id AS cluster, x AS c FROM xf WHERE id < {_KM_K}),
+c0 AS (SELECT id AS cluster, x AS c FROM xf ORDER BY id LIMIT {_KM_K}),
 d1 AS (
   SELECT xf.id, c0.cluster,
          list_sum(list_transform(generate_series(1, {_KM_DIM}),

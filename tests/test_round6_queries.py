@@ -334,8 +334,9 @@ def test_duplicate_spans_planted_quote(spark):
     # pair (0,1): the quote is 10 words → 8 consecutive 3-gram positions
     assert out[(0, 1)][0] == 10
     assert out[(0, 1)][1] == 8
-    # pair (0,2): zero matching shingles → pair absent entirely
-    assert (0, 2) not in out
+    # pair (0,2): zero matching shingles → still reported, with zeros
+    # (silent omission would read as "not a candidate" to a consumer)
+    assert out[(0, 2)] == (0, 0)
 
 
 def test_ngram_novelty_reference(spark):
