@@ -63,10 +63,11 @@ def dsum_fp(col: Column | str, scale: int = 4) -> Column:
     ``F.sum`` over BIGINT wraps SILENTLY in Spark non-ANSI mode at ~9.2e18
     — reachable by a 100 TB-regime group — while DuckDB widens to HUGEINT,
     so the engines would silently diverge exactly when it matters).  The
-    final cast back to long keeps the column BIGINT: below the overflow
+    final try_cast back to long keeps the column BIGINT: below the overflow
     point it is value-identical to the naive sum, beyond it Spark nulls
-    loudly instead of wrapping."""
-    return F.sum(dquant(col, scale).cast("decimal(38,0)")).cast("long")
+    loudly instead of wrapping (a plain cast on decimal→long wraps silently
+    in non-ANSI mode; try_cast nulls on overflow under BOTH modes)."""
+    return F.sum(dquant(col, scale).cast("decimal(38,0)")).try_cast("long")
 
 
 def davg(col: Column | str, scale: int = 4) -> Column:

@@ -1,0 +1,59 @@
+"""Regression tests for the round-6 review fixes: rank-based k-means
+seeding, overflow-guarded fixed-point sums, and zero-match span pairs."""
+
+from __future__ import annotations
+
+import math
+
+
+def test_kmeans_seeds_k_smallest_ids_not_id_lt_k(spark):
+    """Seeding must be the k smallest ids — ids that are not 0-based or
+    dense (any corpus not re-indexed from zero) used to produce an EMPTY
+    centroid set under the old ``id < k`` filter and silently return an
+    empty assignment."""
+    from hnsw_spark.operators.kmeans import kmeans_lloyd
+
+    rows = [
+        (1000 + i, [float(i % 3) * 10.0, float(i % 3) * 10.0])
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = kmeans_lloyd(df, k=3, iterations=2).collect()
+    assert len(out) == 12  # every point assigned — nothing silently dropped
+    # seeds were ids 1000,1001,1002 so cluster labels come from that set
+    assert {r["cluster"] for r in out} <= {1000, 1001, 1002}
+    # three well-separated value groups → three distinct clusters survive
+    assert len({r["cluster"] for r in out}) == 3
+
+
+def test_dsum_fp_never_wraps_silently(spark):
+    """The failure dsum_fp guards against is NON-ANSI silent wrap: a plain
+    BIGINT sum past 2^63 produces a negative total while DuckDB widens to
+    HUGEINT — the engines silently diverge.  With the decimal(38,0)
+    accumulator the guarded sum NULLs instead (loud in any downstream
+    arithmetic).  Under ANSI (this repo's session default, Spark 4) the
+    naive sum already throws; the guard makes the operators safe under
+    BOTH modes a production cluster might run."""
+    from pyspark.sql import functions as F
+
+    from hnsw_spark.operators.evaluation import dsum_fp
+
+    big = 9.0e14  # dquant at scale 4 → 9e18 per row, two rows overflow int64
+    df = spark.createDataFrame([(big,), (big,)], ["v"])
+    ansi_before = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        naive = df.agg(
+            F.sum(F.floor(F.col("v") * 1e4 + 0.5).cast("long")).alias("s")
+        ).collect()[0]["s"]
+        guarded = df.agg(dsum_fp("v").alias("s")).collect()[0]["s"]
+        assert naive < 0  # the silent wrap the guard exists to prevent
+        assert guarded is None  # decimal held the true value; long cast nulls
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", ansi_before)
+
+    # below the overflow point the guarded sum is value-identical (ANSI on)
+    small = spark.createDataFrame([(1.5,), (2.25,)], ["v"])
+    assert small.agg(dsum_fp("v").alias("s")).collect()[0]["s"] == int(
+        math.floor(1.5 * 1e4 + 0.5) + math.floor(2.25 * 1e4 + 0.5)
+    )
