@@ -89,6 +89,10 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # isolate queries: a query's internal persist()s must not ride into
+        # the next cell's memory budget or timing (199 queries share one
+        # session here; unpersist is per-operator best-effort)
+        spark.catalog.clearCache()
         t0 = time.time()
         try:
             spark_pd = fn(spark, sf_dir).toPandas()
