@@ -299,7 +299,7 @@ def time_weighted_avg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum("_dur").alias("total_dur_us"),
         F.sum((F.col("_dur") * F.col("_q")).cast("decimal(38,0)"))
-        .cast("long")
+        .try_cast("long")
         .alias("_wsum"),
     )
     return agg.select(
@@ -312,4 +312,56 @@ def time_weighted_avg(
             F.col("total_dur_us") > 0,
             F.expr("_wsum DIV total_dur_us"),
         ).alias("twap_fp"),
+    )
+
+
+def scd2_intervals(
+    events: DataFrame,
+    key: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from an event feed: per key,
+    consecutive same-state runs collapse into validity intervals
+    [valid_from, valid_to) with the open current row flagged (valid_to
+    NULL) — the dimension-table materialization every warehouse derives
+    from CDC/event feeds.
+
+    DataFrame[(key, state, valid_from, valid_to, is_current, n_events)].
+
+    Plan: ONE shuffle on the key shared by the run-detection window
+    (gaps-and-islands lag/sum), the run rollup, and the interval-chaining
+    lead window.  Ordering ties break by ``tiebreak_col`` so the run
+    boundaries are deterministic under any partitioning."""
+    w = Window.partitionBy(key).orderBy(F.asc(ts_col), F.asc(tiebreak_col))
+    seq = events.select(
+        key,
+        F.col(state_col).alias("state"),
+        ts_col,
+        F.lag(state_col).over(w).alias("prev_state"),
+        tiebreak_col,
+    )
+    runs = seq.withColumn(
+        "run_id",
+        F.sum(
+            F.when(
+                F.col("prev_state").isNull()
+                | (F.col("prev_state") != F.col("state")),
+                1,
+            ).otherwise(0)
+        ).over(w),
+    )
+    iv = runs.groupBy(key, "run_id", "state").agg(
+        F.min(ts_col).alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy(key).orderBy(F.asc("valid_from"))
+    return iv.select(
+        key,
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+        "n_events",
     )

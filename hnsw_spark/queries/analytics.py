@@ -121,7 +121,7 @@ def ohlc_bars_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.floor(F.col("value") * 1000000.0 + 0.5)
                 .cast("bigint")
                 .cast("decimal(38,0)")
-            ).cast("long").alias("volume_fp"),
+            ).try_cast("long").alias("volume_fp"),
         )
     )
 
@@ -230,7 +230,7 @@ def snapshot_diff_cdc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     def snap(df: DataFrame) -> DataFrame:
         return df.groupBy("o_custkey").agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(fp.cast("decimal(38,0)")).cast("long").alias("total_fp"),
+            F.sum(fp.cast("decimal(38,0)")).try_cast("long").alias("total_fp"),
         )
 
     s1 = snap(orders.filter(F.col("o_orderdate") < F.lit(_SNAP_CUT).cast("timestamp_ntz")))
@@ -402,7 +402,7 @@ def user_rfm_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("value") * 1000000.0 + 0.5)
             .cast("bigint")
             .cast("decimal(38,0)")
-        ).cast("long").alias("monetary_fp"),
+        ).try_cast("long").alias("monetary_fp"),
     )
     t = agg.agg(F.max("last_ts").alias("now"))
     n = agg.agg(F.count(F.lit(1)).alias("n_users"))

@@ -1979,40 +1979,19 @@ def scd2_intervals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     feeds.  One shuffle on user_id shared by the run-detection window, the
     run rollup, and the interval-chaining window (gaps-and-islands, the
     `threshold_alert_episodes` machinery pointed at dimension
-    construction)."""
-    from pyspark.sql import Window
+    construction).  The build itself lives in
+    ``operators/temporal.py::scd2_intervals`` so the streaming as-of
+    enrichment (``streaming/enrich.py``) shares the exact dimension
+    shape."""
+    from hnsw_spark.operators.temporal import scd2_intervals
 
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
-    seq = ev.select(
-        "user_id",
-        F.col("event_type").alias("state"),
-        "ts",
-        F.lag("event_type").over(w).alias("prev_state"),
-        "event_id",
-    )
-    runs = seq.withColumn(
-        "run_id",
-        F.sum(
-            F.when(
-                F.col("prev_state").isNull()
-                | (F.col("prev_state") != F.col("state")),
-                1,
-            ).otherwise(0)
-        ).over(w),
-    )
-    iv = runs.groupBy("user_id", "run_id", "state").agg(
-        F.min("ts").alias("valid_from"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
-    w2 = Window.partitionBy("user_id").orderBy(F.asc("valid_from"))
-    return iv.select(
-        "user_id",
-        "state",
-        "valid_from",
-        F.lead("valid_from").over(w2).alias("valid_to"),
-        F.lead("valid_from").over(w2).isNull().alias("is_current"),
-        "n_events",
+    return scd2_intervals(
+        ev,
+        key="user_id",
+        state_col="event_type",
+        ts_col="ts",
+        tiebreak_col="event_id",
     )
 
 

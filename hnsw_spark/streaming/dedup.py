@@ -21,8 +21,6 @@ makes the exclusion free).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -42,10 +40,15 @@ class StreamingCorpusDedup:
         self.kept = 0
 
     def _seen(self, spark, exclude_epoch: int) -> DataFrame:
-        if not os.path.isdir(self.seen_path):
-            return spark.createDataFrame([], "fingerprint string")
+        # probe by attempted read, not os.path.isdir — isdir only understands
+        # local paths and would silently report an empty seen set on HDFS/S3
+        # (same ADVICE-r4 fix as streaming/sketch.py)
+        from hnsw_spark.streaming.sketch import _read_or_empty
+
         return (
-            spark.read.parquet(self.seen_path)
+            _read_or_empty(
+                spark, self.seen_path, "fingerprint string, epoch_id int"
+            )
             .filter(F.col("epoch_id") != exclude_epoch)
             .select("fingerprint")
         )
