@@ -356,7 +356,10 @@ def scd2_intervals(
         F.min(ts_col).alias("valid_from"),
         F.count(F.lit(1)).alias("n_events"),
     )
-    w2 = Window.partitionBy(key).orderBy(F.asc("valid_from"))
+    # run_id tiebreak: two consecutive runs share valid_from when a key has
+    # two different-state events on the SAME timestamp — ordering by
+    # valid_from alone would chain them engine-dependently
+    w2 = Window.partitionBy(key).orderBy(F.asc("valid_from"), F.asc("run_id"))
     return iv.select(
         key,
         "state",

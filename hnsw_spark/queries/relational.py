@@ -1961,12 +1961,11 @@ iv AS (
   FROM runs GROUP BY 1, 2, 3
 )
 SELECT user_id, state, valid_from,
-       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
-         AS valid_to,
-       (lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
-          IS NULL) AS is_current,
+       lead(valid_from) OVER w2 AS valid_to,
+       (lead(valid_from) OVER w2 IS NULL) AS is_current,
        n_events
 FROM iv
+WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, run_id)
 """
 
 
@@ -1993,6 +1992,79 @@ def scd2_intervals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="ts",
         tiebreak_col="event_id",
     )
+
+
+_SCD2_ENRICH_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type AS state, ts, event_id,
+         lag(event_type) OVER w AS prev_state
+  FROM events WHERE event_id % 2 = 0
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT user_id, state, ts,
+         sum(CASE WHEN prev_state IS NULL OR prev_state <> state
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS run_id
+  FROM seq
+),
+iv AS (
+  SELECT user_id, run_id, state, min(ts) AS valid_from
+  FROM runs GROUP BY 1, 2, 3
+),
+dim AS (
+  SELECT user_id, state, valid_from,
+         lead(valid_from)
+           OVER (PARTITION BY user_id ORDER BY valid_from, run_id)
+           AS valid_to
+  FROM iv
+)
+SELECT f.event_id, d.state, d.valid_from AS state_since
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_id % 2 = 1) f
+LEFT JOIN dim d
+  ON f.user_id = d.user_id
+ AND d.valid_from <= f.ts
+ AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+"""
+
+
+@query("scd2_asof_enrichment", _SCD2_ENRICH_SQL)
+def scd2_asof_enrichment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of enrichment against SCD2 dimension history — the batch twin of
+    ``streaming/enrich.py::scd2_asof_enrich`` (stream==batch parity in
+    tests/test_streaming_enrich.py): each fact row gains the dimension
+    VERSION valid at its own timestamp, not the current row (which leaks
+    the future into features) and not an ambiguous plain key join.
+
+    The fixture has one event feed, so the dimension is built from the
+    even-event_id half and the odd half plays the fact stream — a fact's
+    matched state is the OTHER feed's state at that moment (genuinely
+    different from the fact's own type), and facts before their user's
+    first dimension interval stay NULL (left join).
+
+    Plan: the dimension build is the scd2_intervals one-shuffle
+    gaps-and-islands; the enrichment itself is a BROADCAST equi-join on
+    user_id with the interval containment as a residual predicate —
+    shuffle-free on the fact side, the shape that serves a 100 TB fact
+    stream.  At most one version matches per fact (SCD2 intervals
+    partition each key's timeline), so no post-join dedup."""
+    from hnsw_spark.operators.temporal import scd2_intervals
+    from hnsw_spark.streaming.enrich import scd2_asof_enrich
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = scd2_intervals(
+        ev.filter(F.col("event_id") % 2 == 0),
+        key="user_id",
+        state_col="event_type",
+        ts_col="ts",
+        tiebreak_col="event_id",
+    ).withColumn("state_since", F.col("valid_from"))
+    fact = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", "ts"
+    )
+    return scd2_asof_enrich(
+        fact, dim, payload_cols=["state", "state_since"]
+    ).select("event_id", "state", "state_since")
 
 
 _HLL_GRP_ALPHA_M2 = 47072.71267120224  # same double literal as the operator

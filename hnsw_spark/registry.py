@@ -130,6 +130,7 @@ _RUN_FIRST = (
     "events_type_pivot",
     "growth_accounting",
     "revenue_pareto",
+    "scd2_asof_enrichment",
 )
 _RUN_LAST = (
     "ann_ivf_knn",
