@@ -303,3 +303,16 @@ def test_q20_excess_chain_is_two_broadcast_semijoins(spark):
     assert f.shuffles == 2  # per-(supp, part) agg + distinct
     assert f.broadcast_joins == 2
     assert f.sort_merge_joins == 0
+
+
+def test_scd2_enrichment_broadcasts_dim_no_fact_shuffle(spark):
+    """The as-of enrichment must stay a broadcast equi-join with the
+    interval containment as a residual — a sort-merge (or worse, a
+    nested-loop range join) on the fact side would shuffle the full
+    event stream at 100 TB."""
+    f = _facts("scd2_asof_enrichment", spark)
+    assert f.sort_merge_joins == 0
+    assert f.broadcast_joins >= 1  # the dim side travels, not the facts
+    # the only exchanges are the dimension build's key window; the fact
+    # scan feeds the join directly
+    assert f.shuffles <= 2
