@@ -460,3 +460,73 @@ def test_containment_matches_python_reference(spark, texts):
             size_b,
         )
         assert row["containment"] == pytest.approx(c)
+
+
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1))
+@settings(
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    max_examples=10,
+    deadline=None,
+)
+def test_scd2_enrich_matches_python_model(spark_session_cached, seed):
+    """scd2_intervals + scd2_asof_enrich == a pure-Python as-of model on
+    random event feeds — INCLUDING same-timestamp state flips (the rng
+    draws ts from a tiny range on purpose), where interval chaining needs
+    the run_id tiebreak to stay deterministic."""
+    from hnsw_spark.operators.temporal import scd2_intervals
+    from hnsw_spark.streaming.enrich import scd2_asof_enrich
+
+    spark = spark_session_cached
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(4, 24))
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (
+            int(i),
+            int(rng.integers(0, 3)),  # few users -> long histories
+            t0 + dt.timedelta(seconds=int(rng.integers(0, 8))),  # many ties
+            str(rng.choice(["A", "B"])),
+        )
+        for i in range(n)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, event_type string"
+    )
+
+    # python model: replay each user's feed ordered by (ts, event_id); an
+    # event's as-of state is the state of the run whose interval holds it.
+    # Runs collapse consecutive same-state events; interval k is
+    # [min_ts(run k), min_ts(run k+1)).
+    by_user: dict[int, list] = {}
+    for eid, uid, ts, typ in rows:
+        by_user.setdefault(uid, []).append((ts, eid, typ))
+    expect: dict[int, str | None] = {}
+    intervals: dict[int, list] = {}
+    for uid, evs in by_user.items():
+        evs.sort()
+        runs = []
+        for ts, eid, typ in evs:
+            if not runs or runs[-1][0] != typ:
+                runs.append((typ, ts))
+        ivs = [
+            (state, start, runs[k + 1][1] if k + 1 < len(runs) else None)
+            for k, (state, start) in enumerate(runs)
+        ]
+        intervals[uid] = ivs
+        for ts, eid, typ in evs:
+            hit = [
+                s
+                for s, lo, hi in ivs
+                if lo <= ts and (hi is None or ts < hi)
+            ]
+            assert len(hit) <= 1  # SCD2 intervals partition the timeline
+            expect[eid] = hit[0] if hit else None
+
+    dim = scd2_intervals(ev)
+    got = {
+        r.event_id: r.state
+        for r in scd2_asof_enrich(
+            ev.select("event_id", "user_id", "ts"), dim
+        ).collect()
+    }
+    assert got == expect
