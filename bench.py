@@ -127,6 +127,7 @@ HEADLINE = [
     "association_rules",
     "tfidf_doc_similarity",
     "scd2_intervals",
+    "scd2_asof_enrichment",
     "hll_distinct_by_group",
     "kcore_gate",
     "wav_audio_features",
