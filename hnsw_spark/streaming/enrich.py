@@ -54,6 +54,16 @@ def scd2_asof_enrich(
     ``events`` may be a streaming OR a batch DataFrame — the plan is
     identical (stream-static joins are stateless), which is what the
     parity tests in tests/test_streaming_enrich.py assert.
+
+    Dimension refresh caveat: in a long-running stream, how fresh the
+    joined dimension is depends on the static side's source.  A parquet
+    static side re-lists files each micro-batch UNLESS it was persisted/cached
+    (then it is frozen at first materialization); a localCheckpoint'ed or
+    createDataFrame'd dim is frozen by construction.  To serve a dimension
+    that itself changes mid-stream, rebuild it inside ``foreachBatch`` (or
+    restart the query on a schedule) — SCD2 appends only, so a stale dim
+    yields the older version, never a wrong one, for already-closed
+    intervals.
     """
     payload_cols = payload_cols or [
         c for c in dim.columns if c not in (key, valid_from, valid_to)
