@@ -1,0 +1,102 @@
+"""Leave-one-out target encoding: hand-checked LOO/smoothing/fallback
+semantics plus hypothesis parity against a pure-Python model."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from hnsw_spark.operators.encoding import target_encode_loo
+
+_SCHEMA = "row_id long, cat string, y double"
+
+
+def _q(v: float, scale: int = 4) -> int:
+    return int(math.floor(v * 10**scale + 0.5))
+
+
+def _model(rows, alpha, scale=4):
+    qs = [(_q(y, scale)) for _, _, y in rows]
+    gmean = sum(qs) // len(qs)
+    by_cat: dict = {}
+    for (rid, cat, y), q in zip(rows, qs):
+        by_cat.setdefault(cat, []).append(q)
+    out = {}
+    for (rid, cat, y), q in zip(rows, qs):
+        peers = by_cat[cat]
+        if cat is None or len(peers) <= 1:
+            out[rid] = gmean
+        else:
+            out[rid] = (sum(peers) - q + alpha * gmean) // (
+                len(peers) - 1 + alpha
+            )
+    return out
+
+
+def test_loo_excludes_own_label_and_thin_cat_falls_back(spark):
+    rows = [
+        (1, "a", 1.0),
+        (2, "a", 3.0),
+        (3, "b", 100.0),  # lone category -> global mean
+        (4, None, 2.0),   # NULL category -> global mean
+    ]
+    got = {
+        r.row_id: r.te_fp
+        for r in target_encode_loo(
+            spark.createDataFrame(rows, _SCHEMA), "cat", "y", alpha=0
+        ).collect()
+    }
+    gmean = (_q(1.0) + _q(3.0) + _q(100.0) + _q(2.0)) // 4
+    # with alpha=0: row 1 sees only row 2's label, and vice versa
+    assert got[1] == _q(3.0) and got[2] == _q(1.0)
+    assert got[3] == gmean and got[4] == gmean
+    assert got == _model(rows, alpha=0)
+
+
+def test_smoothing_shrinks_toward_global_mean(spark):
+    rows = [(1, "a", 0.0), (2, "a", 0.0), (3, "b", 10.0), (4, "b", 10.0)]
+    df = spark.createDataFrame(rows, _SCHEMA)
+    sharp = {
+        r.row_id: r.te_fp
+        for r in target_encode_loo(df, "cat", "y", alpha=0).collect()
+    }
+    smooth = {
+        r.row_id: r.te_fp
+        for r in target_encode_loo(df, "cat", "y", alpha=50).collect()
+    }
+    gmean = _q(5.0)
+    for rid in (1, 2):  # low category pulled UP toward the global mean
+        assert sharp[rid] < smooth[rid] <= gmean
+    for rid in (3, 4):  # high category pulled DOWN
+        assert sharp[rid] > smooth[rid] >= gmean
+
+
+@pytest.mark.slow
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1))
+@settings(
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    max_examples=8,
+    deadline=None,
+)
+def test_target_encode_matches_python_model(spark, seed):
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(4, 40))
+    alpha = int(rng.integers(0, 30))
+    rows = [
+        (
+            int(i),
+            str(rng.choice(["a", "b", "c"])) if rng.random() > 0.1 else None,
+            float(np.round(rng.uniform(0, 100), 3)),  # non-negative targets
+        )
+        for i in range(n)
+    ]
+    got = {
+        r.row_id: r.te_fp
+        for r in target_encode_loo(
+            spark.createDataFrame(rows, _SCHEMA), "cat", "y", alpha=alpha
+        ).collect()
+    }
+    assert got == _model(rows, alpha=alpha), (seed, alpha)
