@@ -104,11 +104,17 @@ def route_probes(
     # float32 cast is lossless w.r.t. the array<float> source values
     import pandas as pd
 
+    # .tolist() (not list(...)) so array ELEMENTS are Python int/float, not
+    # numpy scalars: with Arrow disabled, createDataFrame's _createFromLocal
+    # verifier rejects numpy.int32 inside array<int> — the engine's own
+    # session enables Arrow (session.py) but library callers' sessions may
+    # not, and this must work in the consumer's default environment
+    # (reference regime: .github/workflows/ci.yml runs consumer-default).
     routed = pd.DataFrame(
         {
             "query_id": qpd["query_id"].to_numpy(np.int64),
-            "probe_lists": list(probe_lists.astype(np.int32)),
-            "qvec": list(qmat.astype(np.float32)),
+            "probe_lists": probe_lists.astype(np.int32).tolist(),
+            "qvec": qmat.astype(np.float32).tolist(),
         }
     )
     # broadcast-hinted: the small-batch probe table joins the corpus without

@@ -77,6 +77,12 @@ def main() -> int:
     from hnsw_spark.session import get_spark
 
     spark = get_spark(app_name="oracle_check")
+    # the DRIVER's session does not enable Arrow, and with Arrow off
+    # createDataFrame type-checks strictly (numpy scalars in arrays are
+    # rejected — the r6 ann_binary_* crash).  Run the local gate in the
+    # driver's configuration so builder-side replays cannot diverge from
+    # the driver again.
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "false")
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
