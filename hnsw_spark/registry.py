@@ -165,7 +165,15 @@ def query(name: str, oracle: str | None = None):
 
 
 def load_all_queries() -> None:
-    """Import every module that registers queries (idempotent)."""
+    """Import every module that registers queries (idempotent).
+
+    Import errors re-raise: every query module is mandatory, and a
+    swallowed failure would silently shrink ``queries()`` — the driver
+    would report the module's queries missing with nothing in-repo saying
+    why (VERDICT r6 #2).  There are no optional-dependency modules here;
+    if one ever appears, whitelist it explicitly rather than blanket-
+    catching ImportError.
+    """
     import hnsw_spark.queries.vector  # noqa: F401
 
     for mod in (
@@ -180,8 +188,5 @@ def load_all_queries() -> None:
         "hnsw_spark.queries.index",
         "hnsw_spark.queries.multimodal",
     ):
-        try:
-            __import__(mod)
-        except ImportError:
-            pass
+        __import__(mod)
     _apply_run_order()

@@ -28,6 +28,15 @@ SF = "/root/testdata/sf0.001"
 _COMPLEX = ("array", "map", "struct")
 
 
+def test_registry_is_complete_and_loads_loudly():
+    # load_all_queries re-raises import errors (no silent shrinking —
+    # VERDICT r6 #2); the pinned counts make ANY accidental drop fail the
+    # suite instead of quietly narrowing the driver's evidence window.
+    # Update both pins when registering new queries.
+    assert len(QUERIES) == 200, sorted(QUERIES)
+    assert len(ORACLES) == 197
+
+
 def test_rotation_lists_name_only_registered_queries():
     missing_first = [n for n in _RUN_FIRST if n not in QUERIES]
     missing_last = [n for n in _RUN_LAST if n not in QUERIES]
