@@ -62,7 +62,8 @@ inter AS (
   GROUP BY a.id, b.id
 )
 SELECT id_a, id_b, n_common, size_a, size_b,
-       round(n_common / (size_a + size_b - n_common), 6) AS jaccard
+       CAST(floor(n_common / (size_a + size_b - n_common) * 1e6 + 0.5)
+            AS BIGINT) AS jaccard_fp
 FROM inter
 JOIN size_l ON id_a = size_l.id
 JOIN size_r ON id_b = size_r.id
@@ -83,7 +84,14 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") < 100), docs, n=2, threshold=0.02,
         max_doc_freq=None,
     )
-    return res.withColumn("jaccard", F.round("jaccard", 6))
+    # fixed-point BIGINT (repo convention), never a rounded double: engine
+    # round-half behavior must not decide the hash (VERDICT r6 #3)
+    return res.select(
+        "id_a", "id_b", "n_common", "size_a", "size_b",
+        F.floor(F.col("jaccard") * 1e6 + F.lit(0.5))
+        .cast("bigint")
+        .alias("jaccard_fp"),
+    )
 
 
 _CAP_N_DOCS, _CAP = 150, 20
@@ -104,7 +112,8 @@ inter AS (
   GROUP BY a.id, b.id
 )
 SELECT id_a, id_b, n_common, sa.sz AS size_a, sb.sz AS size_b,
-       round(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard
+       CAST(floor(n_common / (sa.sz + sb.sz - n_common) * 1e6 + 0.5)
+            AS BIGINT) AS jaccard_fp
 FROM inter
 JOIN sizes sa ON id_a = sa.id
 JOIN sizes sb ON id_b = sb.id
@@ -124,7 +133,12 @@ def ngram_jaccard_capped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") < _CAP_N_DOCS
     )
     res = ngram_jaccard_pairs(docs, n=2, threshold=0.05, max_doc_freq=_CAP)
-    return res.withColumn("jaccard", F.round("jaccard", 6))
+    return res.select(
+        "id_a", "id_b", "n_common", "size_a", "size_b",
+        F.floor(F.col("jaccard") * 1e6 + F.lit(0.5))
+        .cast("bigint")
+        .alias("jaccard_fp"),
+    )
 
 
 NUM_PERM, BANDS, SUBSET = 8, 4, 200
@@ -312,35 +326,12 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(docs, edges, shuffle_partitions=4)
 
 
-@query(
-    "embedding_neardup",
-    """
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-         / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-          * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cosine
-FROM embeddings a JOIN embeddings b
-  ON a.vec_id < b.vec_id
-WHERE a.vec_id < 200 AND b.vec_id < 200
-  AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-        / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.3
-""",
-)
-def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (vec_id < 200, cosine ≥ 0.3) —
-    brute-force tier (the small-n fallback; ``embedding_neardup_ann`` is the
-    bucketed scale path, checked against this same oracle)."""
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
-    res = embedding_neardup(emb, threshold=0.3, strategy="brute")
-    return res.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
-
-
 _NEARDUP_SQL = """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+       CAST(floor(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
          / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-          * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cosine
+          * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+         * 1e6 + 0.5) AS BIGINT) AS cosine_fp
 FROM embeddings a JOIN embeddings b
   ON a.vec_id < b.vec_id
 WHERE a.vec_id < 200 AND b.vec_id < 200
@@ -348,6 +339,28 @@ WHERE a.vec_id < 200 AND b.vec_id < 200
         / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
          * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.3
 """
+
+
+def _cosine_fp(res: DataFrame) -> DataFrame:
+    # fixed-point BIGINT (repo convention) — engine round-half behavior
+    # must not decide the hash (VERDICT r6 #3)
+    return res.select(
+        "id_a",
+        "id_b",
+        F.floor(F.col("cosine") * 1e6 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cosine_fp"),
+    )
+
+
+@query("embedding_neardup", _NEARDUP_SQL)
+def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (vec_id < 200, cosine ≥ 0.3) —
+    brute-force tier (the small-n fallback; ``embedding_neardup_ann`` is the
+    bucketed scale path, checked against this same oracle)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    res = embedding_neardup(emb, threshold=0.3, strategy="brute")
+    return _cosine_fp(res)
 
 
 @query("embedding_neardup_ann", _NEARDUP_SQL)
@@ -361,7 +374,7 @@ def embedding_neardup_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
     res = ivf_self_join(emb, threshold=0.3, n_lists=8, n_probe=8)
-    return res.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    return _cosine_fp(res)
 
 
 _INC_SQL = f"""
