@@ -785,7 +785,9 @@ def ngram_novelty(
 ) -> DataFrame:
     """(doc_id, n_shingles, n_unique, novelty_fp): per-doc share of distinct
     word n-grams with corpus document-frequency 1, as a 1e-6 fixed-point
-    integer-DIV ratio (NULL for shingle-less docs).  The cheap
+    integer-DIV ratio.  Docs with no shingles (< n words) ARE emitted, as
+    (doc_id, 0, 0, NULL) — a consumer must be able to tell "no data" from
+    silent absence, which would read as "not novel" (ADVICE r6).  The cheap
     memorization/boilerplate screen that needs no pair generation — Σ df
     work on the shingle table the dedup ladder already builds (the SAME
     ``doc_shingles`` frame: per-row array_distinct set representation, no
@@ -800,10 +802,14 @@ def ngram_novelty(
             F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_unique"),
         )
     )
+    # left-join back to the full id set so shingle-less docs survive the
+    # inner aggregation above (they have no rows in the shingle frame)
+    ids = df.select(F.col(id_col).cast("long").alias("id")).distinct()
+    per = ids.join(per, "id", "left")
     return per.select(
         F.col("id").alias("doc_id"),
-        "n_shingles",
-        "n_unique",
+        F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+        F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
         F.when(
             F.col("n_shingles") > 0,
             F.expr("(n_unique * 1000000) div n_shingles"),

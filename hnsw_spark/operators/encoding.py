@@ -38,8 +38,11 @@ def target_encode_loo(
     out_col: str = "te_fp",
 ) -> DataFrame:
     """Adds ``out_col``: the leave-one-out smoothed target encoding of
-    ``category_col`` as a fixed-point 10⁻ˢ BIGINT.  NULL categories
-    encode as the global mean (they carry no category signal).
+    ``category_col`` as a fixed-point 10⁻ˢ BIGINT.  NULL categories AND
+    NULL targets encode as the global mean: a NULL category carries no
+    category signal, and a NULL-target row contributes no label — it must
+    neither deflate its peers' LOO denominator nor encode as NULL itself
+    (ADVICE r6), so all label statistics count only non-NULL targets.
 
     Targets must be non-negative (labels, rates, prices): integer DIV
     truncates, which equals floor only for non-negative numerators — the
@@ -48,11 +51,12 @@ def target_encode_loo(
     rows = df.withColumn("_y", q)
     stats = rows.groupBy(category_col).agg(
         F.sum("_y").alias("_cat_sum"),
-        F.count(F.lit(1)).alias("_cat_n"),
+        # count(_y), not count(*): NULL-target rows are not label evidence
+        F.count("_y").alias("_cat_n"),
     )
     glob = rows.agg(
-        # exact integer global mean in fixed point: Σy DIV n
-        F.expr("sum(_y) DIV count(*)").alias("_gmean_fp")
+        # exact integer global mean in fixed point over LABELED rows only
+        F.expr("sum(_y) DIV count(_y)").alias("_gmean_fp")
     )
     enc = (
         rows.join(F.broadcast(stats), category_col, "left")
@@ -60,7 +64,9 @@ def target_encode_loo(
         .withColumn(
             out_col,
             F.when(
-                F.col(category_col).isNull() | (F.col("_cat_n") <= 1),
+                F.col("_y").isNull()
+                | F.col(category_col).isNull()
+                | (F.col("_cat_n") <= 1),
                 F.col("_gmean_fp"),
             ).otherwise(
                 F.expr(

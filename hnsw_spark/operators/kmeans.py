@@ -73,14 +73,33 @@ def lloyd_update(vecs: DataFrame, assign: DataFrame) -> DataFrame:
     """One update step: per-cluster floor-mean centroid in fixed point.
     Shuffle carries k·d partial sums (posexplode then (cluster, pos)
     aggregate), never vectors.  Clusters that lost every point simply
-    vanish (standard drop-empty-cluster rule — deterministic)."""
+    vanish (standard drop-empty-cluster rule — deterministic).
+
+    The per-(cluster, pos) sum accumulates in decimal(38,0) — a BIGINT sum
+    wraps silently past 2^63 in non-ANSI mode (DuckDB widens to HUGEINT,
+    so engines would diverge exactly when it matters), and at 1e-6
+    fixed-point a 100 TB corpus sits near that boundary (~1e7-magnitude
+    coordinates × ~1e11 rows).  The floor-mean is then pure integer
+    algebra, (s − pmod(s, n)) / n: the numerator is an exact multiple of
+    n, so the decimal division is exact and no double rounding (exactness
+    lost past 2^53) can touch the trajectory — keeping the module's
+    bit-for-bit determinism contract honest (ADVICE r6)."""
     pos = vecs.join(assign.select("id", "cluster"), "id").select(
         "cluster", F.posexplode("x").alias("pos", "v")
     )
-    cent = pos.groupBy("cluster", "pos").agg(
-        F.floor(
-            F.sum("v").cast("double") / F.count(F.lit(1)).cast("double")
-        ).cast("bigint").alias("cv")
+    s = F.col("_s")
+    n = F.col("_n")
+    cent = (
+        pos.groupBy("cluster", "pos")
+        .agg(
+            F.sum(F.col("v").cast("decimal(38,0)")).alias("_s"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            "cluster",
+            "pos",
+            ((s - F.pmod(s, n)) / n).cast("bigint").alias("cv"),
+        )
     )
     return (
         cent.groupBy("cluster")

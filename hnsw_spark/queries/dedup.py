@@ -960,10 +960,12 @@ per AS (
          sum(CASE WHEN freq.df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique
   FROM sh JOIN freq USING (shingle) GROUP BY sh.id
 )
-SELECT id AS doc_id, n_shingles, n_unique,
+SELECT d.doc_id, coalesce(n_shingles, 0)::BIGINT AS n_shingles,
+       coalesce(n_unique, 0)::BIGINT AS n_unique,
        CASE WHEN n_shingles > 0
             THEN (n_unique * 1000000) // n_shingles END::BIGINT AS novelty_fp
-FROM per
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN per ON d.doc_id = per.id
 """
 
 

@@ -784,8 +784,12 @@ xp AS (
   FROM xf, (SELECT unnest(generate_series(1, {_KM_DIM})) AS j) g
 ),
 c1 AS (
+  -- exact integer floor-mean, mirroring lloyd_update: sum is HUGEINT-exact
+  -- in DuckDB, pmod makes the numerator an exact multiple of n, and // is
+  -- exact integer division — no double rounding anywhere
   SELECT a1.cluster, xp.pos,
-         floor(sum(xp.v) / (count(*) * 1.0))::BIGINT AS cv
+         ((sum(xp.v) - ((sum(xp.v) % count(*)) + count(*)) % count(*))
+          // count(*))::BIGINT AS cv
   FROM a1 JOIN xp USING (id) GROUP BY a1.cluster, xp.pos
 ),
 d2r AS (

@@ -56,6 +56,37 @@ def test_loo_excludes_own_label_and_thin_cat_falls_back(spark):
     assert got == _model(rows, alpha=0)
 
 
+def test_null_targets_are_not_label_evidence(spark):
+    # a NULL-target row must (a) encode as the global mean itself and
+    # (b) leave its peers' LOO stats untouched — it is not label evidence
+    # (ADVICE r6: count(_y), not count(*))
+    with_null = [
+        (1, "a", 1.0),
+        (2, "a", 3.0),
+        (3, "a", None),  # unlabeled row in a labeled category
+        (4, "b", 5.0),
+    ]
+    got = {
+        r.row_id: r.te_fp
+        for r in target_encode_loo(
+            spark.createDataFrame(with_null, _SCHEMA), "cat", "y", alpha=0
+        ).collect()
+    }
+    # global mean over LABELED rows only
+    gmean = (_q(1.0) + _q(3.0) + _q(5.0)) // 3
+    assert got[3] == gmean  # NULL target -> global mean, never NULL
+    assert got[4] == gmean  # lone labeled category -> global mean
+    # peers see exactly the same encoding as if row 3 did not exist
+    without_null = [(1, "a", 1.0), (2, "a", 3.0), (4, "b", 5.0)]
+    base = {
+        r.row_id: r.te_fp
+        for r in target_encode_loo(
+            spark.createDataFrame(without_null, _SCHEMA), "cat", "y", alpha=0
+        ).collect()
+    }
+    assert got[1] == base[1] and got[2] == base[2]
+
+
 def test_smoothing_shrinks_toward_global_mean(spark):
     rows = [(1, "a", 0.0), (2, "a", 0.0), (3, "b", 10.0), (4, "b", 10.0)]
     df = spark.createDataFrame(rows, _SCHEMA)

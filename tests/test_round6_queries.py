@@ -339,6 +339,24 @@ def test_duplicate_spans_planted_quote(spark):
     assert out[(0, 2)] == (0, 0)
 
 
+def test_ngram_novelty_emits_shingle_less_docs(spark):
+    # < n words → no shingles: the doc must still appear, as (0, 0, NULL),
+    # so consumers can tell "no data" from silent absence (ADVICE r6)
+    from hnsw_spark.operators.dedup import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "too short"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ngram_novelty(docs, n=3).collect()}
+    assert set(out) == {1, 2, 3}
+    for d in (2, 3):
+        assert out[d]["n_shingles"] == 0
+        assert out[d]["n_unique"] == 0
+        assert out[d]["novelty_fp"] is None
+    assert out[1]["n_shingles"] == 2 and out[1]["novelty_fp"] == 1_000_000
+
+
 def test_ngram_novelty_reference(spark):
     from hnsw_spark.operators.dedup import ngram_novelty
     from hnsw_spark.sources.tables import load_table
