@@ -320,6 +320,17 @@ def main() -> None:
             # purely through executor memory pressure.
             ann_cleanup()
             ann_cleanup = lambda: None  # noqa: E731 — idempotent for the late call
+        elif name not in ("ann_ivf_knn",):
+            # several queries persist() corpus-scale frames internally
+            # (shingle tables, tf tables, PRF corpus explodes — see README
+            # "Cache ownership"); without a per-cell clear they accumulate
+            # across ~160 cells and the storage-memory pressure inflates
+            # later allocation-heavy cells.  Clearing AFTER both timed runs
+            # keeps within-cell steady-state warmth (run 2 may plan-match
+            # run 1's cache) while bounding cross-cell growth.  The two
+            # ann_* cells are skipped so the prebuilt node tables survive
+            # until ann_cleanup above.
+            spark.catalog.clearCache()
     try:
         protocol = _protocol_axes(spark, sf_dir, qs)
     except Exception as e:

@@ -298,7 +298,8 @@ def bigram_logprob(
     )
     # tf feeds three consumers (cbg, ctx via cbg, and the scoring join);
     # persist it so the bigram explode+aggregate runs once, the same
-    # 3-scans→1 treatment the tfidf tier got (queries/text.py:610)
+    # 3-scans→1 treatment the tfidf tier got (queries/text.py:610).
+    # Cache lifetime is the caller's (README "Cache ownership").
     tf = bg.groupBy("doc_id", "bg").agg(F.count("*").alias("tf")).persist()
     cbg = tf.groupBy("bg").agg(F.sum("tf").alias("c_bg"))
     ctx = (

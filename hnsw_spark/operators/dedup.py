@@ -751,7 +751,8 @@ def containment_pairs(
     # self-joined below: without the persist the tokenize+shingle lineage
     # (and, with max_doc_freq, the anti-join + size-recount window) is
     # compiled and executed once PER SIDE — the corpus would be scanned
-    # and shingled twice
+    # and shingled twice.  Cache lifetime is the caller's (README "Cache
+    # ownership"): the returned frame is lazy over this persist.
     from pyspark.storagelevel import StorageLevel
 
     sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
