@@ -26,67 +26,18 @@ ORACLES: dict[str, str] = {}
 # registrations are capped at ~25 per round so the window can re-certify
 # the whole registry within roughly two rounds of any addition.
 #
-# Round-6 rotation: the driver committed NO correctness artifact for round
-# 5 (the r5 gate never ran), so the never-driver-sampled set is now the 44
-# from round 4 plus every round-5/6 addition — 93 queries, all holding
-# builder-side ORACLE_FULL rows (exact at sf0.01 AND sf0.1).  They queue
-# here in evidence-staleness order (registration-age within the
-# never-sampled class, per tools/rotation_plan.py), so WHATEVER window the
-# driver samples converts the stalest evidence first; the 103 queries with
-# r1-r4 driver-green rows ride behind in registration order, and the 3
-# rows-only checks stay last.  With the ~25/round registration budget this
-# backlog clears within two driver-sampled rounds.
+# Round-7 rotation (derived by tools/rotation_plan.py from the committed
+# CORRECTNESS_r*.json artifacts at round start): the driver-green union
+# after r6 is 151/200, leaving 46 never-driver-sampled oracle queries (all
+# holding builder-side ORACLE_FULL rows exact at sf0.01 AND sf0.1).  Those
+# 46 fill the window head in registration order, topped up with the 4
+# stalest driver-green rows (r2); everything with a fresher driver row
+# rides behind in registration order, and the 3 rows-only checks stay
+# last.  NO net-new registrations this round (freshness budget: the window
+# must re-certify the backlog before the registry grows again).
 _RUN_FIRST = (
-    "knn_hamming_rerank",
-    "mutual_knn_pairs",
-    "matryoshka_recall",
-    "label_centroid_distances",
-    "hard_negatives",
-    "lsh_quality_report",
-    "similarity_triangles",
-    "jaccard_prefix_filter",
-    "kcore_gate",
-    "count_min_frequencies",
-    "tfidf_doc_similarity",
-    "token_budget_selection",
-    "quality_drift_ks",
-    "sorted_export_gate",
-    "upsert_compaction",
-    "dsir_selection",
-    "hll_cardinality",
-    "hll_distinct_by_group",
-    "mmr_diversified",
-    "events_in_windows",
-    "discounted_revenue_filters",
-    "event_anomaly_zscore",
-    "threshold_alert_episodes",
-    "rowgroup_pruning_gate",
-    "market_share_by_year",
-    "user_recency_scores",
-    "incremental_rollup",
-    "join_skew_report",
-    "events_gapfilled_hourly",
-    "event_transition_matrix",
-    "retention_cohorts",
-    "seasonal_naive_forecast",
-    "user_behavior_entropy",
-    "repeat_purchase_intervals",
-    "basket_type_pairs",
-    "bloom_join_prune",
-    "time_weighted_avg",
-    "order_count_distribution",
-    "dormant_high_balance_customers",
-    "data_expectations",
-    "association_rules",
-    "scd2_intervals",
     "ann_binary_full_probe",
     "ann_binary_recall",
-    "wav_audio_features",
-    "retrieval_quality_metrics",
-    "containment_pairs",
-    "classifier_eval_kappa",
-    "quality_auc",
-    "cross_split_contamination_gate",
     "kmeans_lloyd_gate",
     "label_propagation_communities",
     "embedding_drift_cohorts",
@@ -131,6 +82,10 @@ _RUN_FIRST = (
     "growth_accounting",
     "revenue_pareto",
     "scd2_asof_enrichment",
+    "top_customers_per_segment",
+    "customers_without_orders",
+    "revenue_rollup",
+    "order_priority_rolling",
 )
 _RUN_LAST = (
     "ann_ivf_knn",
