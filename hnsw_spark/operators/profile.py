@@ -77,8 +77,10 @@ def skew_report(
 
     Output: (rank, key, cnt, share, skew_factor), rank by (count DESC,
     key ASC).  One partial-agg shuffle on the key; totals ride as a
-    broadcast 1-row aggregate; ratios are integer-derived then rounded, so
-    the report is engine-exact.
+    broadcast 1-row aggregate; ratios are integer-derived doubles (the
+    share division runs FIRST so the skew product can never overflow a
+    BIGINT at any corpus size).  Oracle-facing callers quantize
+    (queries/relational.py:join_skew_report emits the _fp form).
     """
     counts = df.groupBy(F.col(key).cast("string").alias("key")).agg(
         F.count("*").alias("cnt")
@@ -95,8 +97,8 @@ def skew_report(
         "rank",
         "key",
         "cnt",
-        F.round(F.col("cnt") / F.col("_total"), 6).alias("share"),
-        F.round(
-            F.col("cnt") * F.col("_n_keys") / F.col("_total"), 6
-        ).alias("skew_factor"),
+        (F.col("cnt") / F.col("_total")).alias("share"),
+        (F.col("cnt") / F.col("_total") * F.col("_n_keys")).alias(
+            "skew_factor"
+        ),
     )

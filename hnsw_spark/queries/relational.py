@@ -204,7 +204,7 @@ SELECT event_type,
        count(k)::BIGINT AS n_with_k,
        min(k) AS min_k, max(k) AS max_k,
        sum(k)::BIGINT AS sum_k,
-       round(sum(k) / count(k), 6) AS avg_k
+       CAST(floor(sum(k) / count(k) * 1e6 + 0.5) AS BIGINT) AS avg_k_fp
 FROM (SELECT event_type, json_extract(props, '$.k')::BIGINT AS k FROM events)
 GROUP BY event_type
 """,
@@ -223,7 +223,7 @@ def events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("k").alias("min_k"),
             F.max("k").alias("max_k"),
             F.sum("k").alias("sum_k"),
-            F.round(F.sum("k") / F.count("k"), 6).alias("avg_k"),
+            dquant(F.sum("k") / F.count("k"), 6).alias("avg_k_fp"),
         )
     )
 
@@ -307,7 +307,8 @@ views AS (
   FROM events WHERE event_type = 'view' GROUP BY user_id, ts
 )
 SELECT c.event_id, c.user_id,
-       round(c.value, 6) AS value, round(v.view_value, 6) AS view_value
+       CAST(floor(c.value * 1e6 + 0.5) AS BIGINT) AS value_fp,
+       CAST(floor(v.view_value * 1e6 + 0.5) AS BIGINT) AS view_value_fp
 FROM clicks c ASOF LEFT JOIN views v
   ON c.user_id = v.user_id AND c.ts >= v.ts
 """,
@@ -337,8 +338,8 @@ def asof_latest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         "event_id",
         "user_id",
-        F.round("value", 6).alias("value"),
-        F.round("view_value", 6).alias("view_value"),
+        dquant("value", 6).alias("value_fp"),
+        dquant("view_value", 6).alias("view_value_fp"),
     )
 
 
@@ -384,13 +385,14 @@ WITH srev AS (
   GROUP BY s.s_nationkey, s.s_suppkey, s.s_name
 ),
 ranked AS (
-  SELECT n.n_name AS nation, srev.s_name, round(revenue, 4) AS revenue,
+  SELECT n.n_name AS nation, srev.s_name,
+         CAST(floor(revenue * 1e4 + 0.5) AS BIGINT) AS revenue_fp,
          row_number() OVER (
            PARTITION BY srev.s_nationkey
            ORDER BY revenue DESC, srev.s_suppkey) AS rank
   FROM srev JOIN nation n ON srev.s_nationkey = n.n_nationkey
 )
-SELECT nation, s_name, revenue, rank::INT AS rank
+SELECT nation, s_name, revenue_fp, rank::INT AS rank
 FROM ranked WHERE rank <= 3
 """,
 )
@@ -425,7 +427,7 @@ def top_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         F.col("n_name").alias("nation"),
         "s_name",
-        F.round("revenue", 4).alias("revenue"),
+        dquant("revenue", 4).alias("revenue_fp"),
         "rank",
     )
 
@@ -766,8 +768,9 @@ WITH s AS (
          sqrt(greatest(m2 - mean * mean, 0.0)) AS sd
   FROM s
 )
-SELECT e.event_id, e.event_type, round(e.value, 6) AS value,
-       round((e.value - t.mean) / t.sd, 6) AS zscore
+SELECT e.event_id, e.event_type,
+       CAST(floor(e.value * 1e6 + 0.5) AS BIGINT) AS value_fp,
+       CAST(floor((e.value - t.mean) / t.sd * 1e6 + 0.5) AS BIGINT) AS zscore_fp
 FROM events e JOIN t USING (event_type)
 WHERE t.sd > 0 AND abs((e.value - t.mean) / t.sd) > 2.0
 """
@@ -807,8 +810,8 @@ def event_anomaly_zscore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_id",
             "event_type",
-            F.round("value", 6).alias("value"),
-            F.round(z, 6).alias("zscore"),
+            dquant("value", 6).alias("value_fp"),
+            dquant(z, 6).alias("zscore_fp"),
         )
     )
 
@@ -840,7 +843,8 @@ SELECT event_type, episode,
        min(CASE WHEN state = 1 THEN ts END) AS alert_start,
        min(CASE WHEN state = 0 THEN ts END) AS alert_end,
        (count(*) FILTER (WHERE state = 1))::BIGINT AS n_events,
-       round(max(CASE WHEN state = 1 THEN value END), 6) AS peak_value
+       CAST(floor(max(CASE WHEN state = 1 THEN value END) * 1e6 + 0.5)
+            AS BIGINT) AS peak_value_fp
 FROM ep
 WHERE state = 1 OR (state = 0 AND prev = 1)
 GROUP BY event_type, episode
@@ -859,7 +863,11 @@ def threshold_alert_episodes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hnsw_spark.streaming.alerts import threshold_alerts
 
     ev = load_table(spark, sf_dir, "events")
-    return threshold_alerts(ev, high=_ALERT_HIGH, low=_ALERT_LOW)
+    res = threshold_alerts(ev, high=_ALERT_HIGH, low=_ALERT_LOW)
+    return res.select(
+        "event_type", "episode", "alert_start", "alert_end", "n_events",
+        dquant("peak_value", 6).alias("peak_value_fp"),
+    )
 
 
 _PRUNE_GATE_SQL = """
@@ -947,11 +955,11 @@ SELECT o_year,
          AS nation_volume,
        (sum(floor(volume * 10000.0 + 0.5)::BIGINT))::DOUBLE / 10000.0
          AS total_volume,
-       round(((sum(floor(CASE WHEN supp_nation = '{_MKT_SUPP_NATION}'
+       CAST(floor((((sum(floor(CASE WHEN supp_nation = '{_MKT_SUPP_NATION}'
                               THEN volume ELSE 0 END * 10000.0 + 0.5)::BIGINT))::DOUBLE
               / 10000.0)
-             / ((sum(floor(volume * 10000.0 + 0.5)::BIGINT))::DOUBLE / 10000.0),
-             6) AS mkt_share
+             / ((sum(floor(volume * 10000.0 + 0.5)::BIGINT))::DOUBLE / 10000.0))
+             * 1e6 + 0.5) AS BIGINT) AS mkt_share_fp
 FROM vol GROUP BY o_year
 """
 
@@ -1017,9 +1025,9 @@ def market_share_by_year_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_year",
             "nation_volume",
             "total_volume",
-            F.round(
+            dquant(
                 F.col("nation_volume") / F.col("total_volume"), 6
-            ).alias("mkt_share"),
+            ).alias("mkt_share_fp"),
         )
     )
 
@@ -1118,8 +1126,8 @@ WITH c AS (
   FROM c
 )
 SELECT rank, key, cnt,
-       round(cnt / total, 6) AS share,
-       round(cnt * n_keys / total, 6) AS skew_factor
+       CAST(floor(cnt / total * 1e6 + 0.5) AS BIGINT) AS share_fp,
+       CAST(floor(cnt / total * n_keys * 1e6 + 0.5) AS BIGINT) AS skew_factor_fp
 FROM r, t WHERE rank <= 10
 """
 
@@ -1134,7 +1142,12 @@ def join_skew_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hnsw_spark.operators.profile import skew_report
 
     li = load_table(spark, sf_dir, "lineitem")
-    return skew_report(li, "l_partkey", top_n=10)
+    rep = skew_report(li, "l_partkey", top_n=10)
+    return rep.select(
+        "rank", "key", "cnt",
+        dquant("share", 6).alias("share_fp"),
+        dquant("skew_factor", 6).alias("skew_factor_fp"),
+    )
 
 
 _GAPFILL_SQL = """
@@ -1218,7 +1231,7 @@ WITH seq AS (
   SELECT prev_type, sum(n)::BIGINT AS row_total FROM trans GROUP BY prev_type
 )
 SELECT t.prev_type, t.next_type, t.n,
-       round(t.n / tot.row_total, 6) AS p
+       CAST(floor(t.n / tot.row_total * 1e6 + 0.5) AS BIGINT) AS p_fp
 FROM trans t JOIN tot ON t.prev_type = tot.prev_type
 """
 
@@ -1251,7 +1264,7 @@ def event_transition_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prev_type",
             "next_type",
             "n",
-            F.round(F.col("n") / F.col("row_total"), 6).alias("p"),
+            dquant(F.col("n") / F.col("row_total"), 6).alias("p_fp"),
         )
     )
 
@@ -1272,7 +1285,8 @@ WITH activity AS (
 SELECT j.cohort_day, j.day_offset::INT AS day_offset,
        count(DISTINCT j.user_id)::BIGINT AS n_active,
        s.cohort_size,
-       round(count(DISTINCT j.user_id) / s.cohort_size, 6) AS retention
+       CAST(floor(count(DISTINCT j.user_id) / s.cohort_size * 1e6 + 0.5)
+            AS BIGINT) AS retention_fp
 FROM joined j JOIN cohort_sizes s ON s.cohort_day = j.cohort_day
 GROUP BY j.cohort_day, j.day_offset, s.cohort_size
 """
@@ -1322,8 +1336,8 @@ def retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("day_offset").cast("int").alias("day_offset"),
             "n_active",
             "cohort_size",
-            F.round(F.col("n_active") / F.col("cohort_size"), 6).alias(
-                "retention"
+            dquant(F.col("n_active") / F.col("cohort_size"), 6).alias(
+                "retention_fp"
             ),
         )
     )
@@ -1337,7 +1351,7 @@ lagged AS (
   FROM grid
 )
 SELECT event_type, count(*)::BIGINT AS n_evaluated,
-       round(sum(abs(n - pred)) / count(*), 6) AS mae
+       CAST(floor(sum(abs(n - pred)) / count(*) * 1e6 + 0.5) AS BIGINT) AS mae_fp
 FROM lagged WHERE pred IS NOT NULL
 GROUP BY event_type
 """
@@ -1360,9 +1374,9 @@ def seasonal_naive_forecast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return lagged.groupBy("event_type").agg(
         F.count("*").alias("n_evaluated"),
-        F.round(
+        dquant(
             F.sum(F.abs(F.col("n") - F.col("pred"))) / F.count("*"), 6
-        ).alias("mae"),
+        ).alias("mae_fp"),
     )
 
 
@@ -1380,7 +1394,7 @@ WITH c AS (
   FROM c JOIN t USING (user_id)
 )
 SELECT q.user_id, t.total AS n_events, t.n_types,
-       round(-sum(q.term_q) / 1000000000.0, 6) AS entropy
+       (-sum(q.term_q))::BIGINT AS entropy_fp9
 FROM q JOIN t USING (user_id)
 GROUP BY q.user_id, t.total, t.n_types
 """
@@ -1419,7 +1433,9 @@ def user_behavior_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.col("total").alias("n_events"),
             "n_types",
-            F.round(-F.col("_s") / F.lit(1e9), 6).alias("entropy"),
+            # the per-term sums are ALREADY exact 1e-9 fixed-point BIGINTs:
+            # emit the negated sum directly (scale 9), no float round-trip
+            (-F.col("_s")).cast("long").alias("entropy_fp9"),
         )
     )
 
@@ -1434,7 +1450,8 @@ WITH p AS (
   FROM p WHERE prev IS NOT NULL
 )
 SELECT user_id, count(*)::BIGINT AS n_intervals,
-       round((sum(gap_us) / count(*)) / 3600000000.0, 6) AS avg_gap_hours
+       CAST(floor((sum(gap_us) / count(*)) / 3600000000.0 * 1e6 + 0.5)
+            AS BIGINT) AS avg_gap_hours_fp
 FROM g GROUP BY user_id
 """
 
@@ -1456,9 +1473,9 @@ def repeat_purchase_intervals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap_us = F.expr("timestampdiff(MICROSECOND, prev, ts)")
     return g.groupBy("user_id").agg(
         F.count("*").alias("n_intervals"),
-        F.round(
+        dquant(
             (F.sum(gap_us) / F.count("*")) / F.lit(3600000000.0), 6
-        ).alias("avg_gap_hours"),
+        ).alias("avg_gap_hours_fp"),
     )
 
 
@@ -1477,7 +1494,7 @@ WITH b AS (
   GROUP BY x.event_type, y.event_type
 )
 SELECT type_a, type_b, n_baskets,
-       round(n_baskets / total_baskets, 6) AS support
+       CAST(floor(n_baskets / total_baskets * 1e6 + 0.5) AS BIGINT) AS support_fp
 FROM pairs, n
 """
 
@@ -1526,8 +1543,8 @@ def basket_type_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "type_a",
         "type_b",
         "n_baskets",
-        F.round(F.col("n_baskets") / F.col("total_baskets"), 6).alias(
-            "support"
+        dquant(F.col("n_baskets") / F.col("total_baskets"), 6).alias(
+            "support_fp"
         ),
     )
 

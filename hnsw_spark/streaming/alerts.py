@@ -102,7 +102,11 @@ def threshold_alerts(
         F.min(F.when(in_alert, F.col(ts_col))).alias("alert_start"),
         F.min(F.when(~in_alert, F.col(ts_col))).alias("alert_end"),
         F.sum(in_alert.cast("long")).alias("n_events"),
-        F.round(F.max(F.when(in_alert, v)), 6).alias("peak_value"),
+        # raw exact max (it's one of the input doubles, no arithmetic):
+        # quantization for oracle comparison is the query wrapper's job,
+        # and rounding here risked a batch/stream parity gap (F.round is
+        # HALF_UP, Python round() half-to-even)
+        F.max(F.when(in_alert, v)).alias("peak_value"),
     )
 
 
@@ -150,7 +154,7 @@ def _alert_fn(high: float, low: float):
                         [c[2] for c in closed], unit="us"
                     ),
                     "n_events": [c[3] for c in closed],
-                    "peak_value": [round(c[4], 6) for c in closed],
+                    "peak_value": [c[4] for c in closed],
                 }
             )
 
