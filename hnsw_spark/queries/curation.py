@@ -898,10 +898,10 @@ WITH s AS (
   FROM b
 )
 SELECT bin, n, n_pos, sum_p_fp,
-       round(sum_p_fp / (n * 1000000.0), 6) AS conf,
-       round(n_pos / (n * 1.0), 6) AS acc,
+       CAST(floor(sum_p_fp / (n * 1000000.0) * 1e6 + 0.5) AS BIGINT) AS conf_fp,
+       CAST(floor(n_pos / (n * 1.0) * 1e6 + 0.5) AS BIGINT) AS acc_fp,
        abs(n_pos * 1000000 - sum_p_fp)::BIGINT AS gap_fp,
-       round(ece_num / (n_total * 1000000.0), 6) AS ece
+       CAST(floor(ece_num / (n_total * 1000000.0) * 1e6 + 0.5) AS BIGINT) AS ece_fp
 FROM b, t
 """
 
@@ -967,10 +967,12 @@ def calibration_bins_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "n_pos",
         "sum_p_fp",
-        F.round(F.col("sum_p_fp") / (F.col("n") * 1000000.0), 6).alias("conf"),
-        F.round(F.col("n_pos") / F.col("n").cast("double"), 6).alias("acc"),
+        dquant(F.col("sum_p_fp") / (F.col("n") * 1000000.0), 6).alias(
+            "conf_fp"
+        ),
+        dquant(F.col("n_pos") / F.col("n").cast("double"), 6).alias("acc_fp"),
         F.abs(F.col("n_pos") * 1000000 - F.col("sum_p_fp")).alias("gap_fp"),
-        F.round(
+        dquant(
             F.col("ece_num") / (F.col("n_total") * 1000000.0), 6
-        ).alias("ece"),
+        ).alias("ece_fp"),
     )

@@ -25,6 +25,7 @@ from hnsw_spark.operators.multimodal import (
     image_features,
     synthetic_media,
 )
+from hnsw_spark.operators.evaluation import dquant
 from hnsw_spark.registry import query
 
 N_MEDIA = 64
@@ -47,7 +48,7 @@ WITH m AS (
   FROM m, (SELECT unnest(generate_series(0, 12*16*3 - 1))::BIGINT AS k) k
   GROUP BY media_id
 )
-SELECT media_id, 64::INT AS dim, 1.0::DOUBLE AS norm,
+SELECT media_id, 64::INT AS dim, 10000::BIGINT AS norm_fp,
        16::INT AS width, 12::INT AS height, byte_sum
 FROM px
 """
@@ -65,7 +66,7 @@ def multimodal_image_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "media_id",
         F.size("embedding").alias("dim"),
-        F.round(l2_norm("embedding"), 4).alias("norm"),
+        dquant(l2_norm("embedding"), 4).alias("norm_fp"),
         "width",
         "height",
         "byte_sum",
@@ -84,7 +85,7 @@ WITH m AS (
   FROM m, (SELECT unnest(generate_series(0, {_AUDIO_SR} - 1))::BIGINT AS k) k
   GROUP BY media_id
 )
-SELECT media_id, 64::INT AS dim, 1.0::DOUBLE AS norm,
+SELECT media_id, 64::INT AS dim, 10000::BIGINT AS norm_fp,
        {_AUDIO_SR}::INT AS sample_rate, pcm_sum
 FROM px
 """
@@ -101,7 +102,7 @@ def multimodal_audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "media_id",
         F.size("embedding").alias("dim"),
-        F.round(l2_norm("embedding"), 4).alias("norm"),
+        dquant(l2_norm("embedding"), 4).alias("norm_fp"),
         "sample_rate",
         "pcm_sum",
     )
@@ -170,7 +171,7 @@ WITH m AS (
   FROM m, (SELECT unnest(generate_series(0, {_WAV_SAMPLES} - 1))::BIGINT AS k) k
   GROUP BY media_id
 )
-SELECT media_id, 64::INT AS dim, 1.0::DOUBLE AS norm,
+SELECT media_id, 64::INT AS dim, 10000::BIGINT AS norm_fp,
        {_WAV_SR}::INT AS sample_rate, {_WAV_SAMPLES}::INT AS n_samples,
        pcm16_sum
 FROM px
@@ -200,7 +201,7 @@ def wav_audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "media_id",
         F.size("embedding").alias("dim"),
-        F.round(l2_norm("embedding"), 4).alias("norm"),
+        dquant(l2_norm("embedding"), 4).alias("norm_fp"),
         "sample_rate",
         "n_samples",
         "pcm16_sum",
@@ -225,7 +226,7 @@ WITH m AS (
   FROM m, (SELECT unnest(generate_series(0, {_PPM_W * _PPM_H * 3} - 1))::BIGINT AS k) k
   GROUP BY media_id
 )
-SELECT media_id, 64::INT AS dim, 1.0::DOUBLE AS norm,
+SELECT media_id, 64::INT AS dim, 10000::BIGINT AS norm_fp,
        {_PPM_W}::INT AS width, {_PPM_H}::INT AS height, pixel_sum
 FROM px
 """
@@ -255,7 +256,7 @@ def ppm_image_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "media_id",
         F.size("embedding").alias("dim"),
-        F.round(l2_norm("embedding"), 4).alias("norm"),
+        dquant(l2_norm("embedding"), 4).alias("norm_fp"),
         "width",
         "height",
         "pixel_sum",

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from hnsw_spark.operators.evaluation import dquant
 from hnsw_spark.operators.knn import knn_exact, similarity_scores
 from hnsw_spark.registry import query
 from hnsw_spark.sources.tables import load_table
@@ -31,7 +32,7 @@ WITH q AS (
          row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, id ASC) AS rn
   FROM s
 )
-SELECT query_id, id, round(sc, 6) AS score
+SELECT query_id, id, CAST(floor(sc * 1e6 + 0.5) AS BIGINT) AS score_fp
 FROM r WHERE rn <= {k}
 """
 
@@ -46,7 +47,7 @@ def _knn(spark: SparkSession, sf_dir: str, metric: str, strategy: str) -> DataFr
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < N_QUERIES)
     res = knn_exact(emb, qs, k=K, metric=metric, strategy=strategy)
-    return res.select("query_id", "id", F.round("score", 6).alias("score"))
+    return res.select("query_id", "id", dquant("score", 6).alias("score_fp"))
 
 
 @query(
@@ -918,7 +919,8 @@ WITH pos AS (
   FROM wide GROUP BY label
 )
 SELECT label::INT AS label, n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
-       round(dot / (sqrt(naa) * sqrt(nbb)), 6) AS drift_cos
+       CAST(floor(dot / (sqrt(naa) * sqrt(nbb)) * 1e6 + 0.5) AS BIGINT)
+         AS drift_cos_fp
 FROM agg
 """
 
@@ -972,7 +974,7 @@ def embedding_drift_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lbl").cast("int").alias("label"),
         "n_a",
         "n_b",
-        F.round(
+        dquant(
             F.col("dot") / (F.sqrt("naa") * F.sqrt("nbb")), 6
-        ).alias("drift_cos"),
+        ).alias("drift_cos_fp"),
     )

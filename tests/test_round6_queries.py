@@ -50,7 +50,9 @@ def test_calibration_bins_python_reference(spark):
         )
         assert got["gap_fp"] == abs(n_pos * 1_000_000 - sum_p)
     for b in bins:
-        assert out[b]["ece"] == round(ece_num / (n_total * 1_000_000.0), 6)
+        assert out[b]["ece_fp"] == math.floor(
+            ece_num / (n_total * 1_000_000.0) * 1_000_000.0 + 0.5
+        )
 
 
 def test_lsh_incremental_is_cross_split_restriction(spark):
@@ -264,7 +266,7 @@ def test_embedding_drift_bounds(spark):
     }
     assert rows
     for r in rows:
-        assert -1.0 <= r["drift_cos"] <= 1.0
+        assert -1_000_000 <= r["drift_cos_fp"] <= 1_000_000
         assert r["n_a"] == sizes[(r["label"], 0)]
         assert r["n_b"] == sizes[(r["label"], 1)]
 
