@@ -70,11 +70,12 @@ def random_projection(
             for k in range(d_out)
         ]
     )
-    # round to 8, not 6: with power-of-two d_out the true value has an exact
-    # ≤8-decimal representation, so 8 is tie-free across engines (rounding
-    # to 6 lands exactly on .5 midpoints whenever Σq·s ≡ 2 mod 4 and Spark
-    # HALF_UP vs DuckDB HALF_EVEN disagree)
+    # raw exact double: Σq·s is a fixed-point BIGINT and 1/√d_out is a
+    # power-of-two reciprocal for the supported d_out, so the division and
+    # scale are IEEE-exact — no rounding needed (the oracle-facing query
+    # wrapper emits the fixed-point form; rounding HERE once hid a
+    # HALF_UP/HALF_EVEN midpoint hazard at scale 6)
     return df.select(
         F.col(id_col).alias("id"),
         F.posexplode(comps).alias("k", "_v"),
-    ).select("id", "k", F.round("_v", 8).alias("value"))
+    ).select("id", "k", F.col("_v").alias("value"))

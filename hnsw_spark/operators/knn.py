@@ -283,7 +283,9 @@ def knn_label_vote(
             "query_id",
             F.col("_lbl").cast("int").alias("pred_label"),
             "votes",
-            F.round("_best", 6).alias("best_score"),
+            # raw exact max (one of the computed scores, no extra
+            # arithmetic); oracle-facing callers quantize
+            F.col("_best").alias("best_score"),
         )
     )
 

@@ -2,7 +2,9 @@
 
 Queries use a fixed query batch (vec_id < 8) so results are deterministic at
 every scale factor; ties are broken by ascending id in both the Spark plan and
-the oracle.  Scores are rounded to 6 decimals on both sides.
+the oracle.  Float outputs are emitted as fixed-point BIGINTs
+(floor(x*10^s + 0.5), operators/evaluation.dquant) on both sides — never
+rounded doubles, whose half-boundary behavior differs across engines.
 """
 
 from __future__ import annotations
@@ -87,11 +89,12 @@ WITH p AS (
   WHERE a.vec_id < 64
 )
 SELECT id_a, id_b,
-       round(list_dot_product(av, bv), 6) AS dot,
-       round(list_dot_product(av, bv)
-             / (sqrt(list_dot_product(av, av)) * sqrt(list_dot_product(bv, bv))), 6) AS cosine,
-       round(list_distance(av, bv), 6) AS euclidean_dist,
-       round(1.0 / (1.0 + list_distance(av, bv)), 6) AS euclidean_sim
+       CAST(floor(list_dot_product(av, bv) * 1e6 + 0.5) AS BIGINT) AS dot_fp,
+       CAST(floor(list_dot_product(av, bv)
+             / (sqrt(list_dot_product(av, av)) * sqrt(list_dot_product(bv, bv)))
+             * 1e6 + 0.5) AS BIGINT) AS cosine_fp,
+       CAST(floor(list_distance(av, bv) * 1e6 + 0.5) AS BIGINT) AS euclidean_dist_fp,
+       CAST(floor(1.0 / (1.0 + list_distance(av, bv)) * 1e6 + 0.5) AS BIGINT) AS euclidean_sim_fp
 FROM p
 """
 
@@ -110,10 +113,10 @@ def similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "id_a",
         "id_b",
-        F.round("dot", 6).alias("dot"),
-        F.round("cosine", 6).alias("cosine"),
-        F.round("euclidean_dist", 6).alias("euclidean_dist"),
-        F.round("euclidean_sim", 6).alias("euclidean_sim"),
+        dquant("dot", 6).alias("dot_fp"),
+        dquant("cosine", 6).alias("cosine_fp"),
+        dquant("euclidean_dist", 6).alias("euclidean_dist_fp"),
+        dquant("euclidean_sim", 6).alias("euclidean_sim_fp"),
     )
 
 
@@ -135,14 +138,14 @@ q AS (
   FROM s
 )
 SELECT vec_id,
-       round(scale, 6) AS scale,
+       CAST(floor(scale * 1e6 + 0.5) AS BIGINT) AS scale_fp,
        qvec[1] AS q0,
        qvec[2] AS q1,
        list_sum(qvec)::BIGINT AS q_sum,
        list_max(qvec) AS q_max,
-       round(list_max(list_transform(generate_series(1, len(v)),
-                                     i -> abs(v[i] - qvec[i] * scale))), 6)
-         AS max_err
+       CAST(floor(list_max(list_transform(generate_series(1, len(v)),
+                                          i -> abs(v[i] - qvec[i] * scale)))
+            * 1e6 + 0.5) AS BIGINT) AS max_err_fp
 FROM q
 """
 
@@ -170,17 +173,17 @@ def embedding_quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # alias resolution would bind the lambda's scale reference to the
     # rounded sibling alias, silently inflating the error by ~q·5e-7
     withe = withq.withColumn(
-        "max_err",
-        F.round(reconstruction_error("v", F.col("qvec"), F.col("scale")), 6),
+        "max_err_fp",
+        dquant(reconstruction_error("v", F.col("qvec"), F.col("scale")), 6),
     )
     return withe.select(
         "vec_id",
-        F.round("scale", 6).alias("scale"),
+        dquant("scale", 6).alias("scale_fp"),
         F.element_at("qvec", 1).alias("q0"),
         F.element_at("qvec", 2).alias("q1"),
         F.aggregate("qvec", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
         F.array_max("qvec").alias("q_max"),
-        "max_err",
+        "max_err_fp",
     )
 
 
@@ -199,7 +202,7 @@ WITH q AS (
          row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, id ASC) AS rn
   FROM s
 )
-SELECT query_id, id, round(sc, 6) AS score
+SELECT query_id, id, CAST(floor(sc * 1e6 + 0.5) AS BIGINT) AS score_fp
 FROM r WHERE rn <= {K}
 """
 
@@ -217,7 +220,7 @@ def knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < N_QUERIES)
     res = knn_exact(corpus, queries_df, k=K, metric="cosine")
     return res.select(
-        "query_id", "id", F.round("score", 6).alias("score")
+        "query_id", "id", dquant("score", 6).alias("score_fp")
     )
 
 
@@ -246,7 +249,8 @@ p AS (
   FROM x JOIN s USING (j) GROUP BY vec_id, k
 )
 SELECT vec_id AS id, k::INT AS k,
-       round(sq::DOUBLE / 1000000.0 * {1.0 / _JL_DOUT ** 0.5!r}, 8) AS value
+       CAST(floor(sq::DOUBLE / 1000000.0 * {1.0 / _JL_DOUT ** 0.5!r} * 1e8 + 0.5)
+            AS BIGINT) AS value_fp8
 FROM p
 """
 
@@ -262,9 +266,10 @@ def random_projection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hnsw_spark.functions.projection import random_projection
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return random_projection(
-        emb, d_in=_JL_DIN, d_out=_JL_DOUT, salt=_JL_SALT
-    )
+    res = random_projection(emb, d_in=_JL_DIN, d_out=_JL_DOUT, salt=_JL_SALT)
+    # scale 8, not 6: with power-of-two d_out the true value has an exact
+    # ≤8-decimal representation, so 8 is midpoint-free across engines
+    return res.select("id", "k", dquant("value", 8).alias("value_fp8"))
 
 
 _LABEL_VOTE_SQL = """
@@ -292,7 +297,7 @@ v AS (
   FROM v
 )
 SELECT query_id, label::INT AS pred_label, votes,
-       round(best, 6) AS best_score
+       CAST(floor(best * 1e6 + 0.5) AS BIGINT) AS best_score_fp
 FROM wv WHERE wr = 1
 """
 
@@ -308,8 +313,12 @@ def knn_label_vote_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-stable, unlike a mean)."""
     from hnsw_spark.operators.knn import knn_label_vote
 
-    return knn_label_vote(
+    res = knn_label_vote(
         load_table(spark, sf_dir, "embeddings"), n_queries=64, k=K
+    )
+    return res.select(
+        "query_id", "pred_label", "votes",
+        dquant("best_score", 6).alias("best_score_fp"),
     )
 
 
@@ -416,7 +425,7 @@ WITH b AS (
                                ORDER BY sc DESC, id) AS fr
   FROM s
 )
-SELECT query_id, id, hamming, round(sc, 6) AS score
+SELECT query_id, id, hamming, CAST(floor(sc * 1e6 + 0.5) AS BIGINT) AS score_fp
 FROM f WHERE fr <= {K}
 """
 
@@ -439,7 +448,7 @@ def knn_hamming_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, qs, k=K, rerank=_HAMMING_RERANK, dim=_JL_DIN
     )
     return res.select(
-        "query_id", "id", "hamming", F.round("score", 6).alias("score")
+        "query_id", "id", "hamming", dquant("score", 6).alias("score_fp")
     )
 
 
@@ -463,7 +472,8 @@ WITH base AS (
 ), rev AS (
   SELECT nid AS id_a, qid AS id_b, rn AS rank_ba FROM t WHERE nid < qid
 )
-SELECT id_a, id_b, rank_ab, rank_ba, round(sc, 6) AS score
+SELECT id_a, id_b, rank_ab, rank_ba,
+       CAST(floor(sc * 1e6 + 0.5) AS BIGINT) AS score_fp
 FROM fwd JOIN rev USING (id_a, id_b)
 """
 
@@ -481,7 +491,7 @@ def mutual_knn_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = mutual_knn_pairs(emb, k=K)
     return res.select(
         "id_a", "id_b", "rank_ab", "rank_ba",
-        F.round("score", 6).alias("score"),
+        dquant("score", 6).alias("score_fp"),
     )
 
 
@@ -517,7 +527,7 @@ h AS (
   GROUP BY e.query_id
 )
 SELECT query_id, hits, {K}::BIGINT AS total,
-       round(hits / {K}.0, 6) AS recall
+       CAST(floor(hits / {K}.0 * 1e6 + 0.5) AS BIGINT) AS recall_fp
 FROM h
 """
 
@@ -541,7 +551,7 @@ def matryoshka_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tq = trunc.filter(F.col("vec_id") < N_QUERIES)
     approx = knn_exact(trunc, tq, k=K)
     return recall_table(approx, exact).select(
-        "query_id", "hits", "total", F.round("recall", 6).alias("recall")
+        "query_id", "hits", "total", dquant("recall", 6).alias("recall_fp")
     )
 
 
@@ -561,7 +571,7 @@ WITH pos AS (
   GROUP BY a.label, b.label
 )
 SELECT label_a::INT AS label_a, label_b::INT AS label_b,
-       round(dist, 6) AS dist
+       CAST(floor(dist * 1e6 + 0.5) AS BIGINT) AS dist_fp
 FROM pair
 """
 
@@ -615,7 +625,7 @@ def label_centroid_distances_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pair.select(
         F.col("label_a").cast("int").alias("label_a"),
         F.col("label_b").cast("int").alias("label_b"),
-        F.round("dist", 6).alias("dist"),
+        dquant("dist", 6).alias("dist_fp"),
     )
 
 
@@ -636,7 +646,7 @@ WITH q AS (
   FROM s
 )
 SELECT query_id, id, label::INT AS neg_label, rn::INT AS rank,
-       round(sc, 6) AS score
+       CAST(floor(sc * 1e6 + 0.5) AS BIGINT) AS score_fp
 FROM r WHERE rn <= {K}
 """
 
@@ -693,7 +703,7 @@ def hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id",
             F.col("label").cast("int").alias("neg_label"),
             F.col("rank").cast("int").alias("rank"),
-            F.round("score", 6).alias("score"),
+            dquant("score", 6).alias("score_fp"),
         )
     )
 
