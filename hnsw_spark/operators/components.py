@@ -196,6 +196,7 @@ def canonical_by_score(
     return j.select(
         id_col,
         cluster_col,
-        F.round("_s", 6).alias("quality"),
+        # raw score (oracle-facing callers quantize)
+        F.col("_s").alias("quality"),
         (F.row_number().over(w) == 1).cast("int").alias("keep"),
     )

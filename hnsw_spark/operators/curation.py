@@ -146,10 +146,9 @@ def tfidf_top_terms(
         "token",
         "tf",
         "df",
-        F.round(
+        (
             F.col("tf")
-            * (F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0),
-            6,
+            * (F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0)
         ).alias("weight"),
     )
     w = Window.partitionBy("id").orderBy(F.col("weight").desc(), F.col("token"))
@@ -538,9 +537,8 @@ def pipeline_attrition(
         .select(
             "drop_reason",
             "n_docs",
-            F.round(F.col("n_docs").cast("double") / F.col("_total"), 6).alias(
-                "share"
-            ),
+            # raw exact ratio (oracle-facing callers quantize)
+            (F.col("n_docs").cast("double") / F.col("_total")).alias("share"),
         )
     )
 
@@ -1003,8 +1001,9 @@ def embedding_outliers(
         .select(
             id_col,
             label_col,
-            F.round("_d", 6).alias("dist"),
-            F.round(thr, 6).alias("threshold"),
+            # raw exact values (oracle-facing callers quantize)
+            F.col("_d").alias("dist"),
+            thr.alias("threshold"),
         )
     )
 

@@ -614,10 +614,9 @@ def boilerplate_spans(
             id_col,
             F.coalesce("n_common", F.lit(0)).alias("n_common"),
             F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
-            F.round(
+            (
                 F.coalesce("covered_tokens", F.lit(0)).cast("double")
-                / F.col("_len"),
-                6,
+                / F.col("_len")
             ).alias("boilerplate_ratio"),
         )
     )

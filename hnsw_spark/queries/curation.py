@@ -16,6 +16,7 @@ from hnsw_spark.operators.curation import (
     tfidf_top_terms,
     vocab_stats,
 )
+from hnsw_spark.operators.evaluation import dquant
 from hnsw_spark.queries.text import _NORM, _W, QUALITY_SQL, lang_case_sql
 from hnsw_spark.registry import query
 from hnsw_spark.sources.tables import load_table
@@ -71,7 +72,8 @@ j AS (
   FROM cur JOIN rep USING (doc_id) JOIN lp USING (doc_id)
 )
 SELECT drop_reason, count(*)::BIGINT AS n_docs,
-       round(count(*)::DOUBLE / (SELECT count(*) FROM j), 6) AS share
+       CAST(floor(count(*)::DOUBLE / (SELECT count(*) FROM j) * 1e6 + 0.5)
+            AS BIGINT) AS share_fp
 FROM j GROUP BY drop_reason
 """
 
@@ -93,7 +95,10 @@ def corpus_attrition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (see operators/curation.py:pipeline_attrition)."""
     from hnsw_spark.operators.curation import pipeline_attrition
 
-    return pipeline_attrition(load_table(spark, sf_dir, "documents"))
+    res = pipeline_attrition(load_table(spark, sf_dir, "documents"))
+    return res.select(
+        "drop_reason", "n_docs", dquant("share", 6).alias("share_fp")
+    )
 
 
 _SAMPLE_SQL = """
@@ -143,13 +148,16 @@ vec AS (
   FROM sums
 )
 SELECT id,
-       round(CASE WHEN nrm = 0 THEN raw[1] ELSE raw[1] / nrm END, 6) AS e0,
-       round(CASE WHEN nrm = 0 THEN raw[2] ELSE raw[2] / nrm END, 6) AS e1,
-       round(CASE WHEN nrm = 0 THEN list_sum(raw)
-             ELSE list_sum(raw) / nrm END, 6) AS e_sum,
-       round(CASE WHEN nrm = 0 THEN list_sum(list_transform(raw, x -> abs(x)))
-             ELSE list_sum(list_transform(raw, x -> abs(x))) / nrm END, 6)
-         AS e_abs_sum
+       CAST(floor((CASE WHEN nrm = 0 THEN raw[1] ELSE raw[1] / nrm END)
+            * 1e6 + 0.5) AS BIGINT) AS e0_fp,
+       CAST(floor((CASE WHEN nrm = 0 THEN raw[2] ELSE raw[2] / nrm END)
+            * 1e6 + 0.5) AS BIGINT) AS e1_fp,
+       CAST(floor((CASE WHEN nrm = 0 THEN list_sum(raw)
+             ELSE list_sum(raw) / nrm END) * 1e6 + 0.5) AS BIGINT) AS e_sum_fp,
+       CAST(floor((CASE WHEN nrm = 0
+             THEN list_sum(list_transform(raw, x -> abs(x)))
+             ELSE list_sum(list_transform(raw, x -> abs(x))) / nrm END)
+            * 1e6 + 0.5) AS BIGINT) AS e_abs_sum_fp
 FROM vec
 """
 
@@ -166,12 +174,14 @@ def text_hash_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = F.col("embedding")
     return emb.select(
         "id",
-        F.round(F.element_at(e, 1), 6).alias("e0"),
-        F.round(F.element_at(e, 2), 6).alias("e1"),
-        F.round(F.aggregate(e, F.lit(0.0), lambda a, x: a + x), 6).alias("e_sum"),
-        F.round(
+        dquant(F.element_at(e, 1), 6).alias("e0_fp"),
+        dquant(F.element_at(e, 2), 6).alias("e1_fp"),
+        dquant(
+            F.aggregate(e, F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("e_sum_fp"),
+        dquant(
             F.aggregate(e, F.lit(0.0), lambda a, x: a + F.abs(x)), 6
-        ).alias("e_abs_sum"),
+        ).alias("e_abs_sum_fp"),
     )
 
 
@@ -197,7 +207,7 @@ dfreq AS (SELECT token, count(DISTINCT id)::BIGINT AS df FROM tok2 GROUP BY toke
 n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
 weighted AS (
   SELECT tf.id, tf.token, tf.tf, dfreq.df,
-         round(tf.tf * (ln((n.n_docs + 1)::DOUBLE / (dfreq.df + 1)) + 1.0), 6) AS weight
+         tf.tf * (ln((n.n_docs + 1)::DOUBLE / (dfreq.df + 1)) + 1.0) AS weight
   FROM tf JOIN dfreq USING (token) CROSS JOIN n
 ),
 ranked AS (
@@ -205,7 +215,8 @@ ranked AS (
     PARTITION BY id ORDER BY weight DESC, token) AS rank
   FROM weighted
 )
-SELECT id, rank::INT AS rank, token, tf, df, weight
+SELECT id, rank::INT AS rank, token, tf, df,
+       CAST(floor(weight * 1e6 + 0.5) AS BIGINT) AS weight_fp
 FROM ranked WHERE rank <= 5
 """
 
@@ -215,7 +226,11 @@ def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 TF-IDF terms per document with smoothed idf and a deterministic
     (weight desc, token) tie-break — the retrieval-style text scoring layer
     over the vocab statistics."""
-    return tfidf_top_terms(load_table(spark, sf_dir, "documents"), top_k=5)
+    res = tfidf_top_terms(load_table(spark, sf_dir, "documents"), top_k=5)
+    return res.select(
+        "id", "rank", "token", "tf", "df",
+        dquant("weight", 6).alias("weight_fp"),
+    )
 
 
 @query("vocab_stats", _VOCAB_SQL)
@@ -347,7 +362,7 @@ q AS (
 sq AS (SELECT doc_id, k, sum(qv)::BIGINT AS s FROM q GROUP BY doc_id, k),
 s2 AS (SELECT doc_id, sum(s * s)::BIGINT AS s2 FROM sq GROUP BY doc_id)
 SELECT sq.doc_id, sq.k::INT AS k,
-       round(sq.s / sqrt(s2.s2), 6) AS value
+       CAST(floor(sq.s / sqrt(s2.s2) * 1e6 + 0.5) AS BIGINT) AS value_fp
 FROM sq JOIN s2 USING (doc_id)
 """
 
@@ -393,7 +408,7 @@ def chunk_pooled_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id",
         "k",
-        F.round(F.col("s") / F.sqrt(F.col("s2")), 6).alias("value"),
+        dquant(F.col("s") / F.sqrt(F.col("s2")), 6).alias("value_fp"),
     )
 
 
@@ -510,8 +525,9 @@ st AS (
 thr AS (
   SELECT label, mean_d, sqrt(greatest(m2 - mean_d * mean_d, 0.0)) AS sd FROM st
 )
-SELECT d.vec_id, d.label, round(d.d, 6) AS dist,
-       round(t.mean_d + 2.0 * t.sd, 6) AS threshold
+SELECT d.vec_id, d.label,
+       CAST(floor(d.d * 1e6 + 0.5) AS BIGINT) AS dist_fp,
+       CAST(floor((t.mean_d + 2.0 * t.sd) * 1e6 + 0.5) AS BIGINT) AS threshold_fp
 FROM d JOIN thr t ON d.label = t.label
 WHERE d.d > t.mean_d + 2.0 * t.sd
 """
@@ -528,7 +544,12 @@ def embedding_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hnsw_spark.operators.curation import embedding_outliers
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_outliers(emb, k_sigma=2.0)
+    res = embedding_outliers(emb, k_sigma=2.0)
+    return res.select(
+        "vec_id", "label",
+        dquant("dist", 6).alias("dist_fp"),
+        dquant("threshold", 6).alias("threshold_fp"),
+    )
 
 
 _TOKEN_BUDGET_SQL = f"""
@@ -586,7 +607,8 @@ WITH q AS (
   FROM c
 )
 SELECT n0, n1,
-       round(max(abs(f0 * n1 - f1 * n0)) / (n0 * n1), 6) AS ks_stat
+       CAST(floor(max(abs(f0 * n1 - f1 * n0)) / (n0 * n1) * 1e6 + 0.5)
+            AS BIGINT) AS ks_stat_fp
 FROM cum, n
 GROUP BY n0, n1
 """
@@ -631,7 +653,7 @@ def quality_drift_ks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum.crossJoin(F.broadcast(n))
         .groupBy("n0", "n1")
         .agg(
-            F.round(
+            dquant(
                 F.max(
                     F.abs(
                         F.col("f0") * F.col("n1") - F.col("f1") * F.col("n0")
@@ -639,7 +661,7 @@ def quality_drift_ks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 / (F.col("n0") * F.col("n1")),
                 6,
-            ).alias("ks_stat")
+            ).alias("ks_stat_fp")
         )
     )
 
@@ -668,7 +690,8 @@ WITH q AS (
 )
 SELECT n0, n1,
        (two_r1 - n1 * (n1 + 1))::BIGINT AS auc_num,
-       round((two_r1 - n1 * (n1 + 1)) / (2.0 * n0 * n1), 6) AS auc
+       CAST(floor((two_r1 - n1 * (n1 + 1)) / (2.0 * n0 * n1) * 1e6 + 0.5)
+            AS BIGINT) AS auc_fp
 FROM r, n
 """.format(QUALITY_SQL=QUALITY_SQL)
 
@@ -729,11 +752,11 @@ def quality_auc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("two_r1") - F.col("n1") * (F.col("n1") + 1))
             .cast("long")
             .alias("auc_num"),
-            F.round(
+            dquant(
                 (F.col("two_r1") - F.col("n1") * (F.col("n1") + 1))
                 / (2.0 * F.col("n0") * F.col("n1")),
                 6,
-            ).alias("auc"),
+            ).alias("auc_fp"),
         )
     )
 

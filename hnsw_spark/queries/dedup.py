@@ -17,6 +17,7 @@ from hnsw_spark.operators.dedup import (
     simhash,
     simhash_neardup_pairs,
 )
+from hnsw_spark.operators.evaluation import dquant
 from hnsw_spark.registry import query
 from hnsw_spark.sources.tables import load_table
 
@@ -436,7 +437,8 @@ j AS (
          0.5 + 0.5 * q.z / (1 + abs(q.z)) AS prob
   FROM memb m JOIN q USING (doc_id)
 )
-SELECT doc_id, cluster_id, round(prob, 6) AS quality,
+SELECT doc_id, cluster_id,
+       CAST(floor(prob * 1e6 + 0.5) AS BIGINT) AS quality_fp,
        (row_number() OVER (PARTITION BY cluster_id
                            ORDER BY prob DESC, doc_id) = 1)::INT AS keep
 FROM j
@@ -463,7 +465,10 @@ def dedup_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clusters = dedup_clusters(docs, edges, shuffle_partitions=4)
     scores = quality_classifier(docs).select("doc_id", "prob")
-    return canonical_by_score(clusters, scores)
+    res = canonical_by_score(clusters, scores)
+    return res.select(
+        "doc_id", "cluster_id", dquant("quality", 6).alias("quality_fp"), "keep"
+    )
 
 
 _BP_N = 4
@@ -491,7 +496,8 @@ nc AS (SELECT doc_id, count(*)::BIGINT AS n_common FROM com GROUP BY doc_id)
 SELECT d.doc_id,
        coalesce(n_common, 0)::BIGINT AS n_common,
        coalesce(covered, 0)::BIGINT AS covered_tokens,
-       round(coalesce(covered, 0)::DOUBLE / len(w), 6) AS boilerplate_ratio
+       CAST(floor(coalesce(covered, 0)::DOUBLE / len(w) * 1e6 + 0.5)
+            AS BIGINT) AS boilerplate_ratio_fp
 FROM docs d LEFT JOIN nc USING (doc_id) LEFT JOIN cov USING (doc_id)
 """
 
@@ -505,8 +511,12 @@ def boilerplate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     they cover, and the covered ratio (operators/dedup.py:boilerplate_spans)."""
     from hnsw_spark.operators.dedup import boilerplate_spans
 
-    return boilerplate_spans(
+    res = boilerplate_spans(
         load_table(spark, sf_dir, "documents"), n=_BP_N, min_docs=_BP_MIN_DOCS
+    )
+    return res.select(
+        "doc_id", "n_common", "covered_tokens",
+        dquant("boilerplate_ratio", 6).alias("boilerplate_ratio_fp"),
     )
 
 
@@ -629,8 +639,10 @@ inter AS (
 SELECT (SELECT count(*)::BIGINT FROM exact) AS n_exact,
        (SELECT count(*)::BIGINT FROM cand) AS n_candidates,
        n_hits,
-       round(n_hits / greatest((SELECT count(*) FROM exact), 1), 6) AS recall,
-       round(n_hits / greatest((SELECT count(*) FROM cand), 1), 6) AS precision
+       CAST(floor(n_hits / greatest((SELECT count(*) FROM exact), 1) * 1e6 + 0.5)
+            AS BIGINT) AS recall_fp,
+       CAST(floor(n_hits / greatest((SELECT count(*) FROM cand), 1) * 1e6 + 0.5)
+            AS BIGINT) AS precision_fp
 FROM hits
 """
 )
@@ -667,13 +679,13 @@ def lsh_quality_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_exact",
             "n_candidates",
             "n_hits",
-            F.round(
+            dquant(
                 F.col("n_hits") / F.greatest(F.col("n_exact"), F.lit(1)), 6
-            ).alias("recall"),
-            F.round(
+            ).alias("recall_fp"),
+            dquant(
                 F.col("n_hits") / F.greatest(F.col("n_candidates"), F.lit(1)),
                 6,
-            ).alias("precision"),
+            ).alias("precision_fp"),
         )
     )
 

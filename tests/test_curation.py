@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from hnsw_spark.operators.curation import (
@@ -91,8 +92,8 @@ def test_tfidf_rare_term_outweighs_common(spark):
     r_rare, r_common = rows[(0, "rare")], rows[(0, "common")]
     assert (r_rare.tf, r_rare.df) == (1, 1)
     assert (r_common.tf, r_common.df) == (2, 3)
-    assert r_rare.weight == round(math.log(4 / 2) + 1, 6)
-    assert r_common.weight == round(2 * (math.log(4 / 4) + 1), 6)
+    assert r_rare.weight == pytest.approx(math.log(4 / 2) + 1)
+    assert r_common.weight == pytest.approx(2 * (math.log(4 / 4) + 1))
     # rare (≈1.69) ranks above common-with-tf-2 (=2.0)? No: 2.0 > 1.69
     assert r_common.rank == 1 and r_rare.rank == 2
     # doc 1: single term still gets a positive weight (smoothed idf)

@@ -333,7 +333,7 @@ def test_boilerplate_spans_planted_common_span(spark):
     for i in (0, 1, 2):
         assert res[i].n_common == 1
         assert res[i].covered_tokens == 4
-    assert res[0].boilerplate_ratio == round(4 / 9, 6)
+    assert res[0].boilerplate_ratio == 4 / 9
     assert res[3].n_common == 0 and res[3].boilerplate_ratio == 0.0
     assert res[4].covered_tokens == 0
 
