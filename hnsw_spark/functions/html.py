@@ -56,5 +56,5 @@ def markup_ratio(col: Column | str) -> Column:
     raw_len = F.length(_col(col))
     clean_len = F.length(strip_html(col))
     return F.when(raw_len == 0, F.lit(0.0)).otherwise(
-        F.round(1.0 - clean_len.cast("double") / raw_len.cast("double"), 6)
+        (1.0 - clean_len.cast("double") / raw_len.cast("double"))
     )

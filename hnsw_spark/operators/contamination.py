@@ -104,11 +104,8 @@ def contamination_flags(
         F.col("id").alias(id_col),
         F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
         F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
-        F.round(
-            F.coalesce(
-                F.col("n_matched") / F.col("n_shingles"), F.lit(0.0)
-            ),
-            6,
+        F.coalesce(
+            F.col("n_matched") / F.col("n_shingles"), F.lit(0.0)
         ).alias("overlap"),
     )
     return out.withColumn(

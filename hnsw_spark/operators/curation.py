@@ -255,9 +255,10 @@ def unigram_logprob(
         .select(
             "doc_id",
             F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
-            F.round(
-                F.col("sq").cast("double") / (F.col("n_tokens") * F.lit(1000000.0)),
-                6,
+            # raw: sq and n_tokens are exact integers, the one division is
+            # IEEE-identical in every engine (oracle wrappers quantize)
+            (
+                F.col("sq").cast("double") / (F.col("n_tokens") * F.lit(1000000.0))
             ).alias("logprob"),
         )
     )
@@ -336,10 +337,9 @@ def bigram_logprob(
         .select(
             "doc_id",
             F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
-            F.round(
+            (
                 F.col("sq").cast("double")
-                / (F.col("n_bigrams") * F.lit(1000000.0)),
-                6,
+                / (F.col("n_bigrams") * F.lit(1000000.0))
             ).alias("logprob"),
         )
     )
@@ -384,9 +384,9 @@ def repetition_stats(
         .select(
             "doc_id",
             F.size("lines").alias("n_lines"),
-            F.round(dup(F.col("lines")), 6).alias("dup_line_frac"),
-            F.round(dup(F.col("w")), 6).alias("dup_word_frac"),
-            F.round(F.coalesce("_tf", F.lit(0.0)), 6).alias("top_2gram_frac"),
+            dup(F.col("lines")).alias("dup_line_frac"),
+            dup(F.col("w")).alias("dup_word_frac"),
+            F.coalesce("_tf", F.lit(0.0)).alias("top_2gram_frac"),
         )
     )
 
@@ -442,8 +442,8 @@ def pipeline_attrition(
             F.size("w").alias("n_words"),
             quality_score_w(F.col("text"), F.col("w")).alias("quality"),
             lang_id_w(F.col("w")).alias("lang_pred"),
-            F.round(dup(F.col("lines")), 6).alias("dup_line_frac"),
-            F.round(dup(F.col("w")), 6).alias("dup_word_frac"),
+            dup(F.col("lines")).alias("dup_line_frac"),
+            dup(F.col("w")).alias("dup_word_frac"),
             "w",
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -488,10 +488,9 @@ def pipeline_attrition(
         .agg(F.sum("tf").alias("n_tokens"), F.sum("tfq").alias("sq"))
         .select(
             "doc_id",
-            F.round(
+            (
                 F.col("sq").cast("double")
-                / (F.col("n_tokens") * F.lit(1000000.0)),
-                6,
+                / (F.col("n_tokens") * F.lit(1000000.0))
             ).alias("logprob"),
         )
     )
@@ -515,7 +514,7 @@ def pipeline_attrition(
             "drop_reason",
             "dup_word_frac",
             "logprob",
-            F.round(F.coalesce("_tf", F.lit(0.0)), 6).alias("top_2gram_frac"),
+            F.coalesce("_tf", F.lit(0.0)).alias("top_2gram_frac"),
         )
     )
     reason = F.coalesce(
@@ -603,8 +602,8 @@ def quality_classifier(
     prob = quality_prob(text_col)
     return df.select(
         F.col(id_col),
-        F.round(z, 6).alias("z"),
-        F.round(prob, 6).alias("prob"),
+        z.alias("z"),
+        prob.alias("prob"),
         (prob >= F.lit(threshold)).alias("keep_pred"),
     )
 
@@ -642,15 +641,14 @@ def mixing_weights(
     out = powed.crossJoin(F.broadcast(totals)).select(
         "domain",
         "n_docs",
-        F.round(F.col("n_docs") / F.col("_n_total"), 6).alias("natural_share"),
-        F.round(F.col("_pow") / F.col("_pow_total"), 6).alias("weight"),
+        (F.col("n_docs") / F.col("_n_total")).alias("natural_share"),
+        (F.col("_pow") / F.col("_pow_total")).alias("weight"),
         *(
             [
-                F.round(
+                (
                     (F.col("_pow") / F.col("_pow_total"))
                     * F.lit(float(target_rows))
-                    / F.col("n_docs"),
-                    6,
+                    / F.col("n_docs")
                 ).alias("sample_rate")
             ]
             if target_rows is not None
@@ -865,12 +863,9 @@ def zipf_stats(
             "rank",
             "token",
             "freq",
-            F.round("_sh", 6).alias("share"),
-            F.round(
-                F.sum("_sh").over(
-                    w.rowsBetween(Window.unboundedPreceding, 0)
-                ),
-                6,
+            F.col("_sh").alias("share"),
+            F.sum("_sh").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
             ).alias("cum_share"),
         )
     )

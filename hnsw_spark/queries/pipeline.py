@@ -16,6 +16,7 @@ from hnsw_spark.operators.curation import _unit_hash, mixing_weights
 from hnsw_spark.operators.packing import assign_shards, pack_sequences
 from hnsw_spark.queries.dedup import _shingle_sql
 from hnsw_spark.queries.text import _W
+from hnsw_spark.operators.evaluation import dquant
 from hnsw_spark.registry import query
 from hnsw_spark.sources.tables import load_table
 
@@ -52,8 +53,9 @@ per_doc AS (
 SELECT d.doc_id,
        coalesce(p.n_shingles, 0)::BIGINT AS n_shingles,
        coalesce(p.n_matched, 0)::BIGINT AS n_matched,
-       coalesce(round(p.n_matched / p.n_shingles, 6), 0.0) AS overlap,
-       coalesce(round(p.n_matched / p.n_shingles, 6), 0.0)
+       CAST(floor(coalesce(p.n_matched / p.n_shingles, 0.0) * 1e6 + 0.5)
+            AS BIGINT) AS overlap_fp,
+       coalesce(p.n_matched / p.n_shingles, 0.0)
          >= {_CONTAM_THRESHOLD} AS contaminated
 FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.id
 """
@@ -70,8 +72,13 @@ def decontamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(
         _unit_hash(F.col("doc_id"), _BENCH_SALT) < _BENCH_FRAC
     )
-    return contamination_flags(
+    res = contamination_flags(
         docs, bench, n=_CONTAM_N, threshold=_CONTAM_THRESHOLD
+    )
+    return res.select(
+        "doc_id", "n_shingles", "n_matched",
+        dquant("overlap", 6).alias("overlap_fp"),
+        "contaminated",
     )
 
 
@@ -224,8 +231,10 @@ def _quality_logit_sql() -> str:
     )
     return f"""
 WITH s AS (SELECT doc_id, ({z}) AS z FROM documents)
-SELECT doc_id, round(z, 6) AS z,
-       round(0.5 + 0.5 * z / (1 + abs(z)), 6) AS prob,
+SELECT doc_id,
+       CAST(floor(z * 1e6 + 0.5) AS BIGINT) AS z_fp,
+       CAST(floor((0.5 + 0.5 * z / (1 + abs(z))) * 1e6 + 0.5) AS BIGINT)
+         AS prob_fp,
        (0.5 + 0.5 * z / (1 + abs(z))) >= 0.5 AS keep_pred
 FROM s
 """
@@ -238,7 +247,13 @@ def quality_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/curation.py:quality_classifier)."""
     from hnsw_spark.operators.curation import quality_classifier
 
-    return quality_classifier(load_table(spark, sf_dir, "documents"))
+    res = quality_classifier(load_table(spark, sf_dir, "documents"))
+    return res.select(
+        "doc_id",
+        dquant("z", 6).alias("z_fp"),
+        dquant("prob", 6).alias("prob_fp"),
+        "keep_pred",
+    )
 
 
 _MIX_ALPHA = 0.5
@@ -251,10 +266,11 @@ WITH c AS (
 ),
 t AS (SELECT sum(pow(n_docs, {_MIX_ALPHA})) AS pt, sum(n_docs) AS nt FROM c)
 SELECT domain, n_docs,
-       round(n_docs / nt, 6) AS natural_share,
-       round(pow(n_docs, {_MIX_ALPHA}) / pt, 6) AS weight,
-       round(pow(n_docs, {_MIX_ALPHA}) / pt * {_MIX_TARGET} / n_docs, 6)
-         AS sample_rate
+       CAST(floor(n_docs / nt * 1e6 + 0.5) AS BIGINT) AS natural_share_fp,
+       CAST(floor(pow(n_docs, {_MIX_ALPHA}) / pt * 1e6 + 0.5) AS BIGINT)
+         AS weight_fp,
+       CAST(floor(pow(n_docs, {_MIX_ALPHA}) / pt * {_MIX_TARGET} / n_docs
+            * 1e6 + 0.5) AS BIGINT) AS sample_rate_fp
 FROM c, t
 """
 
@@ -266,11 +282,17 @@ def mixing_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     rates above 1.0 signal required up-sampling.  One corpus aggregate;
     normalization totals ride as a broadcast 1-row aggregate
     (operators/curation.py:mixing_weights)."""
-    return mixing_weights(
+    res = mixing_weights(
         load_table(spark, sf_dir, "documents"),
         by="source",
         alpha=_MIX_ALPHA,
         target_rows=_MIX_TARGET,
+    )
+    return res.select(
+        "domain", "n_docs",
+        dquant("natural_share", 6).alias("natural_share_fp"),
+        dquant("weight", 6).alias("weight_fp"),
+        dquant("sample_rate", 6).alias("sample_rate_fp"),
     )
 
 

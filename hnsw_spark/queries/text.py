@@ -18,6 +18,7 @@ from hnsw_spark.functions.text import (
     stopword_ratio_w,
     words,
 )
+from hnsw_spark.operators.evaluation import dquant
 from hnsw_spark.registry import query
 from hnsw_spark.sources.tables import load_table
 
@@ -91,8 +92,8 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT doc_id,
        length(text)::BIGINT AS n_chars,
        len({_W})::INT AS n_words,
-       round({_AWL}, 6) AS avg_word_len,
-       round({_SWR}, 6) AS stopword_ratio,
+       CAST(floor(({_AWL}) * 1e6 + 0.5) AS BIGINT) AS avg_word_len_fp,
+       CAST(floor(({_SWR}) * 1e6 + 0.5) AS BIGINT) AS stopword_ratio_fp,
        {QUALITY_SQL} AS quality
 FROM documents
 """,
@@ -108,8 +109,8 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.length("text").cast("long").alias("n_chars"),
         F.size("w").alias("n_words"),
-        F.round(avg_word_len_w(F.col("w")), 6).alias("avg_word_len"),
-        F.round(stopword_ratio_w(F.col("w")), 6).alias("stopword_ratio"),
+        dquant(avg_word_len_w(F.col("w")), 6).alias("avg_word_len_fp"),
+        dquant(stopword_ratio_w(F.col("w")), 6).alias("stopword_ratio_fp"),
         quality_score_w(F.col("text"), F.col("w")).alias("quality"),
     )
 
@@ -131,19 +132,31 @@ agg AS (
 )
 SELECT d.doc_id,
        coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
-       round(a.sq::DOUBLE / (a.n_tokens * 1000000.0), 6) AS logprob
+       a.sq::DOUBLE / (a.n_tokens * 1000000.0) AS logprob
 FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
+# registered output: fixed-point; the raw-CTE form above is reused by the
+# corpus_attrition oracle whose thresholds compare the RAW value
+_LOGPROB_ORACLE = f"""
+WITH lp AS ({_LOGPROB_SQL})
+SELECT doc_id, n_tokens,
+       CAST(floor(logprob * 1e6 + 0.5) AS BIGINT) AS logprob_fp
+FROM lp
+"""
 
-@query("unigram_logprob", _LOGPROB_SQL)
+
+@query("unigram_logprob", _LOGPROB_ORACLE)
 def unigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-unigram-LM fluency score per document (curation signal);
     fixed-point ln accumulation makes the score engine-invariant, so the
     oracle is exact (see operators/curation.py:unigram_logprob)."""
     from hnsw_spark.operators.curation import unigram_logprob
 
-    return unigram_logprob(load_table(spark, sf_dir, "documents"))
+    res = unigram_logprob(load_table(spark, sf_dir, "documents"))
+    return res.select(
+        "doc_id", "n_tokens", dquant("logprob", 6).alias("logprob_fp")
+    )
 
 
 # DuckDB word-2-gram list (mirror of queries/dedup.py::_shingle_sql(2) and
@@ -165,24 +178,39 @@ ga AS (
 )
 SELECT d.doc_id,
        len(lines)::INT AS n_lines,
-       round(CASE WHEN len(lines) = 0 THEN 0.0
-             ELSE 1.0 - len(list_distinct(lines))::DOUBLE / len(lines) END,
-             6) AS dup_line_frac,
-       round(CASE WHEN len(w) = 0 THEN 0.0
-             ELSE 1.0 - len(list_distinct(w))::DOUBLE / len(w) END,
-             6) AS dup_word_frac,
-       round(coalesce(ga.tf, 0.0), 6) AS top_2gram_frac
+       CASE WHEN len(lines) = 0 THEN 0.0
+            ELSE 1.0 - len(list_distinct(lines))::DOUBLE / len(lines)
+       END AS dup_line_frac,
+       CASE WHEN len(w) = 0 THEN 0.0
+            ELSE 1.0 - len(list_distinct(w))::DOUBLE / len(w)
+       END AS dup_word_frac,
+       coalesce(ga.tf, 0.0) AS top_2gram_frac
 FROM docs d LEFT JOIN ga USING (doc_id)
 """
 
+_REPETITION_ORACLE = f"""
+WITH rep AS ({_REPETITION_SQL})
+SELECT doc_id, n_lines,
+       CAST(floor(dup_line_frac * 1e6 + 0.5) AS BIGINT) AS dup_line_frac_fp,
+       CAST(floor(dup_word_frac * 1e6 + 0.5) AS BIGINT) AS dup_word_frac_fp,
+       CAST(floor(top_2gram_frac * 1e6 + 0.5) AS BIGINT) AS top_2gram_frac_fp
+FROM rep
+"""
 
-@query("repetition_stats", _REPETITION_SQL)
+
+@query("repetition_stats", _REPETITION_ORACLE)
 def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition drop signals (duplicate lines/words, dominant
     2-gram share) — see operators/curation.py:repetition_stats."""
     from hnsw_spark.operators.curation import repetition_stats
 
-    return repetition_stats(load_table(spark, sf_dir, "documents"))
+    res = repetition_stats(load_table(spark, sf_dir, "documents"))
+    return res.select(
+        "doc_id", "n_lines",
+        dquant("dup_line_frac", 6).alias("dup_line_frac_fp"),
+        dquant("dup_word_frac", 6).alias("dup_word_frac_fp"),
+        dquant("top_2gram_frac", 6).alias("top_2gram_frac_fp"),
+    )
 
 
 def _lang_sql() -> str:
@@ -233,7 +261,8 @@ agg AS (
 )
 SELECT d.doc_id,
        coalesce(a.n_bigrams, 0)::BIGINT AS n_bigrams,
-       round(a.sq::DOUBLE / (a.n_bigrams * 1000000.0), 6) AS logprob
+       CAST(floor(a.sq::DOUBLE / (a.n_bigrams * 1000000.0) * 1e6 + 0.5)
+            AS BIGINT) AS logprob_fp
 FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
@@ -247,7 +276,10 @@ def bigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/curation.py:bigram_logprob)."""
     from hnsw_spark.operators.curation import bigram_logprob
 
-    return bigram_logprob(load_table(spark, sf_dir, "documents"))
+    res = bigram_logprob(load_table(spark, sf_dir, "documents"))
+    return res.select(
+        "doc_id", "n_bigrams", dquant("logprob", 6).alias("logprob_fp")
+    )
 
 
 # ---- HTML stripping (web-crawl preprocessing) -------------------------------
@@ -287,9 +319,9 @@ s AS (SELECT doc_id, raw, {_strip_sql("raw")} AS clean FROM t)
 SELECT doc_id,
        length(clean)::BIGINT AS clean_len,
        substr(md5(clean), 1, 16) AS clean_fp,
-       CASE WHEN length(raw) = 0 THEN 0.0
-            ELSE round(1.0 - length(clean)::DOUBLE / length(raw), 6)
-       END AS markup_ratio
+       CAST(floor((CASE WHEN length(raw) = 0 THEN 0.0
+            ELSE 1.0 - length(clean)::DOUBLE / length(raw) END)
+            * 1e6 + 0.5) AS BIGINT) AS markup_ratio_fp
 FROM s
 """
 
@@ -323,7 +355,7 @@ def html_strip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.length(strip_html("raw")).cast("long").alias("clean_len"),
         F.substring(F.md5(strip_html("raw")), 1, 16).alias("clean_fp"),
-        markup_ratio("raw").alias("markup_ratio"),
+        dquant(markup_ratio("raw"), 6).alias("markup_ratio_fp"),
     )
 
 
@@ -336,9 +368,10 @@ tot AS (SELECT sum(freq)::DOUBLE AS total FROM freq),
 top AS (SELECT token, freq FROM freq ORDER BY freq DESC, token LIMIT 100)
 SELECT row_number() OVER (ORDER BY freq DESC, token)::INT AS rank,
        token, freq,
-       round(freq / total, 6) AS share,
-       round(sum(freq / total) OVER (ORDER BY freq DESC, token
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_share
+       CAST(floor(freq / total * 1e6 + 0.5) AS BIGINT) AS share_fp,
+       CAST(floor(sum(freq / total) OVER (ORDER BY freq DESC, token
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1e6 + 0.5)
+            AS BIGINT) AS cum_share_fp
 FROM top, tot
 """
 
@@ -351,7 +384,12 @@ def zipf_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     order on both engines, so the floating sum is reproducible."""
     from hnsw_spark.operators.curation import zipf_stats
 
-    return zipf_stats(load_table(spark, sf_dir, "documents"), top_n=100)
+    res = zipf_stats(load_table(spark, sf_dir, "documents"), top_n=100)
+    return res.select(
+        "rank", "token", "freq",
+        dquant("share", 6).alias("share_fp"),
+        dquant("cum_share", 6).alias("cum_share_fp"),
+    )
 
 
 _PMI_SQL = f"""

@@ -151,8 +151,8 @@ def test_unigram_logprob_scores_and_empty_doc(spark):
     # q(a) = floor(ln(0.6)*1e6 + 0.5) = -510826; q(b)=q(c) = -1609438
     d = _docs(spark, [(0, "a a b"), (1, "a c"), (2, "")])
     rows = {r.doc_id: (r.n_tokens, r.logprob) for r in unigram_logprob(d).collect()}
-    assert rows[0] == (3, round((2 * -510826 - 1609438) / 3e6, 6))
-    assert rows[1] == (2, round((-510826 - 1609438) / 2e6, 6))
+    assert rows[0] == (3, (2 * -510826 - 1609438) / 3e6)
+    assert rows[1] == (2, (-510826 - 1609438) / 2e6)
     assert rows[2] == (0, None)
     # rare-token soup scores strictly below common-token prose
     assert rows[1][1] < rows[0][1]
@@ -171,8 +171,8 @@ def test_repetition_stats_planted_fractions(spark):
         r.doc_id: (r.n_lines, r.dup_line_frac, r.dup_word_frac, r.top_2gram_frac)
         for r in repetition_stats(d).collect()
     }
-    assert rows[0] == (1, 0.0, round(1 - 2 / 6, 6), 0.6)
-    assert rows[1] == (3, round(1 - 2 / 3, 6), round(1 - 3 / 5, 6), 0.5)
+    assert rows[0] == (1, 0.0, pytest.approx(1 - 2 / 6), 0.6)
+    assert rows[1] == (3, pytest.approx(1 - 2 / 3), pytest.approx(1 - 3 / 5), 0.5)
     assert rows[2] == (1, 0.0, 0.0, 0.0)
 
 

@@ -43,7 +43,7 @@ def test_contamination_overlap_math(spark):
     }
     assert out[1].overlap == 1.0 and out[1].contaminated
     assert out[2].n_shingles == 3 and out[2].n_matched == 1
-    assert out[2].overlap == pytest.approx(0.333333) and not out[2].contaminated
+    assert out[2].overlap == pytest.approx(1 / 3) and not out[2].contaminated
     assert out[3].overlap == 0.0 and not out[3].contaminated
     assert out[4].n_shingles == 0 and out[4].overlap == 0.0
     assert not out[4].contaminated
