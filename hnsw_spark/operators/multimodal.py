@@ -361,7 +361,7 @@ def scene_cuts(frame_feats: DataFrame, threshold: float = 0.05) -> DataFrame:
         "dist", euclidean_distance("embedding", "_prev")
     )
     return scored.filter(F.col("dist") > threshold).select(
-        "media_id", "frame_idx", F.round("dist", 6).alias("dist")
+        "media_id", "frame_idx", "dist"
     )
 
 

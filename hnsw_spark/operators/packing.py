@@ -247,7 +247,7 @@ def packing_summary(packed: DataFrame, budget: int) -> DataFrame:
         )
         .withColumn(
             "fill_ratio",
-            F.round(F.col("bin_tokens") / F.lit(float(budget)), 6),
+            F.col("bin_tokens") / F.lit(float(budget)),
         )
     )
 

@@ -15,6 +15,7 @@ from hnsw_spark.functions.similarity import cosine_similarity
 from hnsw_spark.functions.text import words
 from hnsw_spark.operators.retrieval import rrf_fuse
 from hnsw_spark.queries.text import _W
+from hnsw_spark.operators.evaluation import dquant
 from hnsw_spark.registry import query
 from hnsw_spark.sources.tables import load_table
 
@@ -33,7 +34,8 @@ WITH pv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
 arm_v AS (
   SELECT id, rank FROM (
     SELECT e.vec_id AS id,
-           row_number() OVER (ORDER BY round({_COS}, 6) DESC, e.vec_id) AS rank
+           row_number() OVER (ORDER BY floor(({_COS}) * 1e6 + 0.5) DESC,
+                              e.vec_id) AS rank
     FROM embeddings e, pv
   ) WHERE rank <= {_ARM_N}
 ),
@@ -43,8 +45,9 @@ arm_t AS (
   SELECT id, rank FROM (
     SELECT dw.doc_id AS id,
            row_number() OVER (ORDER BY
-             round(len(list_intersect(dw.w, pw.w))::DOUBLE
-                   / len(list_distinct(dw.w || pw.w)), 6) DESC, dw.doc_id) AS rank
+             floor(len(list_intersect(dw.w, pw.w))::DOUBLE
+                   / len(list_distinct(dw.w || pw.w)) * 1e6 + 0.5) DESC,
+             dw.doc_id) AS rank
     FROM dw, pw
   ) WHERE rank <= {_ARM_N}
 ),
@@ -54,7 +57,7 @@ fused AS (
            + coalesce(1.0 / ({_RRF_K} + arm_t.rank), 0.0) AS rrf
   FROM arm_v FULL OUTER JOIN arm_t ON arm_v.id = arm_t.id
 )
-SELECT id, round(rrf, 6) AS rrf FROM (
+SELECT id, CAST(floor(rrf * 1e6 + 0.5) AS BIGINT) AS rrf_fp FROM (
   SELECT *, row_number() OVER (ORDER BY rrf DESC, id) AS rn FROM fused
 ) WHERE rn <= {_TOP_N}
 """
@@ -73,7 +76,7 @@ def hybrid_rrf_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored_v = emb.crossJoin(F.broadcast(probe_v)).select(
         F.col("vec_id").alias("id"),
-        F.round(cosine_similarity("embedding", "_pv"), 6).alias("_c"),
+        dquant(cosine_similarity("embedding", "_pv"), 6).alias("_c"),
     )
     # distributed TakeOrdered cuts to the arm size FIRST; the ranking window
     # then runs over ≤50 rows, so no global single-partition sort ever sees
@@ -92,7 +95,7 @@ def hybrid_rrf_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_t = docs.filter(F.col("id") == 0).select(F.col("w").alias("_pw"))
     scored_t = docs.crossJoin(F.broadcast(probe_t)).select(
         "id",
-        F.round(
+        dquant(
             F.size(F.array_intersect("w", "_pw")).cast("double")
             / F.size(F.array_union("w", "_pw")),
             6,
@@ -111,7 +114,7 @@ def hybrid_rrf_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         fused.orderBy(F.col("rrf").desc(), F.col("id"))
         .limit(_TOP_N)
-        .select("id", F.round("rrf", 6).alias("rrf"))
+        .select("id", dquant("rrf", 6).alias("rrf_fp"))
     )
 
 
@@ -235,8 +238,7 @@ WITH qset AS (
     )
     parts.append(
         f"""
-SELECT query_id, id, mmr_rank,
-       round(score_q / 1e{_MMR_SCALE + 1}, 6) AS score
+SELECT query_id, id, mmr_rank, score_q
 FROM ({final})"""
     )
     return "".join(parts)
@@ -277,12 +279,9 @@ def mmr_diversified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand, pairs, k=_MMR_K, lam_num=_MMR_LN, lam_den=_MMR_LD,
         scale=_MMR_SCALE,
     )
-    return res.select(
-        "query_id", "id", "mmr_rank",
-        F.round(F.col("score_q") / F.lit(float(10 ** (_MMR_SCALE + 1))), 6).alias(
-            "score"
-        ),
-    )
+    # score_q is ALREADY an exact fixed-point BIGINT (scale+1 digits) —
+    # emit it directly, no float round-trip
+    return res.select("query_id", "id", "mmr_rank", "score_q")
 
 
 _RQ_NQ, _RQ_K = 8, 10
