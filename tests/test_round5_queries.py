@@ -4,6 +4,8 @@ salted-aggregation equality invariant."""
 
 from __future__ import annotations
 
+import math
+
 import pytest
 
 from pyspark.sql import functions as F
@@ -90,7 +92,7 @@ def test_quality_auc_matches_python_reference(spark):
     ).collect()
     n0, n1, num = _ref_auc([(r["grp"], r["q"]) for r in scored])
     assert (row["n0"], row["n1"], row["auc_num"]) == (n0, n1, num)
-    assert row["auc"] == pytest.approx(num / (2 * n0 * n1), abs=1e-6)
+    assert row["auc_fp"] == math.floor(num / (2 * n0 * n1) * 1e6 + 0.5)
 
 
 def _ref_morton(x: int, y: int) -> int:
