@@ -813,6 +813,28 @@ def _protocol_axes(spark, sf_dir: str, qs) -> dict:
 
     out = {
         "ann_crossover": xo_cell,
+        # ONE-OFF recorded axis points (tools/crossover_xl.py, measured
+        # 2026-08-15 on an idle 32-core/128 GiB box, calib matmul_1024
+        # 21-30 ms): the scale trend the per-round 4M cell extrapolates.
+        # Not re-measured per round — a 16M generate+build costs ~5 min
+        # and would dominate the driver's bench budget; the recorded
+        # numbers answer the "does the speedup keep growing?" question:
+        # 1.05x @ 2M -> ~1.5x @ 4M -> 1.52x @ 8M -> 2.61x @ 16M, all at
+        # recall@10 = 1.0 on clustered data (n_probe/n_lists held at
+        # ~1.6-3%); exact BLAS wall grows linearly with n while the
+        # probed scan touches a constant fraction.
+        "ann_crossover_xl_recorded": {
+            "8M_512lists_12probe": {
+                "exact_wall_best_s": 5.795, "ivf_wall_best_s": 3.806,
+                "speedup_vs_exact": 1.52, "recall_at_10": 1.0,
+                "build_wall_s": 35.7,
+            },
+            "16M_1024lists_16probe": {
+                "exact_wall_best_s": 9.888, "ivf_wall_best_s": 3.785,
+                "speedup_vs_exact": 2.61, "recall_at_10": 1.0,
+                "build_wall_s": 134.4,
+            },
+        },
         "hnsw_crossover": hnsw_xo_cell,
         "ivf_int8_store": {
             "n_lists": ANN_N_LISTS,
