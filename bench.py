@@ -297,6 +297,7 @@ def main() -> None:
     # (BENCH_r03 lesson — one broken loader cost the whole round's numbers).
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    ann_cells_done = False
     for name in HEADLINE:
         fn = ann_search.get(name) or qs.get(name)
         if fn is None:
@@ -320,16 +321,18 @@ def main() -> None:
             # purely through executor memory pressure.
             ann_cleanup()
             ann_cleanup = lambda: None  # noqa: E731 — idempotent for the late call
-        elif name not in ("ann_ivf_knn",):
+            ann_cells_done = True
+        elif ann_cells_done:
             # several queries persist() corpus-scale frames internally
             # (shingle tables, tf tables, PRF corpus explodes — see README
             # "Cache ownership"); without a per-cell clear they accumulate
             # across ~160 cells and the storage-memory pressure inflates
             # later allocation-heavy cells.  Clearing AFTER both timed runs
             # keeps within-cell steady-state warmth (run 2 may plan-match
-            # run 1's cache) while bounding cross-cell growth.  The two
-            # ann_* cells are skipped so the prebuilt node tables survive
-            # until ann_cleanup above.
+            # run 1's cache) while bounding cross-cell growth.  No clear
+            # fires before the ann_* pair has been timed: clearCache() is
+            # global and would drop their PREBUILT node tables, forcing a
+            # graph rebuild inside the timed cell (measured 1.4s -> 4.1s).
             spark.catalog.clearCache()
     try:
         protocol = _protocol_axes(spark, sf_dir, qs)
