@@ -58,7 +58,7 @@ def random_projection(
 ) -> DataFrame:
     """Project ``vec_col`` (length ``d_in``) to ``d_out`` dims → long form
     (id, k, value): one row per output component, value already scaled by
-    1/√d_out and rounded to 6 (hash-comparable).  Long form keeps the
+    1/√d_out, emitted raw (exact for power-of-two d_out).  Long form keeps the
     output array-free (the correctness harness can't sort arrays) and
     feeds straight into groupBy-pivot or array_agg when a caller wants
     vectors back."""

@@ -950,7 +950,7 @@ def embedding_outliers(
     at any partitioning.
 
     Returns DataFrame[id_col, label_col, dist, threshold] for flagged
-    rows (dist/threshold rounded to 6).
+    rows (raw exact dist/threshold; oracle-facing callers quantize).
     """
     from hnsw_spark.functions.similarity import euclidean_distance
     from hnsw_spark.operators.evaluation import davg

@@ -26,6 +26,33 @@ def test_kmeans_seeds_k_smallest_ids_not_id_lt_k(spark):
     assert len({r["cluster"] for r in out}) == 3
 
 
+def test_lloyd_update_floor_mean_is_exact_for_negative_sums(spark):
+    """The round-7 centroid mean is (s - pmod(s, n)) / n over a
+    decimal(38,0) sum — exact FLOOR division for negative sums too (a
+    truncating div or a double division would round toward zero /
+    lose exactness).  Pinned on a hand-built cluster whose coordinate
+    sums are negative and not divisible by the count."""
+    from hnsw_spark.operators.kmeans import lloyd_update, quantize_vectors
+
+    # cluster 0: three vectors whose fixed-point sums are -7e6 and 5e6
+    # over n=3 -> floor means floor(-7e6/3) = -2333334, floor(5e6/3)
+    # = 1666666 (Python // semantics, the _ref_kmeans convention)
+    rows = [
+        (0, [-1.0, 1.0]),
+        (1, [-2.0, 1.0]),
+        (2, [-4.0, 3.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    vecs = quantize_vectors(df)
+    assign = spark.createDataFrame(
+        [(0, 0, 0), (1, 0, 0), (2, 0, 0)], "id long, cluster long, d2 long"
+    )
+    [cent] = lloyd_update(vecs, assign).collect()
+    assert cent["cluster"] == 0
+    assert list(cent["c"]) == [(-7_000_000) // 3, 5_000_000 // 3]
+    assert list(cent["c"]) == [-2_333_334, 1_666_666]
+
+
 def test_dsum_fp_never_wraps_silently(spark):
     """The failure dsum_fp guards against is NON-ANSI silent wrap: a plain
     BIGINT sum past 2^63 produces a negative total while DuckDB widens to
