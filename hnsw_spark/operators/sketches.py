@@ -284,3 +284,111 @@ def hll_estimate_by(
             <= F.lit(3.0 * 1.04) / F.lit(float(m) ** 0.5) * F.col("n_exact")
         ).alias("within_bound"),
     )
+
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketches and corpus-level overlap
+# --------------------------------------------------------------------------
+
+_KMV_SPACE = float(1 << 60)  # md5_bigint hash space (60 bits)
+
+
+def kmv_sketch(items: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """The ``k`` smallest DISTINCT 60-bit hashes of ``items[col]`` —
+    DataFrame[(h BIGINT)], ≤ k rows, ascending-unique.
+
+    KMV/bottom-k synopses (Bar-Yossef et al. 2002; Beyer et al.,
+    SIGMOD'07 "On synopses for distinct value estimation" — public
+    knowledge) are the mergeable constant-size summary for distinct
+    counts AND set overlap: bottom-k of a union equals bottom-k of the
+    merged per-set sketches, so two corpora can be compared from their
+    k-value summaries alone, without ever co-shuffling them.
+
+    Scale shape: one corpus scan; each partition keeps its own ≤ k
+    smallest distinct hashes inside ``mapInPandas`` (numpy unique on the
+    Arrow batch — no corpus-wide distinct(), whose shuffle would defeat
+    the sketch); the merge input is ≤ partitions·k rows, sketch-scale,
+    not corpus-scale.  Deterministic: pure md5, no RNG."""
+    import numpy as np
+
+    from hnsw_spark.functions.hashing import md5_bigint
+
+    h = items.select(md5_bigint(col).alias("h"))
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: np.ndarray | None = None
+        for pdf in batches:
+            vals = pdf["h"].to_numpy()
+            cand = (
+                np.unique(vals)
+                if best is None
+                else np.unique(np.concatenate([best, vals]))
+            )
+            best = cand[:k]  # np.unique returns ascending
+        if best is not None and len(best):
+            yield pd.DataFrame({"h": best})
+
+    partials = h.mapInPandas(partial, "h long")
+    return partials.distinct().orderBy("h").limit(k)
+
+
+def kmv_distinct_estimate(sketch_values: list[int], k: int) -> float:
+    """Unbiased KMV distinct estimate from a sketch's values: exact when
+    the sketch is not full (it IS the distinct hash set), else
+    (k−1)·M/h_k (Beyer et al. 2007)."""
+    if len(sketch_values) < k:
+        return float(len(sketch_values))
+    return (k - 1) * _KMV_SPACE / float(max(sketch_values))
+
+
+def kmv_corpus_overlap(
+    items_a: DataFrame,
+    items_b: DataFrame,
+    col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Corpus-level overlap report between two item sets (e.g. the
+    distinct shingles of an existing corpus vs a new crawl) from their
+    KMV sketches: 1-row DataFrame
+    (k_used, n_sketch_a, n_sketch_b, est_distinct_a, est_distinct_b,
+    est_union, est_jaccard, est_intersection).
+
+    This is the dataset-level twin of the document-level dedup ladder —
+    the "how much of this new crawl have I already got?" number read
+    BEFORE paying for pairwise dedup.  Estimator: Ĵ = |K∪ ∩ A ∩ B| / |K∪|
+    with K∪ = bottom-k of the merged sketches (the standard KMV set
+    operation); when both sketches are below k the answer degenerates to
+    the EXACT distinct-hash Jaccard.
+
+    Scale shape: one scan per corpus (the two sketches), then O(k)
+    driver-side set arithmetic — the two corpora are never co-shuffled,
+    never joined, and only ≤ 2k BIGINTs ever reach the driver (a bounded
+    scalar collect, the same budget class as a convergence flag).  Raw
+    doubles out (oracle-facing callers quantize)."""
+    spark = items_a.sparkSession
+    va = sorted(r["h"] for r in kmv_sketch(items_a, col, k).collect())
+    vb = sorted(r["h"] for r in kmv_sketch(items_b, col, k).collect())
+    sa, sb = set(va), set(vb)
+    union_k = sorted(sa | sb)[:k]
+    ku = set(union_k)
+    n_inter = len(ku & sa & sb)
+    j = n_inter / len(ku) if ku else float("nan")
+    est_a = kmv_distinct_estimate(va, k)
+    est_b = kmv_distinct_estimate(vb, k)
+    est_union = kmv_distinct_estimate(union_k, k)
+    row = (
+        k,
+        len(va),
+        len(vb),
+        est_a,
+        est_b,
+        est_union,
+        float(j),
+        float(j) * est_union,
+    )
+    return spark.createDataFrame(
+        [row],
+        "k_used int, n_sketch_a int, n_sketch_b int, est_distinct_a double,"
+        " est_distinct_b double, est_union double, est_jaccard double,"
+        " est_intersection double",
+    )
