@@ -125,3 +125,57 @@ class StreamingHLL:
             .groupBy("bucket")
             .agg(F.max("rho").alias("rho"))
         )
+
+
+class StreamingKMV:
+    """Streaming KMV distinct/overlap sketch: per-epoch bottom-k deltas
+    merged by distinct-union-then-bottom-k — the third mergeable-sketch
+    reduction in this module (CM adds, HLL maxes, KMV re-minimizes).
+    Same exactly-once epoch-partition pattern: a replayed epoch
+    overwrites its OWN partial delta, so a hash can appear in at most one
+    copy per epoch and the distinct() merge makes cross-epoch repeats
+    harmless anyway.
+
+    The live sketch equals ``operators/sketches.py::kmv_sketch`` over
+    everything ingested so far (parity-pinned), so a continuously-fed
+    corpus can be overlap-compared against any other corpus's sketch at
+    any time — the streaming form of ``kmv_corpus_overlap``'s inputs.
+    Merge cost is ≤ epochs·k rows; the raw stream is never re-read."""
+
+    def __init__(self, sketch_path: str, col: str = "item", k: int = 256):
+        self.sketch_path = sketch_path
+        self.col = col
+        self.k = k
+
+    def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        from hnsw_spark.operators.sketches import kmv_sketch
+
+        if batch.isEmpty():
+            return
+        delta = kmv_sketch(batch, self.col, self.k).withColumn(
+            "epoch_id", F.lit(int(epoch_id))
+        )
+        (
+            delta.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(self.sketch_path)
+        )
+
+    def start(self, stream: DataFrame, checkpoint: str):
+        return (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
+
+    def sketch(self, spark) -> DataFrame:
+        """The merged live sketch — the bottom-k distinct hashes of every
+        row ingested so far, identical to the batch ``kmv_sketch``."""
+        return (
+            _read_or_empty(spark, self.sketch_path, "h long")
+            .select("h")
+            .distinct()
+            .orderBy("h")
+            .limit(self.k)
+        )

@@ -89,3 +89,47 @@ def test_distinct_estimator_formula():
     assert kmv_distinct_estimate(vals, k) == (k - 1) * float(1 << 60) / 40
     # under-full sketch: exact count
     assert kmv_distinct_estimate([7, 9], k) == 2.0
+
+
+def test_streaming_kmv_matches_batch_and_survives_replay(spark, tmp_path):
+    """Epoch-partitioned KMV deltas merged by distinct+bottom-k == the
+    batch sketch over the same rows; an epoch replay (simulated retry)
+    cannot perturb the sketch."""
+    from hnsw_spark.streaming.sketch import StreamingKMV
+
+    vals = [f"w{i}" for i in range(400)]
+    skv = StreamingKMV(str(tmp_path / "kmv"), col="item", k=64)
+    b1 = _items(spark, vals[:250])
+    b2 = _items(spark, vals[250:] + vals[:50])  # overlap across epochs
+    skv.process_batch(b1, 0)
+    skv.process_batch(b2, 1)
+    skv.process_batch(b2, 1)  # replayed epoch overwrites its own delta
+    live = sorted(r.h for r in skv.sketch(spark).collect())
+    whole = sorted(
+        r.h for r in kmv_sketch(_items(spark, vals), "item", k=64).collect()
+    )
+    assert live == whole
+
+
+def test_streaming_kmv_end_to_end_stream(spark, tmp_path):
+    from hnsw_spark.streaming.sketch import StreamingKMV
+
+    vals = [f"s{i}" for i in range(300)]
+    src = str(tmp_path / "src")
+    _items(spark, vals).coalesce(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("item string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    skv = StreamingKMV(str(tmp_path / "kmv"), col="item", k=32)
+    q = skv.start(stream, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    live = sorted(r.h for r in skv.sketch(spark).collect())
+    whole = sorted(
+        r.h for r in kmv_sketch(_items(spark, vals), "item", k=32).collect()
+    )
+    assert live == whole
