@@ -827,6 +827,14 @@ def _protocol_axes(spark, sf_dir: str, qs) -> dict:
         # ~1.6-3%); exact BLAS wall grows linearly with n while the
         # probed scan touches a constant fraction.
         "ann_crossover_xl_recorded": {
+            # machine-readable provenance (ADVICE r7): these are RECORDED
+            # one-off measurements, not current-round numbers — the fields
+            # below let any artifact reader see when/on-what they were
+            # taken without digging through code comments.
+            "recorded_one_off": True,
+            "measured_on": "2026-08-15",
+            "measured_by": "tools/crossover_xl.py",
+            "host_calib_matmul_1024_ms": [21, 30],
             "8M_512lists_12probe": {
                 "exact_wall_best_s": 5.795, "ivf_wall_best_s": 3.806,
                 "speedup_vs_exact": 1.52, "recall_at_10": 1.0,

@@ -151,7 +151,16 @@ def tfidf_top_terms(
             * (F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0)
         ).alias("weight"),
     )
-    w = Window.partitionBy("id").orderBy(F.col("weight").desc(), F.col("token"))
+    # Rank on the fixed-point quantized weight, not the raw double: ln is
+    # not a correctly-rounded IEEE operation, so Java Math.log and another
+    # engine's libm can differ by 1 ulp — enough to flip a near-tie rank
+    # at the top-k cutoff (ADVICE r7).  Quantizing at 10⁻⁹ before the
+    # window makes the ranking engine-invariant (the unigram_logprob
+    # fixed-point-ln pattern); the raw weight still rides along as output.
+    weighted = weighted.withColumn(
+        "_wq", F.floor(F.col("weight") * 1e9 + F.lit(0.5)).cast("long")
+    )
+    w = Window.partitionBy("id").orderBy(F.col("_wq").desc(), F.col("token"))
     return (
         weighted.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_k)

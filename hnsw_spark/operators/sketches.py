@@ -313,7 +313,11 @@ def kmv_sketch(items: DataFrame, col: str, k: int = 256) -> DataFrame:
 
     from hnsw_spark.functions.hashing import md5_bigint
 
-    h = items.select(md5_bigint(col).alias("h"))
+    # NULL items carry no identity and must not enter the sketch: md5(NULL)
+    # is NULL, which reaches mapInPandas as NaN in a float64 column and
+    # would corrupt the declared `h long` schema (ADVICE r7).  The sketch
+    # is defined over non-NULL items only.
+    h = items.filter(F.col(col).isNotNull()).select(md5_bigint(col).alias("h"))
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         best: np.ndarray | None = None

@@ -211,8 +211,12 @@ weighted AS (
   FROM tf JOIN dfreq USING (token) CROSS JOIN n
 ),
 ranked AS (
+  -- rank on the 1e-9 fixed-point weight, mirroring the Spark side: ln is
+  -- not correctly-rounded IEEE, so ranking raw doubles could flip a
+  -- near-tie across engines (ADVICE r7)
   SELECT *, row_number() OVER (
-    PARTITION BY id ORDER BY weight DESC, token) AS rank
+    PARTITION BY id
+    ORDER BY CAST(floor(weight * 1e9 + 0.5) AS BIGINT) DESC, token) AS rank
   FROM weighted
 )
 SELECT id, rank::INT AS rank, token, tf, df,

@@ -82,6 +82,18 @@ def test_estimates_close_to_exact_on_fixture_shingles(spark):
     assert row.est_jaccard == pytest.approx(j, abs=tol)
 
 
+def test_null_items_are_excluded(spark):
+    # md5(NULL) is NULL → NaN in the Arrow batch → schema corruption
+    # (ADVICE r7); the sketch must be defined over non-NULL items only
+    vals = [f"n{i}" for i in range(40)]
+    with_nulls = _items(spark, vals).unionByName(
+        spark.createDataFrame([(None,)] * 5, "item string")
+    )
+    got = sorted(r.h for r in kmv_sketch(with_nulls, "item", k=64).collect())
+    clean = sorted(r.h for r in kmv_sketch(_items(spark, vals), "item", k=64).collect())
+    assert got == clean and len(got) == 40
+
+
 def test_distinct_estimator_formula():
     # full sketch: (k-1) * M / h_k
     k = 4
