@@ -823,3 +823,54 @@ def growth_accounting_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_churned"),
     )
+
+
+# ---- leakage-free trailing-window feature backfill ----------------------------
+
+_TWF_SQL = """
+WITH e AS (
+  SELECT event_id, user_id,
+         date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS sec,
+         CAST(floor(value * 1e4 + 0.5) AS BIGINT) AS q
+  FROM events
+)
+SELECT event_id,
+       count(*) OVER w3600 AS n_3600s,
+       coalesce(sum(q) OVER w3600, 0)::BIGINT AS sum_3600s_fp,
+       count(*) OVER w86400 AS n_86400s,
+       coalesce(sum(q) OVER w86400, 0)::BIGINT AS sum_86400s_fp
+FROM e
+WINDOW
+  w3600 AS (PARTITION BY user_id ORDER BY sec
+            RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING),
+  w86400 AS (PARTITION BY user_id ORDER BY sec
+             RANGE BETWEEN 86400 PRECEDING AND 1 PRECEDING)
+"""
+
+
+@query("trailing_window_features", _TWF_SQL)
+def trailing_window_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct trailing features for EVERY event: the key's
+    event count and fixed-point value sum over the trailing 1 h and 24 h
+    windows ending strictly BEFORE the row (RANGE frame ``[ts − W, ts)``
+    over epoch seconds — same-second peers excluded in both engines), so a
+    model trained on the output never sees its own label event
+    (operators/features.py:trailing_window_features).  All horizons share
+    ONE shuffle on user_id (every RANGE frame rides the same sort); no
+    self-join, no explosion — the naive events×events formulation is
+    Σ n·w rows.  Sums accumulate decimal(38,0) over dquant BIGINTs, so a
+    100 TB key's trailing total nulls loudly instead of wrapping."""
+    from hnsw_spark.operators.features import trailing_window_features
+
+    ev = load_table(spark, sf_dir, "events")
+    out = trailing_window_features(
+        ev,
+        horizons_s=[3600, 86400],
+        by="user_id",
+        ts_col="ts",
+        value_col="value",
+        scale=4,
+    )
+    return out.select(
+        "event_id", "n_3600s", "sum_3600s_fp", "n_86400s", "sum_86400s_fp"
+    )

@@ -1071,3 +1071,158 @@ def duplicate_span_lengths_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, n=2, threshold=_SPAN_T, max_doc_freq=None
     ).select("id_a", "id_b")
     return duplicate_spans(pairs, docs, n=_SPAN_N)
+
+
+# ---- corpus-level KMV overlap (dataset-vs-dataset, before any pairwise work) --
+
+_KMV_K = 256
+_KMV_SPACE_SQL = "1152921504606846976.0"  # 2^60 as the SAME double literal
+
+_KMV_OVERLAP_SQL = f"""
+WITH docs AS (SELECT doc_id, {_W} AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id AS id, shingle FROM (
+    SELECT doc_id, unnest({{sh3}}) AS shingle FROM docs)
+),
+ha AS (SELECT DISTINCT {md5_bigint_sql('shingle')} AS h FROM sh WHERE id % 2 = 0),
+hb AS (SELECT DISTINCT {md5_bigint_sql('shingle')} AS h FROM sh WHERE id % 2 = 1),
+ska AS (SELECT h FROM ha ORDER BY h LIMIT {_KMV_K}),
+skb AS (SELECT h FROM hb ORDER BY h LIMIT {_KMV_K}),
+unk AS (
+  SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb)
+  ORDER BY h LIMIT {_KMV_K}
+),
+st AS (
+  SELECT (SELECT count(*) FROM ska)::INT AS na,
+         (SELECT count(*) FROM skb)::INT AS nb,
+         (SELECT count(*) FROM unk)::INT AS nu,
+         (SELECT max(h) FROM ska) AS ma,
+         (SELECT max(h) FROM skb) AS mb,
+         (SELECT max(h) FROM unk) AS mu,
+         (SELECT count(*) FROM unk u
+            WHERE EXISTS (SELECT 1 FROM ska WHERE ska.h = u.h)
+              AND EXISTS (SELECT 1 FROM skb WHERE skb.h = u.h))::INT AS ni
+),
+est AS (
+  SELECT na, nb,
+    CASE WHEN na < {_KMV_K} THEN na::DOUBLE
+         ELSE ({_KMV_K} - 1) * {_KMV_SPACE_SQL} / ma END AS ea,
+    CASE WHEN nb < {_KMV_K} THEN nb::DOUBLE
+         ELSE ({_KMV_K} - 1) * {_KMV_SPACE_SQL} / mb END AS eb,
+    CASE WHEN nu < {_KMV_K} THEN nu::DOUBLE
+         ELSE ({_KMV_K} - 1) * {_KMV_SPACE_SQL} / mu END AS eu,
+    ni::DOUBLE / nu AS j
+  FROM st
+)
+SELECT {_KMV_K} AS k_used, na AS n_sketch_a, nb AS n_sketch_b,
+       CAST(floor(ea * 1e4 + 0.5) AS BIGINT) AS est_distinct_a_fp,
+       CAST(floor(eb * 1e4 + 0.5) AS BIGINT) AS est_distinct_b_fp,
+       CAST(floor(eu * 1e4 + 0.5) AS BIGINT) AS est_union_fp,
+       CAST(floor(j * 1e6 + 0.5) AS BIGINT) AS est_jaccard_fp,
+       CAST(floor(j * eu * 1e4 + 0.5) AS BIGINT) AS est_intersection_fp
+FROM est
+""".format(sh3=_shingle_sql(3))
+
+
+@query("kmv_corpus_overlap", _KMV_OVERLAP_SQL)
+def kmv_corpus_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level overlap between the even- and odd-doc_id halves of the
+    corpus from their 3-gram-shingle KMV bottom-k sketches
+    (operators/sketches.py:kmv_corpus_overlap; Beyer et al. SIGMOD'07) —
+    the "how much of this new crawl have I already got?" number read
+    BEFORE paying for pairwise dedup.  The sketch is pure md5 bottom-k, so
+    the oracle rebuilds BOTH sketches hash-for-hash and replays the exact
+    estimator arithmetic; estimates land as dquant fixed-point BIGINTs
+    (the division/ratio chain is correctly-rounded IEEE on identical
+    inputs in both engines).  Scale shape: one scan per corpus, the two
+    corpora are never co-shuffled, and only <= 2k BIGINTs reach the
+    driver."""
+    from hnsw_spark.operators.dedup import doc_shingles
+    from hnsw_spark.operators.sketches import kmv_corpus_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = doc_shingles(docs.filter(F.col("doc_id") % 2 == 0), n=3).select(
+        "shingle"
+    )
+    b = doc_shingles(docs.filter(F.col("doc_id") % 2 == 1), n=3).select(
+        "shingle"
+    )
+    rep = kmv_corpus_overlap(a, b, "shingle", k=_KMV_K)
+    return rep.select(
+        "k_used",
+        "n_sketch_a",
+        "n_sketch_b",
+        dquant("est_distinct_a", 4).alias("est_distinct_a_fp"),
+        dquant("est_distinct_b", 4).alias("est_distinct_b_fp"),
+        dquant("est_union", 4).alias("est_union_fp"),
+        dquant("est_jaccard", 6).alias("est_jaccard_fp"),
+        dquant("est_intersection", 4).alias("est_intersection_fp"),
+    )
+
+
+_KMV_GATE_K = 128
+
+_KMV_STREAM_SQL = f"""
+WITH docs AS (SELECT doc_id, {_W} AS w FROM documents),
+sh AS (
+  SELECT DISTINCT shingle FROM (
+    SELECT unnest({{sh3}}) AS shingle FROM docs)
+),
+hs AS (SELECT DISTINCT {md5_bigint_sql('shingle')} AS h FROM sh)
+SELECT h, CAST(1 AS BOOLEAN) AS stream_equals_batch
+FROM hs ORDER BY h LIMIT {_KMV_GATE_K}
+""".format(sh3=_shingle_sql(3))
+
+
+@query("kmv_stream_parity_gate", _KMV_STREAM_SQL)
+def kmv_stream_parity_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch==stream parity for the continuously-maintained KMV sketch
+    (streaming/sketch.py:StreamingKMV): the corpus shingles arrive as 3
+    epoch batches (doc_id % 3) through the exactly-once epoch-partition
+    write path — INCLUDING a replayed epoch, the retry case dynamic
+    partition overwrite must absorb — and the merged live sketch must
+    equal the one-shot batch sketch hash-for-hash.  The returned rows ARE
+    the live sketch (<= k BIGINTs, the bounded driver-collect budget class)
+    plus the parity verdict; the oracle independently rebuilds the bottom-k
+    of the full corpus, so a stream-path divergence reddens both the hash
+    and the flag.  Same gate pattern as threshold_alert_episodes'
+    stream-parity pin, but driver-visible."""
+    import os
+    import shutil
+    import tempfile
+
+    from hnsw_spark.operators.dedup import doc_shingles
+    from hnsw_spark.operators.sketches import kmv_sketch
+    from hnsw_spark.streaming.sketch import StreamingKMV
+
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="kmv_stream_gate_")
+    try:
+        skv = StreamingKMV(
+            os.path.join(tmp, "kmv"), col="shingle", k=_KMV_GATE_K
+        )
+
+        def epoch_items(epoch: int) -> DataFrame:
+            return doc_shingles(
+                docs.filter(F.col("doc_id") % 3 == epoch), n=3
+            ).select("shingle")
+
+        for epoch in range(3):
+            skv.process_batch(epoch_items(epoch), epoch)
+        skv.process_batch(epoch_items(2), 2)  # simulated retry replay
+        live = sorted(r["h"] for r in skv.sketch(spark).collect())
+        whole = sorted(
+            r["h"]
+            for r in kmv_sketch(
+                doc_shingles(docs, n=3).select("shingle"),
+                "shingle",
+                k=_KMV_GATE_K,
+            ).collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    parity = live == whole
+    return spark.createDataFrame(
+        [(int(h), parity) for h in live],
+        "h long, stream_equals_batch boolean",
+    )

@@ -3237,3 +3237,51 @@ def revenue_pareto_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "div sum(rev_fp) OVER () AS BIGINT)"
         ).alias("cum_share_fp"),
     )
+
+
+# ---- leakage-free leave-one-out target encoding -------------------------------
+
+_TE_ALPHA, _TE_SCALE = 20, 2
+
+_TE_SQL = f"""
+WITH r AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS y
+  FROM orders
+),
+cs AS (
+  SELECT o_orderpriority, sum(y) AS s, count(y) AS n
+  FROM r GROUP BY o_orderpriority
+),
+g AS (SELECT sum(y) // count(y) AS gm FROM r)
+SELECT o_orderkey, r.o_orderpriority,
+       (CASE WHEN y IS NULL OR r.o_orderpriority IS NULL OR n <= 1 THEN gm
+             ELSE (s - y + {_TE_ALPHA} * gm) // (n - 1 + {_TE_ALPHA})
+        END)::BIGINT AS te_fp
+FROM r LEFT JOIN cs USING (o_orderpriority) CROSS JOIN g
+"""
+
+
+@query("target_encode_loo", _TE_SQL)
+def target_encode_loo_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free leave-one-out target encoding of order priority against
+    order value (operators/encoding.py:target_encode_loo; Micci-Barreca
+    2001 smoothing, alpha=20): each order's feature is its priority class's
+    mean total price computed WITHOUT the order itself, shrunk toward the
+    global mean — the self-term removal that stops a rare category's
+    feature from BEING its label.  All label statistics are exact integer
+    arithmetic over fixed-point cents (decimal(38,0) sums, integer DIV —
+    floor == trunc for the non-negative prices), so both engines agree
+    bit-for-bit.  Two aggregate-sized shuffles; the fact rows are never
+    shuffled (category stats broadcast back)."""
+    from hnsw_spark.operators.encoding import target_encode_loo
+
+    orders = load_table(spark, sf_dir, "orders")
+    enc = target_encode_loo(
+        orders,
+        category_col="o_orderpriority",
+        target_col="o_totalprice",
+        alpha=_TE_ALPHA,
+        scale=_TE_SCALE,
+    )
+    return enc.select("o_orderkey", "o_orderpriority", "te_fp")
