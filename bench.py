@@ -386,7 +386,7 @@ def main() -> None:
 
 def _prebuilt_ann_searches(spark, sf_dir: str) -> tuple[dict, callable]:
     """Search-only headline callables over prebuilt, materialized indexes at
-    the registered query knobs (queries/index.py: n_lists=8, n_probe=6,
+    the registered query knobs (queries/index.py: n_lists=8, n_probe=7,
     ef=96).  Returns (callables, cleanup) — cleanup unpersists the cached
     node tables once the headline loop is done (ADVICE r2: they used to stay
     pinned for the rest of the run)."""
