@@ -333,6 +333,9 @@ def main() -> None:
             # fires before the ann_* pair has been timed: clearCache() is
             # global and would drop their PREBUILT node tables, forcing a
             # graph rebuild inside the timed cell (measured 1.4s -> 4.1s).
+            from hnsw_spark.plans.cachereg import release_caches
+
+            release_caches()
             spark.catalog.clearCache()
     try:
         protocol = _protocol_axes(spark, sf_dir, qs)

@@ -170,8 +170,10 @@ from hnsw_spark.plans.persistence import (  # noqa: E402
     load_index,
     save_index,
 )
+from hnsw_spark.plans.cachereg import release_caches  # noqa: E402
 
 __all__ = [
+    "release_caches",
     "dot_product",
     "cosine_similarity",
     "euclidean_distance",

@@ -649,11 +649,10 @@ def jaccard_prefix_pairs(
     DataFrame[(id_a, id_b, n_common, size_a, size_b, jaccard)] with
     id_a < id_b, exactly ``ngram_jaccard_pairs(df, n, threshold)``.
     """
-    from pyspark.storagelevel import StorageLevel
+    from hnsw_spark.plans.cachereg import owned_persist
 
-    sh = doc_shingles_sized(df, n, text_col, id_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # library-owned persist: released by hnsw_spark.release_caches()
+    sh = owned_persist(doc_shingles_sized(df, n, text_col, id_col))
     freq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
     w = Window.partitionBy("id").orderBy(F.asc("_df"), F.asc("shingle"))
     prefix = (
@@ -750,11 +749,11 @@ def containment_pairs(
     # self-joined below: without the persist the tokenize+shingle lineage
     # (and, with max_doc_freq, the anti-join + size-recount window) is
     # compiled and executed once PER SIDE — the corpus would be scanned
-    # and shingled twice.  Cache lifetime is the caller's (README "Cache
-    # ownership"): the returned frame is lazy over this persist.
-    from pyspark.storagelevel import StorageLevel
+    # and shingled twice.  Library-owned (README "Cache ownership"): the
+    # returned frame is lazy over this persist; release_caches() frees it.
+    from hnsw_spark.plans.cachereg import owned_persist
 
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    sh = owned_persist(sh)
     pair_cond = (F.col("a.shingle") == F.col("b.shingle")) & (
         F.col("a.id") != F.col("b.id")
     )

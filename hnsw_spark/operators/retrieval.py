@@ -325,8 +325,10 @@ def phrase_match(
         # re-explodes the corpus.  The cached frame holds only the phrase's
         # own token positions (~k/V of all positions), so this is what makes
         # the "one corpus explode total" cost claim true in the compiled plan.
-        # Cache lifetime is the caller's (README "Cache ownership").
-        pos = pos.persist()
+        # Library-owned (README "Cache ownership"); release_caches() frees it.
+        from hnsw_spark.plans.cachereg import owned_persist
+
+        pos = owned_persist(pos)
     base = pos.filter(F.col("tok") == toks[0]).select("id", F.col("pos0").alias("p"))
     for i, t in enumerate(toks[1:], start=1):
         nxt = pos.filter(F.col("tok") == t).select(

@@ -740,14 +740,13 @@ def tfidf_doc_similarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(words("text")).alias("token")
     ).filter(F.col("token") != "")
-    from pyspark.storagelevel import StorageLevel
+    from hnsw_spark.plans.cachereg import owned_persist
 
     # tf feeds THREE consumers (doc count, idf, weights) — persist so the
-    # tokenize/explode pipeline runs once, not per consumer
-    tf = (
-        tok.groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # tokenize/explode pipeline runs once, not per consumer; library-owned
+    # (release_caches() frees it after the caller's action)
+    tf = owned_persist(
+        tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     )
     n = tf.select("doc_id").distinct().agg(F.count(F.lit(1)).alias("n_docs"))
     idf = (
@@ -763,10 +762,10 @@ def tfidf_doc_similarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("q_idf"),
         )
     )
-    w = (
-        tf.join(idf, "token")
-        .select("doc_id", "token", (F.col("tf") * F.col("q_idf")).alias("w"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    w = owned_persist(
+        tf.join(idf, "token").select(
+            "doc_id", "token", (F.col("tf") * F.col("q_idf")).alias("w")
+        )
     )
     norms = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
     probe = w.filter(F.col("doc_id") < _TFIDF_SIM_PROBES).select(

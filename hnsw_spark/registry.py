@@ -26,71 +26,70 @@ ORACLES: dict[str, str] = {}
 # registrations are capped at ~25 per round so the window can re-certify
 # the whole registry within roughly two rounds of any addition.
 #
-# Round-7 rotation (derived by tools/rotation_plan.py from the committed
-# CORRECTNESS_r*.json artifacts at round start): the driver-green union
-# after r6 is 151/200, leaving 46 never-driver-sampled oracle queries (all
-# holding builder-side ORACLE_FULL rows exact at sf0.01 AND sf0.1).  Those
-# 46 fill the window head in registration order, topped up with the 4
-# stalest driver-green rows (r2); everything with a fresher driver row
-# rides behind in registration order, and the 3 rows-only checks stay
-# last.  NO net-new registrations this round (freshness budget: the window
-# must re-certify the backlog before the registry grows again).
+# Round-8 rotation (derived by tools/rotation_plan.py from the committed
+# CORRECTNESS_r*.json artifacts after this round's registrations): the
+# driver-green union after r7 is 197/200 of the r7 registry — every oracle
+# query holds a driver-issued green row — so the r8 window leads with the
+# 5 net-new oracle rows (the KMV overlap pair, trailing-window features,
+# LOO target encoding, and bpe_merges, which gained a full unrolled-SQL
+# oracle this round), then re-certifies the stalest driver evidence: the
+# 3 remaining r2 rows and the r3 block, oldest-first in registration
+# order.  Rows-only checks (now just the 2 tuned-ANN tiers) stay last.
 _RUN_FIRST = (
-    "ann_binary_full_probe",
-    "ann_binary_recall",
-    "kmeans_lloyd_gate",
-    "label_propagation_communities",
-    "embedding_drift_cohorts",
-    "lsh_incremental_candidates",
-    "calibration_bins",
-    "query_expansion_prf",
-    "passage_search_maxpool",
-    "small_quantity_revenue",
-    "large_volume_orders",
-    "shipping_priority_topk",
-    "returned_item_losses",
-    "min_cost_supplier",
-    "sole_supplier_orders",
-    "important_part_value",
-    "ewma_recency",
-    "zorder_clustering_gate",
-    "salted_aggregation_gate",
-    "bucketed_join_gate",
-    "profit_by_nation_year",
-    "shipping_delay_priority",
-    "top_revenue_supplier",
-    "supplier_part_variety",
-    "bracketed_quantity_revenue",
-    "excess_shipment_suppliers",
-    "trending_topn",
-    "ohlc_bars",
-    "top_event_paths",
-    "snapshot_diff_cdc",
-    "watermark_lateness_report",
-    "user_rfm_scores",
-    "npy_roundtrip",
-    "ppm_image_features",
-    "ngram_novelty",
-    "grouped_split_gate",
-    "duplicate_span_lengths",
-    "event_transitions",
-    "dau_wau_stickiness",
-    "robust_outlier_days",
-    "phrase_search",
-    "doc_keywords",
-    "events_type_pivot",
-    "growth_accounting",
-    "revenue_pareto",
-    "scd2_asof_enrichment",
-    "top_customers_per_segment",
-    "customers_without_orders",
-    "revenue_rollup",
-    "order_priority_rolling",
+    "kmv_corpus_overlap",
+    "kmv_stream_parity_gate",
+    "target_encode_loo",
+    "trailing_window_features",
+    "bpe_merges",
+    "promo_revenue_by_type",
+    "top_suppliers_per_nation",
+    "returns_cube",
+    "knn_exact_cosine",
+    "knn_exact_euclidean",
+    "knn_topk_local_merge",
+    "similarity_pairs",
+    "embedding_quantize",
+    "knn_filtered",
+    "recall_at_k",
+    "mean_recall",
+    "doc_fingerprints",
+    "token_counts",
+    "text_quality",
+    "unigram_logprob",
+    "repetition_stats",
+    "lang_id_pred",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "ngram_jaccard_capped",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "simhash_fingerprints",
+    "simhash_neardup_pairs",
+    "dedup_clusters",
+    "embedding_neardup",
+    "embedding_neardup_ann",
+    "curation_filter",
+    "corpus_attrition",
+    "stratified_sample",
+    "text_hash_embeddings",
+    "tfidf_top_terms",
+    "vocab_stats",
+    "decontamination",
+    "sequence_packing",
+    "shard_assignment",
+    "pii_scrub",
+    "quality_classifier",
+    "mixing_weights",
+    "hybrid_rrf_search",
+    "bm25_search",
+    "synthetic_documents",
+    "ann_ivf_full_probe",
+    "ann_hnsw_full_probe",
+    "index_persist_roundtrip",
 )
 _RUN_LAST = (
     "ann_ivf_knn",
     "ann_hnsw_knn",
-    "bpe_merges",
 )
 
 

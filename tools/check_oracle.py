@@ -22,6 +22,8 @@ import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from hnsw_spark.plans.cachereg import release_caches  # noqa: E402
+
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
@@ -96,8 +98,11 @@ def main() -> int:
         if only and name not in only:
             continue
         # isolate queries: a query's internal persist()s must not ride into
-        # the next cell's memory budget or timing (199 queries share one
-        # session here; unpersist is per-operator best-effort)
+        # the next cell's memory budget or timing (~200 queries share one
+        # session here).  release_caches() pops the library-owned handles
+        # (scoped cleanup, VERDICT r7 #6); the global clearCache keeps
+        # belt-and-braces parity with the driver's fresh-session behavior.
+        release_caches()
         spark.catalog.clearCache()
         t0 = time.time()
         try:

@@ -19,6 +19,8 @@ import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from hnsw_spark.plans.cachereg import release_caches  # noqa: E402
+
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -48,6 +50,7 @@ def main() -> int:
     names = list(qs)[:window]
     n_bad = 0
     for name in names:
+        release_caches()
         spark.catalog.clearCache()
         try:
             spark_pd = qs[name](spark, sf_dir).toPandas()
