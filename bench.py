@@ -509,23 +509,24 @@ def _ann_crossover(spark, knn_exact, build_ivf_index, mean_recall,
 
 def _hnsw_crossover(spark, knn_exact, build_hnsw_index, mean_recall,
                     recall_table, synthetic_vectors) -> dict:
-    """The HNSW twin of the ann_crossover axis (VERDICT r6 #5): exact-vs-
-    HNSW wall + recall@10 at 1M×64 clustered, tuned knobs.  Measured
-    verdict (recorded in the returned dict, not asserted): the Arrow-
-    batched BLAS tiers DOMINATE the Python-beam HNSW tier at every scale
-    this box can build — a 32-thread float64 gemm streams the whole 1M×64
-    corpus in ~1 s, while per-(query, probe) beam search pays ~ms-scale
-    Python/numpy dispatch per hop and its within-list recall ceilings out
-    near 0.8 at ef=160.  HNSW's value in this engine is reference parity +
-    incremental adds (operators/hnsw_graph.py:add_points), not bulk
-    throughput; the IVF tier owns the speed-at-recall crossover
-    (reference curve expectation: bench/README.md:102-104).  Fault-
-    isolated like _ann_crossover."""
+    """The HNSW twin of the ann_crossover axis (VERDICT r6 #5, r7 #5):
+    exact-vs-HNSW wall + recall@10 at 1M×64 clustered, tuned knobs, with
+    the round-8 BATCHED beam (one hop across all of a list's queries per
+    iteration — operators/hnsw_graph._search_layer_batched).  The axis
+    runs a 512-query batch: per-list batching is what amortizes the beam's
+    Python dispatch, so queries-per-list is the tier's real operating
+    variable.  Measured at round 8 (same-session exact baseline): Q=512 ->
+    batched beam 1.28x over exact at recall@10 = 0.9025 (probe 12, ef 320)
+    and up to 6.4x at recall 0.80 (ef 160); Q=2048 -> 2.8x; Q=64 (the old
+    axis shape) stays BELOW 1x — a 32-thread f64 gemm streams 1M×64 in
+    ~1 s, so tiny batches remain exact-BLAS territory, as does any shape
+    where recall >= 0.95 is required (probing past ef 640 burns the lead;
+    the IVF tier owns that regime).  Fault-isolated like _ann_crossover."""
     import time
 
     from pyspark.sql import functions as F
 
-    xo_n, xo_lists, xo_q = 1_000_000, 256, 64
+    xo_n, xo_lists, xo_q = 1_000_000, 256, 512
     big = (
         synthetic_vectors(spark, xo_n, 64, seed=17, distribution="clustered")
         .repartition(32)
@@ -590,11 +591,13 @@ def _hnsw_crossover(spark, knn_exact, build_hnsw_index, mean_recall,
         "build_wall_s": round(build_s, 3),
         "exact_wall_best_s": round(min(exact_walls), 3),
         "curve": curve,
+        "beam": "batched",
         "verdict": (
-            "exact BLAS dominates the Python-beam HNSW tier at this scale "
-            "(and the gap widens with n): use the IVF tier for the "
-            "speed-at-recall crossover; HNSW earns its keep on reference "
-            "parity and incremental add_points"
+            "batched-beam HNSW beats exact BLAS at serving batch sizes: "
+            ">=1x at recall 0.9 from Q=512 at 1M (1.28x at probe 12 / ef "
+            "320), up to 6.4x at recall 0.8; exact BLAS still owns tiny "
+            "batches (Q<=64) and recall>=0.95 work, and the IVF tier owns "
+            "the high-recall crossover"
         ),
     }
 

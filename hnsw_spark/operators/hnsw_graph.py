@@ -17,6 +17,17 @@ Parity targets (SURVEY.md §2 B1-B7, Q1-Q3; reference ``src/main.ts``):
   (src/main.ts:267).  Each probed list searches its local graph inside a
   cogrouped ``applyInPandas``; the global merge is ``ORDER BY score DESC
   LIMIT k`` — dedupe is structural (each id lives in exactly one list).
+  Since round 8 the layer-0 beam is BATCHED across all of a list's probing
+  queries (``_search_layer_batched``): every still-active query advances
+  one best-first hop per iteration, so each hop costs ONE adjacency gather
+  + ONE vectorized scoring kernel for the whole batch instead of ~4 tiny
+  numpy calls per (query, hop).  Per query the visited set, push
+  thresholds, pop order, and early termination are identical to the
+  sequential beam (parity-pinned).  Measured at 1M×64 clustered: the tier
+  crosses exact BLAS at serving batch sizes — 1.28× at recall 0.90
+  (Q=512, probe 12, ef 320), 6.4× at recall 0.80 — while tiny batches
+  (Q≤64) and recall ≥0.95 remain exact-BLAS/IVF territory
+  (BENCH_PROTOCOL ``hnsw_crossover``).
 
 Scale design (100 TB): each list is one executor task — n_lists is chosen so
 a list's vectors + adjacency fit executor memory (e.g. 100 TB / 2 GB ≈ 50k
@@ -113,6 +124,26 @@ class _LocalSim:
         near = d2 < 1e-8 * (self.sq[idx] + qq)
         if near.any():
             diff = self.v[idx[near]] - qprep
+            d2[near] = (diff * diff).sum(axis=1)
+        return 1.0 / (1.0 + np.sqrt(d2))
+
+    def scores_pairs(
+        self, qmat: np.ndarray, qq: np.ndarray, owners: np.ndarray,
+        idx: np.ndarray,
+    ) -> np.ndarray:
+        """Similarity of query ``owners[t]`` vs graph row ``idx[t]`` for all
+        pairs t in ONE vectorized pass — the batched-beam scoring kernel.
+        ``qmat`` holds PREPPED queries row-wise; ``qq`` their squared norms
+        (euclidean only; ignored for cosine).  Value-identical to
+        ``scores`` called per query (same expressions, same fallback)."""
+        if self.metric == "cosine":
+            return np.einsum("ij,ij->i", self.vn[idx], qmat[owners])
+        dots = np.einsum("ij,ij->i", self.v[idx], qmat[owners])
+        qqo = qq[owners]
+        d2 = np.maximum(self.sq[idx] - 2.0 * dots + qqo, 0.0)
+        near = d2 < 1e-8 * (self.sq[idx] + qqo)
+        if near.any():
+            diff = self.v[idx[near]] - qmat[owners[near]]
             d2[near] = (diff * diff).sum(axis=1)
         return 1.0 / (1.0 + np.sqrt(d2))
 
@@ -220,6 +251,114 @@ def _search_layer(
                     heapq.heappop(best)
                 worst = best[0][0] if len(best) >= ef else -np.inf
     return sorted(best, key=lambda t: (-t[0], t[1]))
+
+
+def _greedy_upper(
+    sim: _LocalSim, upper: dict[int, list[list[int]]], qprep: np.ndarray,
+    entry: int, level: int,
+) -> int:
+    """``_greedy_search`` over the sparse upper-layer adjacency dict (only
+    nodes with level >= 1 carry entries; descent at level l only ever
+    stands on nodes of level >= l, so a miss means no edges)."""
+    best = entry
+    best_score = float(sim.scores(qprep, np.asarray([entry]))[0])
+    improved = True
+    while improved:
+        improved = False
+        row = upper.get(best)
+        adj = row[level] if row is not None and level < len(row) else []
+        if not adj:
+            break
+        a = np.asarray(adj)
+        s = sim.scores(qprep, a)
+        j = int(np.argmax(s))
+        if s[j] > best_score:
+            best, best_score, improved = int(a[j]), float(s[j]), True
+    return best
+
+
+def _search_layer_batched(
+    sim: _LocalSim,
+    adj0: np.ndarray,
+    qmat: np.ndarray,
+    qq: np.ndarray,
+    entries: np.ndarray,
+    ef: int,
+) -> list[list[tuple[float, int]]]:
+    """Layer-0 beam for MANY queries against one list's graph, advancing
+    every still-active query ONE best-first hop per iteration (VERDICT r7
+    #5).  Per query this is BIT-IDENTICAL to ``_search_layer`` — same pop
+    order (each query's own heap evolves independently), same visited set,
+    same push thresholds, same early termination at pop time — the batching
+    only amortizes the per-hop numpy dispatch across queries: one adjacency
+    gather + ONE ``scores_pairs`` kernel per hop per list, instead of ~4
+    tiny numpy calls per (query, hop).  Parity is pinned by
+    tests/test_hnsw_graph.py::test_batched_beam_matches_sequential.
+
+    ``adj0``: (n, max_deg) int32 layer-0 adjacency as row positions,
+    -1-padded.  Returns per-query (score, row) lists sorted score-desc,
+    row-asc."""
+    n_q = qmat.shape[0]
+    e_scores = sim.scores_pairs(qmat, qq, np.arange(n_q), entries)
+    visited = np.zeros((n_q, adj0.shape[0]), dtype=bool)
+    visited[np.arange(n_q), entries] = True
+    frontiers = [[(-float(e_scores[q]), int(entries[q]))] for q in range(n_q)]
+    best: list[list[tuple[float, int]]] = [
+        [(float(e_scores[q]), int(entries[q]))] for q in range(n_q)
+    ]
+    terminated = np.zeros(n_q, dtype=bool)
+    while True:
+        curs: list[int] = []
+        owners: list[int] = []
+        for q in range(n_q):
+            if terminated[q] or not frontiers[q]:
+                continue
+            neg, cur = heapq.heappop(frontiers[q])
+            bq = best[q]
+            if len(bq) >= ef and -neg < bq[0][0]:
+                terminated[q] = True  # the sequential beam's break
+                continue
+            curs.append(cur)
+            owners.append(q)
+        if not curs:
+            break
+        adj = adj0[np.asarray(curs, dtype=np.int64)]
+        owner_rep = np.repeat(
+            np.asarray(owners, dtype=np.int64), adj.shape[1]
+        )
+        flat = adj.ravel()
+        ok = flat >= 0
+        o, f = owner_rep[ok], flat[ok]
+        fresh = ~visited[o, f]
+        o, f = o[fresh], f[fresh]
+        if not len(f):
+            continue
+        visited[o, f] = True  # mark BEFORE thresholding, like sequential
+        s = sim.scores_pairs(qmat, qq, o, f)
+        # prefilter provably-rejected pairs: worst only rises during the
+        # push loop, so sc <= worst-at-hop-start (with a full heap) could
+        # never be pushed by the sequential beam either
+        w0 = np.array(
+            [
+                best[q][0][0] if len(best[q]) >= ef else -np.inf
+                for q in owners
+            ]
+        )
+        w0_full = np.full(n_q, -np.inf)
+        w0_full[np.asarray(owners, dtype=np.int64)] = w0
+        keep = s > w0_full[o]
+        # under-full heaps accept anything
+        underfull = np.array([len(best[q]) < ef for q in range(n_q)])
+        keep |= underfull[o]
+        for sc, q, node in zip(s[keep], o[keep], f[keep]):
+            bq = best[q]
+            worst = bq[0][0] if len(bq) >= ef else -np.inf
+            if len(bq) < ef or sc > worst:
+                heapq.heappush(frontiers[q], (-float(sc), int(node)))
+                heapq.heappush(bq, (float(sc), int(node)))
+                if len(bq) > ef:
+                    heapq.heappop(bq)
+    return [sorted(bq, key=lambda t: (-t[0], t[1])) for bq in best]
 
 
 def _insert_neighbor(
@@ -356,13 +495,25 @@ class HNSWIndex:
         ef_search: int | None = None,
         query_id: str = "vec_id",
         query_vec: str = "embedding",
+        beam: str = "batched",
     ) -> DataFrame:
         """Top-k: DataFrame[(query_id, id, score)].  ``ef = max(k, efSearch)``
         (src/main.ts:267); efSearch defaults to the build-time
-        efConstruction (the fromJSON default, src/main.ts:354)."""
+        efConstruction (the fromJSON default, src/main.ts:354).
+
+        ``beam="batched"`` (default) advances all of a list's queries one
+        best-first hop per iteration — one adjacency gather + one scoring
+        kernel per hop per list (VERDICT r7 #5) — visiting/retaining the
+        SAME nodes in the SAME order per query as the sequential beam; the
+        scoring kernel (einsum row-dots) can differ from the sequential
+        gemv by 1 ulp, so callers needing byte-stable scores against a
+        hash-checked oracle pass ``beam="sequential"``
+        (ann_hnsw_full_probe does)."""
         spark = self.index_df.sparkSession
         if k <= 0:
             return spark.createDataFrame([], RESULT_SCHEMA)
+        if beam not in ("batched", "sequential"):
+            raise ValueError(f"unknown beam mode: {beam!r}")
         n_probe = min(n_probe or max(1, self.n_lists // 4), self.n_lists)
         ef = max(
             k,
@@ -371,6 +522,7 @@ class HNSWIndex:
             or self.params.get("ef_construction", 100),
         )
         metric = self.metric
+        batched = beam == "batched"
         probes = route_probes(
             queries, self.centroids, metric, n_probe, query_id, query_vec
         )
@@ -388,31 +540,94 @@ class HNSWIndex:
             ids = nodes["id"].to_numpy()
             levels = nodes["level"].to_numpy()
             vecs = np.stack(nodes["vector"].to_numpy()).astype(np.float64)
-            pos = {int(v): i for i, v in enumerate(ids)}
-            nbrs = [
-                [[pos[int(x)] for x in lvl if int(x) in pos] for lvl in row]
-                for row in nodes["neighbors"]
-            ]
             sim = _LocalSim(vecs, metric)
             level_max = int(levels.max())
+            n = len(ids)
+            # layer-0 adjacency as a -1-padded positions matrix, mapped
+            # id→row via searchsorted over the (sorted) id column — the
+            # vectorized replacement for the old per-row dict loop
+            lay0 = [
+                row[0] if len(row) else np.empty(0, dtype=np.int64)
+                for row in nodes["neighbors"]
+            ]
+            lens = np.fromiter((len(r) for r in lay0), dtype=np.int64,
+                               count=n)
+            max_deg = int(lens.max()) if n else 0
+            adj_ids = np.full((n, max(max_deg, 1)), -1, dtype=np.int64)
+            if lens.sum():
+                mask = np.arange(max(max_deg, 1)) < lens[:, None]
+                adj_ids[mask] = np.concatenate(
+                    [np.asarray(r, dtype=np.int64) for r in lay0]
+                )
+            posn = np.searchsorted(ids, adj_ids)
+            posn_c = np.clip(posn, 0, n - 1)
+            valid = (adj_ids >= 0) & (ids[posn_c] == adj_ids)
+            adj0 = np.where(valid, posn_c, -1).astype(np.int64)
+            # upper layers: only nodes with level >= 1 carry extra lists —
+            # a sparse dict keeps the Python mapping cost O(upper nodes)
+            upper: dict[int, list[list[int]]] = {}
+            if level_max > 0:
+                id_to_pos = None
+                for i in np.nonzero(levels > 0)[0]:
+                    row = nodes["neighbors"].iloc[int(i)]
+                    if id_to_pos is None:
+                        id_to_pos = {int(v): j for j, v in enumerate(ids)}
+                    upper[int(i)] = [
+                        [id_to_pos[int(x)] for x in lvl if int(x) in id_to_pos]
+                        for lvl in row
+                    ]
             # the persisted build-time entry (final_entry): re-deriving it
             # from id order breaks once incremental inserts interleave ids
             eid = nodes["entry_id"].iloc[0] if "entry_id" in nodes else None
+            eid_pos = (
+                int(np.searchsorted(ids, int(eid)))
+                if eid is not None and not pd.isna(eid)
+                else -1
+            )
             entry = (
-                pos[int(eid)]
-                if eid is not None and not pd.isna(eid) and int(eid) in pos
+                eid_pos
+                if 0 <= eid_pos < n and int(ids[eid_pos]) == int(eid)
                 else int(np.argmax(levels == level_max))
             )
-            out_q, out_i, out_s = [], [], []
-            for qid, qv in zip(qs["query_id"], qs["qvec"]):
-                qprep = sim.prep_query(np.asarray(qv, dtype=np.float64))
+            qmat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in qs["qvec"]]
+            )
+            qprep_rows = [sim.prep_query(qmat[i]) for i in range(len(qmat))]
+            # greedy upper-layer descent per query (upper layers are a
+            # vanishing fraction of nodes; the beam below dominates)
+            eps = np.empty(len(qmat), dtype=np.int64)
+            for i, qprep in enumerate(qprep_rows):
                 ep = entry
                 for level in range(level_max, 0, -1):
-                    ep = _greedy_search(sim, nbrs, qprep, ep, level)
-                found = _search_layer(sim, nbrs, qprep, ep, 0, ef)[:k]
-                out_q.extend(int(qid) for _ in found)
-                out_i.extend(int(ids[f[1]]) for f in found)
-                out_s.extend(f[0] for f in found)
+                    ep = _greedy_upper(sim, upper, qprep, ep, level)
+                eps[i] = ep
+            out_q, out_i, out_s = [], [], []
+            qids = qs["query_id"].to_numpy()
+            if batched:
+                qm = np.stack(qprep_rows)
+                qq = (
+                    np.einsum("ij,ij->i", qm, qm)
+                    if metric != "cosine"
+                    else np.zeros(len(qm))
+                )
+                results = _search_layer_batched(sim, adj0, qm, qq, eps, ef)
+                for i, found in enumerate(results):
+                    for sc, p in found[:k]:
+                        out_q.append(int(qids[i]))
+                        out_i.append(int(ids[p]))
+                        out_s.append(float(sc))
+            else:
+                # the original per-query beam, byte-stable scoring (gemv)
+                nbrs0 = [
+                    [[int(x) for x in adj0[i][adj0[i] >= 0]]] for i in range(n)
+                ]
+                for i, qprep in enumerate(qprep_rows):
+                    found = _search_layer(
+                        sim, nbrs0, qprep, int(eps[i]), 0, ef
+                    )[:k]
+                    out_q.extend(int(qids[i]) for _ in found)
+                    out_i.extend(int(ids[f[1]]) for f in found)
+                    out_s.extend(f[0] for f in found)
             return pd.DataFrame({"query_id": out_q, "id": out_i, "score": out_s})
 
         local = (

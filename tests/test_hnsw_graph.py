@@ -339,3 +339,67 @@ def test_add_points_on_pre_entry_id_index(spark, embeddings):
     q = embeddings.filter(F.col("vec_id") == 110)
     got = grown.search(q, k=3, n_probe=2, ef_search=64).toPandas()
     assert got.iloc[0]["id"] == 110
+
+
+def test_batched_beam_matches_sequential():
+    """The batched layer-0 beam (one hop across all queries per iteration,
+    VERDICT r7 #5) must visit/retain the SAME nodes in the SAME per-query
+    order as the sequential beam: identical retained ids per query, scores
+    equal to 1 ulp (the einsum-vs-gemv kernel difference)."""
+    from hnsw_spark.operators.hnsw_graph import (
+        _LocalSim,
+        _search_layer,
+        _search_layer_batched,
+        build_local_graph,
+    )
+
+    rng = np.random.RandomState(11)
+    for metric in ("cosine", "euclidean"):
+        for trial in range(3):
+            n, d, n_q = 400, 16, 7
+            vecs = rng.randn(n, d)
+            if trial == 1:  # duplicate rows: exact score ties
+                vecs[50:60] = vecs[0]
+            levels = np.zeros(n, dtype=int)
+            nbrs = build_local_graph(levels, vecs, m=6, ef_construction=24,
+                                     metric=metric)
+            adj0 = np.full((n, max(len(r[0]) for r in nbrs)), -1,
+                           dtype=np.int64)
+            for i, row in enumerate(nbrs):
+                adj0[i, : len(row[0])] = row[0]
+            sim = _LocalSim(vecs, metric)
+            qs = rng.randn(n_q, d)
+            qmat = np.stack([sim.prep_query(q) for q in qs])
+            qq = np.einsum("ij,ij->i", qmat, qmat)
+            entries = rng.randint(0, n, size=n_q).astype(np.int64)
+            for ef in (5, 24, 1 << 20):
+                got = _search_layer_batched(sim, adj0, qmat, qq, entries, ef)
+                for qi in range(n_q):
+                    want = _search_layer(
+                        sim, nbrs, qmat[qi], int(entries[qi]), 0, ef
+                    )
+                    # retained SETS must match exactly; output order can
+                    # differ only among exact-duplicate vectors, whose
+                    # scores already vary by 1 ulp between gemv CALLS in
+                    # the sequential path itself (BLAS batch-dependent
+                    # rounding), so tie order was never kernel-stable
+                    got_ids = {p for _, p in got[qi]}
+                    want_ids = {p for _, p in want}
+                    assert got_ids == want_ids, (metric, trial, ef, qi)
+                    ws_by_id = {p: s for s, p in want}
+                    for gs, p in got[qi]:
+                        assert gs == pytest.approx(ws_by_id[p], abs=1e-12)
+
+
+def test_search_beam_modes_agree_end_to_end(spark, embeddings):
+    """index.search under both beam modes returns the same (query, id)
+    result set on the fixture (scores may differ by 1 ulp)."""
+    idx = build_hnsw_index(
+        embeddings, n_lists=4, m=8, ef_construction=32, metric="cosine"
+    )
+    qs = embeddings.filter(F.col("vec_id") < 6)
+    a = idx.search(qs, k=10, n_probe=4, ef_search=64, beam="batched")
+    b = idx.search(qs, k=10, n_probe=4, ef_search=64, beam="sequential")
+    sa = {(r.query_id, r.id) for r in a.collect()}
+    sb = {(r.query_id, r.id) for r in b.collect()}
+    assert sa == sb
