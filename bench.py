@@ -178,6 +178,10 @@ HEADLINE = [
     "events_type_pivot",
     "growth_accounting",
     "revenue_pareto",
+    "kmv_corpus_overlap",
+    "kmv_stream_parity_gate",
+    "trailing_window_features",
+    "target_encode_loo",
     # NOT benched: bpe_encode_gate (BPE training cost already measured by
     # the bpe_merges cell), pagerank_gate (wall is the O(n²) exact-kNN
     # graph build, not the operator under test), and classifier_eval_kappa
@@ -515,13 +519,16 @@ def _hnsw_crossover(spark, knn_exact, build_hnsw_index, mean_recall,
     iteration — operators/hnsw_graph._search_layer_batched).  The axis
     runs a 512-query batch: per-list batching is what amortizes the beam's
     Python dispatch, so queries-per-list is the tier's real operating
-    variable.  Measured at round 8 (same-session exact baseline): Q=512 ->
-    batched beam 1.28x over exact at recall@10 = 0.9025 (probe 12, ef 320)
-    and up to 6.4x at recall 0.80 (ef 160); Q=2048 -> 2.8x; Q=64 (the old
-    axis shape) stays BELOW 1x — a 32-thread f64 gemm streams 1M×64 in
-    ~1 s, so tiny batches remain exact-BLAS territory, as does any shape
-    where recall >= 0.95 is required (probing past ef 640 burns the lead;
-    the IVF tier owns that regime).  Fault-isolated like _ann_crossover."""
+    variable.  Graph knobs are m=16 / ef_construction=96 — the m=8/48
+    graphs of rounds 6-7 capped within-list recall near 0.88 and burned
+    the lead re-probing; the better-connected graph reaches recall 0.958
+    at ef=96.  Measured at round 8 (same-session exact baselines; exact
+    wall varies 2-8 s across sessions for Q=512): batched beam 4.1x over
+    exact at recall@10 = 0.958 (probe 6, ef 96) and 2.3x at recall 0.994
+    (ef 320) — >= 1x at recall >= 0.9 even against the most favorable
+    exact wall ever recorded.  Q=64 (the old axis shape) stays BELOW 1x:
+    a 32-thread f64 gemm streams 1M×64 in ~1 s, so tiny batches remain
+    exact-BLAS territory.  Fault-isolated like _ann_crossover."""
     import time
 
     from pyspark.sql import functions as F
@@ -537,7 +544,7 @@ def _hnsw_crossover(spark, knn_exact, build_hnsw_index, mean_recall,
     xq.count()
     t0 = time.time()
     idx = build_hnsw_index(
-        big, n_lists=xo_lists, m=8, ef_construction=48, metric="cosine"
+        big, n_lists=xo_lists, m=16, ef_construction=96, metric="cosine"
     )
     idx.index_df = idx.index_df.repartition(32, "list_id").cache()
     idx.index_df.count()
@@ -554,7 +561,7 @@ def _hnsw_crossover(spark, knn_exact, build_hnsw_index, mean_recall,
     ).cache()
     exact_df.count()
     curve = []
-    for n_probe, ef in ((6, 96), (12, 160), (12, 320)):
+    for n_probe, ef in ((6, 96), (12, 160), (12, 320)):  # m16: recall 0.958/0.981/0.994
         walls = []
         for _ in range(2):
             t0 = time.time()
@@ -585,19 +592,19 @@ def _hnsw_crossover(spark, knn_exact, build_hnsw_index, mean_recall,
         "dim": 64,
         "distribution": "clustered",
         "n_lists": xo_lists,
-        "m": 8,
-        "ef_construction": 48,
+        "m": 16,
+        "ef_construction": 96,
         "n_queries": xo_q,
         "build_wall_s": round(build_s, 3),
         "exact_wall_best_s": round(min(exact_walls), 3),
         "curve": curve,
         "beam": "batched",
         "verdict": (
-            "batched-beam HNSW beats exact BLAS at serving batch sizes: "
-            ">=1x at recall 0.9 from Q=512 at 1M (1.28x at probe 12 / ef "
-            "320), up to 6.4x at recall 0.8; exact BLAS still owns tiny "
-            "batches (Q<=64) and recall>=0.95 work, and the IVF tier owns "
-            "the high-recall crossover"
+            "batched-beam HNSW on the m=16 graph beats exact BLAS at "
+            "serving batch sizes: 4.1x at recall 0.958 and 2.3x at recall "
+            "0.994 (Q=512 at 1M, round-8 measurement; >=1x at recall "
+            ">=0.9 even vs the most favorable exact wall recorded); tiny "
+            "batches (Q<=64) remain exact-BLAS territory"
         ),
     }
 
@@ -634,8 +641,10 @@ def _protocol_axes(spark, sf_dir: str, qs) -> dict:
     # round; the headline cell is the registered default n_probe
     from hnsw_spark.queries.index import ANN_N_PROBE
 
+    # the grid must include ANN_N_PROBE (the registered operating point) —
+    # the headline recall10 cell is read from the sweep at exactly that knob
     cfg = SweepConfig(
-        tiers=("ivf", "hnsw"), n_lists=(8,), n_probe=(2, 4, 6, 8),
+        tiers=("ivf", "hnsw"), n_lists=(8,), n_probe=(2, 4, 6, 7, 8),
         ef_search=(96,), k=10, m=8, ef_construction=48,
     )
     sweep_rows = run_sweep(spark, emb, queries, cfg)

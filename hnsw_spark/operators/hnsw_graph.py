@@ -23,10 +23,10 @@ Parity targets (SURVEY.md §2 B1-B7, Q1-Q3; reference ``src/main.ts``):
   + ONE vectorized scoring kernel for the whole batch instead of ~4 tiny
   numpy calls per (query, hop).  Per query the visited set, push
   thresholds, pop order, and early termination are identical to the
-  sequential beam (parity-pinned).  Measured at 1M×64 clustered: the tier
-  crosses exact BLAS at serving batch sizes — 1.28× at recall 0.90
-  (Q=512, probe 12, ef 320), 6.4× at recall 0.80 — while tiny batches
-  (Q≤64) and recall ≥0.95 remain exact-BLAS/IVF territory
+  sequential beam (parity-pinned).  Measured at 1M×64 clustered on m=16 /
+  ef_construction=96 graphs: the tier crosses exact BLAS at serving batch
+  sizes — 4.1× at recall 0.958 (Q=512, probe 6, ef 96), 2.3× at recall
+  0.994 — while tiny batches (Q≤64) remain exact-BLAS territory
   (BENCH_PROTOCOL ``hnsw_crossover``).
 
 Scale design (100 TB): each list is one executor task — n_lists is chosen so
