@@ -862,6 +862,28 @@ def _protocol_axes(spark, sf_dir: str, qs) -> dict:
             },
         },
         "hnsw_crossover": hnsw_xo_cell,
+        # ONE-OFF recorded HNSW axis point (tools/hnsw_crossover_xl.py,
+        # round 8): does the batched-beam verdict hold as n grows?
+        "hnsw_crossover_xl_recorded": {
+            "recorded_one_off": True,
+            "measured_on": "2026-08-15",
+            "measured_by": "tools/hnsw_crossover_xl.py",
+            "note": (
+                "exact walls vary 2-13 s per session for Q=512; speedups "
+                "are vs the SAME session's best-of-3 exact wall"
+            ),
+            "4M_1024lists_m16_q512": {
+                "probe24_ef96": {
+                    "hnsw_wall_best_s": 3.544, "recall_at_10": 0.9553,
+                    "speedup_vs_exact": 2.07,
+                },
+                "probe48_ef160": {
+                    "hnsw_wall_best_s": 3.948, "recall_at_10": 0.9812,
+                    "speedup_vs_exact": 1.86,
+                },
+                "exact_wall_best_s": 7.334, "build_wall_s": 628.7,
+            },
+        },
         "ivf_int8_store": {
             "n_lists": ANN_N_LISTS,
             "n_probe": ANN_N_PROBE,
