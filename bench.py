@@ -182,6 +182,7 @@ HEADLINE = [
     "kmv_stream_parity_gate",
     "trailing_window_features",
     "target_encode_loo",
+    "jsonl_roundtrip",
     # NOT benched: bpe_encode_gate (BPE training cost already measured by
     # the bpe_merges cell), pagerank_gate (wall is the O(n²) exact-kNN
     # graph build, not the operator under test), and classifier_eval_kappa
