@@ -403,3 +403,36 @@ def test_search_beam_modes_agree_end_to_end(spark, embeddings):
     sa = {(r.query_id, r.id) for r in a.collect()}
     sb = {(r.query_id, r.id) for r in b.collect()}
     assert sa == sb
+
+
+def test_greedy_upper_matches_full_nbrs_descent():
+    """The sparse upper-layer dict descent (_greedy_upper) must land on the
+    same per-level local maximum as _greedy_search over the full nested
+    adjacency — for every query and entry, across metrics."""
+    from hnsw_spark.operators.hnsw_graph import (
+        _LocalSim,
+        _greedy_search,
+        _greedy_upper,
+        build_local_graph,
+    )
+
+    rng = np.random.RandomState(23)
+    n, d = 300, 12
+    vecs = rng.randn(n, d)
+    levels = np.minimum(rng.geometric(0.6, n) - 1, 3)
+    for metric in ("cosine", "euclidean"):
+        nbrs = build_local_graph(levels, vecs, m=6, ef_construction=24,
+                                 metric=metric)
+        upper = {
+            i: nbrs[i] for i in range(n) if levels[i] > 0
+        }
+        sim = _LocalSim(vecs, metric)
+        level_max = int(levels.max())
+        entry = int(np.argmax(levels == level_max))
+        for q in rng.randn(5, d):
+            qprep = sim.prep_query(q)
+            ep_full, ep_sparse = entry, entry
+            for level in range(level_max, 0, -1):
+                ep_full = _greedy_search(sim, nbrs, qprep, ep_full, level)
+                ep_sparse = _greedy_upper(sim, upper, qprep, ep_sparse, level)
+                assert ep_full == ep_sparse, (metric, level)

@@ -145,3 +145,15 @@ def test_streaming_kmv_end_to_end_stream(spark, tmp_path):
         r.h for r in kmv_sketch(_items(spark, vals), "item", k=32).collect()
     )
     assert live == whole
+
+
+def test_overlap_with_empty_corpus(spark):
+    # a brand-new (empty) crawl vs an existing corpus: zero sketch on one
+    # side, exact zero intersection, union == the non-empty side
+    a = _items(spark, [f"e{i}" for i in range(40)])
+    b = _items(spark, []).filter("item IS NOT NULL")
+    [row] = kmv_corpus_overlap(a, b, "item", k=64).collect()
+    assert (row.n_sketch_a, row.n_sketch_b) == (40, 0)
+    assert row.est_distinct_b == 0.0
+    assert row.est_union == 40.0
+    assert row.est_jaccard == 0.0 and row.est_intersection == 0.0
