@@ -298,6 +298,13 @@ def _greedy_upper(
     return best
 
 
+# Visited-matrix budget for the batched beam: bool cells per cogroup task
+# (16M cells = 16 MB).  Above it the query batch is chunked — e.g.
+# n_lists=8 over a 1M-row corpus with Q=512 would otherwise allocate
+# ~64 MB per task before the beam even runs (ADVICE r8).
+_VISITED_BUDGET = 16 << 20
+
+
 def _search_layer_batched(
     sim: _LocalSim,
     adj0: np.ndarray,
@@ -308,18 +315,42 @@ def _search_layer_batched(
 ) -> list[list[tuple[float, int]]]:
     """Layer-0 beam for MANY queries against one list's graph, advancing
     every still-active query ONE best-first hop per iteration (VERDICT r7
-    #5).  Per query this is BIT-IDENTICAL to ``_search_layer`` — same pop
-    order (each query's own heap evolves independently), same visited set,
-    same push thresholds, same early termination at pop time — the batching
-    only amortizes the per-hop numpy dispatch across queries: one adjacency
-    gather + ONE ``scores_pairs`` kernel per hop per list, instead of ~4
-    tiny numpy calls per (query, hop).  Parity is pinned by
+    #5).  Per query this is identical to ``_search_layer`` GIVEN IDENTICAL
+    SCORES — same pop order (each query's own heap evolves independently),
+    same visited set, same push thresholds, same early termination at pop
+    time — the batching only amortizes the per-hop numpy dispatch across
+    queries: one adjacency gather + ONE ``scores_pairs`` kernel per hop per
+    list, instead of ~4 tiny numpy calls per (query, hop).  The einsum
+    kernel can differ from the sequential gemv by 1 ulp, so for candidates
+    near-tied at the ef boundary the retained SET may diverge by
+    boundary-score entries (ADVICE r8) — which is why the hash-checked
+    oracle path pins ``beam="sequential"`` and the parity test tolerates
+    symmetric-difference rows whose scores sit within 1 ulp of the ef-th
+    score.  Parity is pinned by
     tests/test_hnsw_graph.py::test_batched_beam_matches_sequential.
 
     ``adj0``: (n, max_deg) int32 layer-0 adjacency as row positions,
     -1-padded.  Returns per-query (score, row) lists sorted score-desc,
-    row-asc."""
+    row-asc.
+
+    Memory envelope (ADVICE r8): the dense visited matrix costs
+    n_queries x list_size bool cells per task, so oversized serving
+    batches are chunked to keep it under ``_VISITED_BUDGET`` cells
+    (queries are fully independent — chunking cannot change any per-query
+    result)."""
     n_q = qmat.shape[0]
+    n = adj0.shape[0]
+    if n_q > 1 and n_q * n > _VISITED_BUDGET:
+        chunk = max(1, _VISITED_BUDGET // max(n, 1))
+        out: list[list[tuple[float, int]]] = []
+        for s in range(0, n_q, chunk):
+            out.extend(
+                _search_layer_batched(
+                    sim, adj0, qmat[s : s + chunk], qq[s : s + chunk],
+                    entries[s : s + chunk], ef,
+                )
+            )
+        return out
     e_scores = sim.scores_pairs(qmat, qq, np.arange(n_q), entries)
     visited = np.zeros((n_q, adj0.shape[0]), dtype=bool)
     visited[np.arange(n_q), entries] = True

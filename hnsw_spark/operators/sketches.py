@@ -376,7 +376,10 @@ def kmv_corpus_overlap(
     union_k = sorted(sa | sb)[:k]
     ku = set(union_k)
     n_inter = len(ku & sa & sb)
-    j = n_inter / len(ku) if ku else float("nan")
+    # Empty union (both corpora empty): Jaccard is undefined — NULL, not
+    # NaN, so the SQL twin's CASE WHEN nu = 0 THEN NULL guard stays
+    # value-identical on the degenerate edge (ADVICE r8).
+    j = n_inter / len(ku) if ku else None
     est_a = kmv_distinct_estimate(va, k)
     est_b = kmv_distinct_estimate(vb, k)
     est_union = kmv_distinct_estimate(union_k, k)
@@ -387,8 +390,8 @@ def kmv_corpus_overlap(
         est_a,
         est_b,
         est_union,
-        float(j),
-        float(j) * est_union,
+        j,
+        j * est_union if j is not None else None,
     )
     return spark.createDataFrame(
         [row],

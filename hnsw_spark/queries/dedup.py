@@ -1111,7 +1111,7 @@ est AS (
          ELSE ({_KMV_K} - 1) * {_KMV_SPACE_SQL} / mb END AS eb,
     CASE WHEN nu < {_KMV_K} THEN nu::DOUBLE
          ELSE ({_KMV_K} - 1) * {_KMV_SPACE_SQL} / mu END AS eu,
-    ni::DOUBLE / nu AS j
+    CASE WHEN nu = 0 THEN NULL ELSE ni::DOUBLE / nu END AS j
   FROM st
 )
 SELECT {_KMV_K} AS k_used, na AS n_sketch_a, nb AS n_sketch_b,

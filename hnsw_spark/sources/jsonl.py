@@ -55,12 +55,16 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     corrupt text retained) — the quarantine keeps the ORIGINAL line either
     way, which is what a repair job needs.
 
-    The parsed frame is cached first: Spark refuses corrupt-column-only
+    The parsed frame is persisted first: Spark refuses corrupt-column-only
     queries against the raw source (UNSUPPORTED_FEATURE.QUERY_ONLY_
     CORRUPT_RECORD_COLUMN — the column exists only as a parse side-effect),
-    and the cache also means clean+quarantine together cost ONE parse of
-    the input, not two."""
-    df = df.cache()
+    and the persist also means clean+quarantine together cost ONE parse of
+    the input, not two.  The persist is LIBRARY-owned via ``owned_persist``
+    (ADVICE r8): a long-lived session frees it with
+    ``hnsw_spark.release_caches()`` instead of accumulating it forever."""
+    from hnsw_spark.plans.cachereg import owned_persist
+
+    df = owned_persist(df)
     clean = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     quarantine = df.filter(F.col(CORRUPT_COL).isNotNull()).select(
         F.col(CORRUPT_COL).alias("raw_line")

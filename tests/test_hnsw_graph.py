@@ -343,9 +343,14 @@ def test_add_points_on_pre_entry_id_index(spark, embeddings):
 
 def test_batched_beam_matches_sequential():
     """The batched layer-0 beam (one hop across all queries per iteration,
-    VERDICT r7 #5) must visit/retain the SAME nodes in the SAME per-query
-    order as the sequential beam: identical retained ids per query, scores
-    equal to 1 ulp (the einsum-vs-gemv kernel difference)."""
+    VERDICT r7 #5) matches the sequential beam GIVEN IDENTICAL SCORES; the
+    einsum-vs-gemv kernels differ by up to 1 ulp, so near-tied NON-duplicate
+    candidates at the ef boundary may legitimately swap in/out of the
+    retained set (ADVICE r8).  The assertion therefore: retained counts
+    equal; shared ids score-equal to 1 ulp; any symmetric-difference id's
+    score sits within 1 ulp of the ef-th (worst retained) sequential score —
+    i.e. divergence is ONLY ever a boundary tie-swap, never a missed or
+    extra genuinely-better candidate."""
     from hnsw_spark.operators.hnsw_graph import (
         _LocalSim,
         _search_layer,
@@ -385,10 +390,45 @@ def test_batched_beam_matches_sequential():
                     # rounding), so tie order was never kernel-stable
                     got_ids = {p for _, p in got[qi]}
                     want_ids = {p for _, p in want}
-                    assert got_ids == want_ids, (metric, trial, ef, qi)
+                    assert len(got_ids) == len(want_ids), (metric, trial, ef, qi)
+                    score_of = {p: s for s, p in want}
+                    score_of.update({p: s for s, p in got[qi]})
+                    boundary = min(s for s, _ in want)
+                    for p in got_ids ^ want_ids:
+                        assert score_of[p] == pytest.approx(
+                            boundary, rel=1e-12, abs=1e-12
+                        ), (metric, trial, ef, qi, p)
                     ws_by_id = {p: s for s, p in want}
                     for gs, p in got[qi]:
-                        assert gs == pytest.approx(ws_by_id[p], abs=1e-12)
+                        if p in ws_by_id:
+                            assert gs == pytest.approx(ws_by_id[p], abs=1e-12)
+
+
+def test_batched_beam_chunking_is_result_invariant(monkeypatch):
+    """Shrinking _VISITED_BUDGET so every batch is chunked (ADVICE r8 memory
+    cliff) must produce the exact same per-query results as one dense pass —
+    queries are independent, so chunking can only change allocation, never
+    output."""
+    import hnsw_spark.operators.hnsw_graph as hg
+
+    rng = np.random.RandomState(7)
+    n, d, n_q = 300, 12, 9
+    vecs = rng.randn(n, d)
+    levels = np.zeros(n, dtype=int)
+    nbrs = hg.build_local_graph(levels, vecs, m=6, ef_construction=24,
+                                metric="cosine")
+    adj0 = np.full((n, max(len(r[0]) for r in nbrs)), -1, dtype=np.int64)
+    for i, row in enumerate(nbrs):
+        adj0[i, : len(row[0])] = row[0]
+    sim = hg._LocalSim(vecs, "cosine")
+    qs = rng.randn(n_q, d)
+    qmat = np.stack([sim.prep_query(q) for q in qs])
+    qq = np.einsum("ij,ij->i", qmat, qmat)
+    entries = rng.randint(0, n, size=n_q).astype(np.int64)
+    dense = hg._search_layer_batched(sim, adj0, qmat, qq, entries, ef=16)
+    monkeypatch.setattr(hg, "_VISITED_BUDGET", 2 * n)  # chunk = 2 queries
+    chunked = hg._search_layer_batched(sim, adj0, qmat, qq, entries, ef=16)
+    assert chunked == dense
 
 
 def test_search_beam_modes_agree_end_to_end(spark, embeddings):

@@ -157,3 +157,14 @@ def test_overlap_with_empty_corpus(spark):
     assert row.est_distinct_b == 0.0
     assert row.est_union == 40.0
     assert row.est_jaccard == 0.0 and row.est_intersection == 0.0
+
+
+def test_overlap_both_corpora_empty(spark):
+    # degenerate edge: union sketch is empty, Jaccard undefined -> NULL
+    # (not NaN), matching the SQL twin's CASE WHEN nu = 0 guard (ADVICE r8)
+    a = _items(spark, []).filter("item IS NOT NULL")
+    b = _items(spark, []).filter("item IS NOT NULL")
+    [row] = kmv_corpus_overlap(a, b, "item", k=64).collect()
+    assert (row.n_sketch_a, row.n_sketch_b) == (0, 0)
+    assert row.est_union == 0.0
+    assert row.est_jaccard is None and row.est_intersection is None

@@ -207,3 +207,24 @@ def test_jsonl_roundtrip_matches_parquet_fixture(spark, tmp_path):
     a = {tuple(r) for r in docs.collect()}
     b = {tuple(r) for r in clean.select(*docs.columns).collect()}
     assert a == b
+
+
+def test_split_corrupt_persist_is_library_owned(spark, tmp_path):
+    """split_corrupt's internal persist registers with cachereg so
+    release_caches() frees it (ADVICE r8) — a long-lived session never
+    accumulates parse caches."""
+    from hnsw_spark import release_caches
+    from hnsw_spark.plans.cachereg import _OWNED
+    from hnsw_spark.sources.jsonl import read_jsonl, split_corrupt
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text('{"doc_id": 1, "text": "a"}\n')
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    release_caches()  # drain anything earlier tests left behind
+    clean, quarantine = split_corrupt(read_jsonl(spark, str(p), schema))
+    assert len(_OWNED) == 1
+    assert clean.count() == 1 and quarantine.count() == 0
+    assert release_caches() == 1 and not _OWNED
