@@ -566,13 +566,15 @@ def _hnsw_crossover(spark, knn_exact, build_hnsw_index, mean_recall,
         walls = []
         for _ in range(2):
             t0 = time.time()
-            idx.search(xq, k=10, n_probe=n_probe, ef_search=ef).write.format(
-                "noop"
-            ).mode("overwrite").save()
+            idx.search(
+                xq, k=10, n_probe=n_probe, ef_search=ef, dispatch="beam"
+            ).write.format("noop").mode("overwrite").save()
             walls.append(time.time() - t0)
         r = mean_recall(
             recall_table(
-                idx.search(xq, k=10, n_probe=n_probe, ef_search=ef), exact_df
+                idx.search(xq, k=10, n_probe=n_probe, ef_search=ef,
+                           dispatch="beam"),
+                exact_df,
             )
         ).collect()[0]["mean_recall"]
         curve.append(

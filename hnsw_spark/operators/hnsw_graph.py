@@ -298,6 +298,14 @@ def _greedy_upper(
     return best
 
 
+# Crossover budget for auto dispatch: exact brute force costs Q×N score
+# cells; the measured crossover at 1M×64 (BENCH_PROTOCOL hnsw_crossover)
+# puts exact ahead of the beam through Q=64 (64M cells) and behind by
+# Q=128-512, so 64M cells is the conservative exact-wins region.  Tiny
+# serving batches and tiny corpora — where the beam's fixed Arrow/cogroup
+# overhead dominates — therefore route to exact automatically.
+_EXACT_DISPATCH_CELLS = 64 * 1024 * 1024
+
 # Visited-matrix budget for the batched beam: bool cells per cogroup task
 # (16M cells = 16 MB).  Above it the query batch is chunked — e.g.
 # n_lists=8 over a 1M-row corpus with Q=512 would otherwise allocate
@@ -548,24 +556,64 @@ class HNSWIndex:
         query_id: str = "vec_id",
         query_vec: str = "embedding",
         beam: str = "batched",
+        dispatch: str = "auto",
     ) -> DataFrame:
         """Top-k: DataFrame[(query_id, id, score)].  ``ef = max(k, efSearch)``
         (src/main.ts:267); efSearch defaults to the build-time
         efConstruction (the fromJSON default, src/main.ts:354).
 
+        ``dispatch`` (VERDICT r8 #3 — crossover-aware serving): the measured
+        crossover (BENCH_PROTOCOL ``hnsw_crossover``: exact BLAS beats the
+        beam up to Q≈64-128 at 1M×64; at fixture scale it always wins) says
+        small work units belong to exact brute force — its cost is the
+        Q×N score-cell count, so the rule is cell-based, not Q-based.
+        ``"auto"`` (default) routes batches with
+        Q×N ≤ ``_EXACT_DISPATCH_CELLS`` to the exact ``local_merge``
+        operator (a strictly better answer, recall 1.0, and faster below
+        the crossover — the reference's own adaptivity precedent is
+        ``ef = max(k, efSearch)``, src/main.ts:267) and larger batches to
+        the beam; ``"beam"`` / ``"exact"`` force a path (graph tests,
+        oracle rows, and crossover benches pin ``"beam"``).  The exact
+        route ignores ``n_probe``/``ef_search``/``beam``.
+
         ``beam="batched"`` (default) advances all of a list's queries one
         best-first hop per iteration — one adjacency gather + one scoring
         kernel per hop per list (VERDICT r7 #5) — visiting/retaining the
-        SAME nodes in the SAME order per query as the sequential beam; the
-        scoring kernel (einsum row-dots) can differ from the sequential
-        gemv by 1 ulp, so callers needing byte-stable scores against a
-        hash-checked oracle pass ``beam="sequential"``
+        same nodes in the same order per query as the sequential beam given
+        identical scores; the scoring kernel (einsum row-dots) can differ
+        from the sequential gemv by 1 ulp, so callers needing byte-stable
+        scores against a hash-checked oracle pass ``beam="sequential"``
         (ann_hnsw_full_probe does)."""
         spark = self.index_df.sparkSession
         if k <= 0:
             return spark.createDataFrame([], RESULT_SCHEMA)
         if beam not in ("batched", "sequential"):
             raise ValueError(f"unknown beam mode: {beam!r}")
+        if dispatch not in ("auto", "beam", "exact"):
+            raise ValueError(f"unknown dispatch mode: {dispatch!r}")
+        if dispatch != "beam":
+            n = self.params.get("n_vectors")
+            if n is None:
+                # one bounded job, memoized on the instance (the node table
+                # is cached by every index-owning query path)
+                n = self.index_df.count()
+                self.params["n_vectors"] = n
+            exact = dispatch == "exact"
+            if not exact:
+                # bounded count: only the first cells/N+1 query rows are
+                # ever counted, so a huge serving batch costs one limit-k job
+                qcap = _EXACT_DISPATCH_CELLS // max(int(n), 1) + 1
+                q_n = queries.select(query_id).limit(qcap).count()
+                exact = q_n * int(n) <= _EXACT_DISPATCH_CELLS
+            if exact:
+                from hnsw_spark.operators.knn import knn_exact
+
+                return knn_exact(
+                    self.index_df, queries, k=k, metric=self.metric,
+                    base_id="id", base_vec="vector",
+                    query_id=query_id, query_vec=query_vec,
+                    strategy="local_merge",
+                )
         n_probe = min(n_probe or max(1, self.n_lists // 4), self.n_lists)
         ef = max(
             k,

@@ -108,6 +108,11 @@ def run_sweep(
                 continue
             t1 = time.time()
             kwargs = {"ef_search": ef} if ef is not None else {}
+            if tier == "hnsw":
+                # the sweep measures the BEAM at these knobs; auto dispatch
+                # would route fixture-scale batches to exact and flatten
+                # every recall/latency curve the sweep exists to trace
+                kwargs["dispatch"] = "beam"
             approx = index.search(
                 queries, k=cfg.k, n_probe=n_probe,
                 query_id=id_col, query_vec=vec_col, **kwargs,

@@ -114,7 +114,8 @@ def test_hnsw_index_recall_vs_exact(spark, embeddings):
     index = build_hnsw_index(
         embeddings, n_lists=4, m=16, ef_construction=100, metric="cosine"
     )
-    approx = index.search(qs, k=10, n_probe=4, ef_search=100).toPandas()
+    approx = index.search(qs, k=10, n_probe=4, ef_search=100,
+                          dispatch="beam").toPandas()
     exact = knn_exact(embeddings, qs, k=10, metric="cosine").toPandas()
     hits = 0
     for qid in exact["query_id"].unique():
@@ -141,7 +142,8 @@ def test_hnsw_persistence_roundtrip(spark, embeddings, tmp_path):
     path = str(tmp_path / "hnsw")
     before = {
         (r.query_id, r.id)
-        for r in index.search(qs, k=5, n_probe=2, ef_search=32).collect()
+        for r in index.search(qs, k=5, n_probe=2, ef_search=32,
+                              dispatch="beam").collect()
     }
     save_index(index, path)
     loaded = load_index(spark, path)
@@ -149,7 +151,8 @@ def test_hnsw_persistence_roundtrip(spark, embeddings, tmp_path):
     assert loaded.params["m"] == 8 and loaded.params["ef_construction"] == 32
     after = {
         (r.query_id, r.id)
-        for r in loaded.search(qs, k=5, n_probe=2, ef_search=32).collect()
+        for r in loaded.search(qs, k=5, n_probe=2, ef_search=32,
+                               dispatch="beam").collect()
     }
     assert before == after
     delete_index(path)
@@ -161,7 +164,8 @@ def test_hnsw_index_narrow_probe_still_decent(spark, embeddings):
     index = build_hnsw_index(
         embeddings, n_lists=4, m=8, ef_construction=50, metric="euclidean"
     )
-    approx = index.search(qs, k=10, n_probe=1, ef_search=50).toPandas()
+    approx = index.search(qs, k=10, n_probe=1, ef_search=50,
+                          dispatch="beam").toPandas()
     exact = knn_exact(embeddings, qs, k=10, metric="euclidean").toPandas()
     hits = sum(
         len(
@@ -178,7 +182,8 @@ def test_ef_floors_to_k_and_empty_queries(spark, embeddings):
     # return k rows per query; an empty query batch returns an empty frame.
     qs = embeddings.filter(F.col("vec_id") < 3)
     index = build_hnsw_index(embeddings, n_lists=2, m=8, ef_construction=32)
-    got = index.search(qs, k=10, n_probe=2, ef_search=1).toPandas()
+    got = index.search(qs, k=10, n_probe=2, ef_search=1,
+                       dispatch="beam").toPandas()
     assert (got.groupby("query_id").size() == 10).all()
     empty = index.search(embeddings.filter(F.col("vec_id") < 0), k=5)
     assert empty.count() == 0
@@ -199,7 +204,7 @@ def test_recall_monotone_in_ef_search(spark):
     idx.index_df.count()
     recalls = {}
     for ef in (10, 32, 100):
-        approx = idx.search(qs, k=10, n_probe=4, ef_search=ef)
+        approx = idx.search(qs, k=10, n_probe=4, ef_search=ef, dispatch="beam")
         recalls[ef] = mean_recall(recall_table(approx, exact)).first().mean_recall
     assert recalls[10] >= 0.8
     assert recalls[32] >= recalls[10]
@@ -241,7 +246,8 @@ def test_add_points_index_searchable(spark, embeddings):
     assert grown.index_df.count() == 340
     # query WITH one of the new vectors: it must rank itself first
     q = embeddings.filter(F.col("vec_id") == 320)
-    got = grown.search(q, k=5, n_probe=2, ef_search=64).toPandas()
+    got = grown.search(q, k=5, n_probe=2, ef_search=64,
+                       dispatch="beam").toPandas()
     assert got.iloc[0]["id"] == 320
     # exact tier agreement on the grown corpus
     exact = knn_exact(embeddings.filter(F.col("vec_id") < 340), q, k=5).toPandas()
@@ -259,7 +265,8 @@ def test_hnsw_full_probe_equals_exact(spark, embeddings):
     )
     approx = {
         (r.query_id, r.id)
-        for r in index.search(qs, k=10, n_probe=8, ef_search=1 << 20).collect()
+        for r in index.search(qs, k=10, n_probe=8, ef_search=1 << 20,
+                              dispatch="beam").collect()
     }
     exact = {
         (r.query_id, r.id)
@@ -316,7 +323,7 @@ def test_recall_improves_with_m(spark):
     recalls = {}
     for m in (4, 16):
         idx = build_hnsw_index(corpus, n_lists=4, m=m, ef_construction=32)
-        approx = idx.search(qs, k=10, n_probe=4, ef_search=24)
+        approx = idx.search(qs, k=10, n_probe=4, ef_search=24, dispatch="beam")
         recalls[m] = mean_recall(recall_table(approx, exact)).first().mean_recall
     # measured 0.69 vs 0.97/0.98 — generous margins against flake
     assert recalls[4] >= 0.5
@@ -337,7 +344,8 @@ def test_add_points_on_pre_entry_id_index(spark, embeddings):
     grown = add_points(index, extra)
     assert grown.index_df.count() == 120
     q = embeddings.filter(F.col("vec_id") == 110)
-    got = grown.search(q, k=3, n_probe=2, ef_search=64).toPandas()
+    got = grown.search(q, k=3, n_probe=2, ef_search=64,
+                       dispatch="beam").toPandas()
     assert got.iloc[0]["id"] == 110
 
 
@@ -431,6 +439,47 @@ def test_batched_beam_chunking_is_result_invariant(monkeypatch):
     assert chunked == dense
 
 
+def test_crossover_aware_dispatch(spark, embeddings, monkeypatch):
+    """VERDICT r8 #3: small batches (Q x N under the measured exact-BLAS
+    crossover budget) route to the exact local_merge operator automatically;
+    above the budget the beam serves; "exact"/"beam" force a path; unknown
+    modes raise.  The exact route's physical plan has NO cogroup stage (the
+    beam's signature), so beam-path work can never regress small-Q serving."""
+    import hnsw_spark.operators.hnsw_graph as hg
+
+    qs = embeddings.filter(F.col("vec_id") < 8)
+    idx = build_hnsw_index(embeddings, n_lists=4, m=8, ef_construction=32)
+    idx.index_df = idx.index_df.cache()
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    # fixture scale: Q*N = 8*2000 cells, far under the 64M budget -> exact
+    auto = idx.search(qs, k=10, n_probe=1, ef_search=1)
+    assert "CoGroup" not in plan_of(auto)
+    exact = knn_exact(embeddings, qs, k=10, metric="cosine")
+    assert {(r.query_id, r.id) for r in auto.collect()} == {
+        (r.query_id, r.id) for r in exact.collect()
+    }
+    assert idx.params["n_vectors"] == embeddings.count()  # memoized
+    # shrink the budget so the same batch lands above the crossover -> beam
+    monkeypatch.setattr(hg, "_EXACT_DISPATCH_CELLS", 0)
+    beam = idx.search(qs, k=10, n_probe=4, ef_search=64)
+    assert "CoGroup" in plan_of(beam)
+    # forced modes override the budget in both directions
+    monkeypatch.setattr(hg, "_EXACT_DISPATCH_CELLS", 1 << 40)
+    assert "CoGroup" in plan_of(
+        idx.search(qs, k=10, n_probe=4, ef_search=64, dispatch="beam")
+    )
+    monkeypatch.setattr(hg, "_EXACT_DISPATCH_CELLS", 0)
+    assert "CoGroup" not in plan_of(
+        idx.search(qs, k=10, n_probe=4, dispatch="exact")
+    )
+    with pytest.raises(ValueError, match="dispatch"):
+        idx.search(qs, k=10, dispatch="nope")
+    idx.index_df.unpersist()
+
+
 def test_search_beam_modes_agree_end_to_end(spark, embeddings):
     """index.search under both beam modes returns the same (query, id)
     result set on the fixture (scores may differ by 1 ulp)."""
@@ -438,8 +487,10 @@ def test_search_beam_modes_agree_end_to_end(spark, embeddings):
         embeddings, n_lists=4, m=8, ef_construction=32, metric="cosine"
     )
     qs = embeddings.filter(F.col("vec_id") < 6)
-    a = idx.search(qs, k=10, n_probe=4, ef_search=64, beam="batched")
-    b = idx.search(qs, k=10, n_probe=4, ef_search=64, beam="sequential")
+    a = idx.search(qs, k=10, n_probe=4, ef_search=64, beam="batched",
+                   dispatch="beam")
+    b = idx.search(qs, k=10, n_probe=4, ef_search=64, beam="sequential",
+                   dispatch="beam")
     sa = {(r.query_id, r.id) for r in a.collect()}
     sb = {(r.query_id, r.id) for r in b.collect()}
     assert sa == sb

@@ -300,7 +300,8 @@ def test_streaming_graph_ingest_grows_searchable_index(spark, tmp_path):
     assert final.index_df.count() == 220
     probe_vec = final.index_df.filter(F.col("id") == 1105).select("vector").first()[0]
     qdf = spark.createDataFrame([(1105, list(probe_vec))], "vec_id long, embedding array<float>")
-    got = final.search(qdf, k=3, n_probe=2, ef_search=32).toPandas()
+    got = final.search(qdf, k=3, n_probe=2, ef_search=32,
+                       dispatch="beam").toPandas()
     assert got.iloc[0]["id"] == 1105
 
 

@@ -83,13 +83,14 @@ def main() -> int:
         for _ in range(2):
             t0 = time.time()
             idx.search(
-                xq, k=10, n_probe=n_probe, ef_search=ef, beam="batched"
+                xq, k=10, n_probe=n_probe, ef_search=ef, beam="batched",
+                dispatch="beam"
             ).write.format("noop").mode("overwrite").save()
             walls.append(time.time() - t0)
         r = mean_recall(
             recall_table(
                 idx.search(xq, k=10, n_probe=n_probe, ef_search=ef,
-                           beam="batched"),
+                           beam="batched", dispatch="beam"),
                 exact_df,
             )
         ).collect()[0]["mean_recall"]
