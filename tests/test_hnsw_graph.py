@@ -439,6 +439,40 @@ def test_batched_beam_chunking_is_result_invariant(monkeypatch):
     assert chunked == dense
 
 
+def test_merge_hnsw_indexes_full_probe_equals_exact(spark, embeddings):
+    """Segment merge (VERDICT r8 #4): delta nodes re-inserted under the base
+    quantizer; full probe over the merged index == exact kNN over the union,
+    metric mismatch raises, and node counts add up with no duplicates."""
+    from hnsw_spark.operators.hnsw_graph import merge_hnsw_indexes
+
+    half_a = embeddings.filter(F.col("vec_id") % 2 == 0)
+    half_b = embeddings.filter(F.col("vec_id") % 2 == 1)
+    a = build_hnsw_index(half_a, n_lists=4, m=8, ef_construction=48,
+                         max_level=0)
+    b = build_hnsw_index(half_b, n_lists=2, m=8, ef_construction=48,
+                         max_level=0)
+    merged = merge_hnsw_indexes(a, b)
+    n_total = embeddings.count()
+    assert merged.index_df.count() == n_total
+    assert merged.index_df.select("id").distinct().count() == n_total
+    assert np.array_equal(merged.centroids, a.centroids)  # base quantizer
+    qs = embeddings.filter(F.col("vec_id") < 6)
+    got = {
+        (r.query_id, r.id)
+        for r in merged.search(
+            qs, k=10, n_probe=4, ef_search=1 << 20, dispatch="beam"
+        ).collect()
+    }
+    exact = {
+        (r.query_id, r.id)
+        for r in knn_exact(embeddings, qs, k=10, metric="cosine").collect()
+    }
+    assert got == exact
+    c = build_hnsw_index(half_b, n_lists=2, m=8, metric="euclidean")
+    with pytest.raises(ValueError, match="metric"):
+        merge_hnsw_indexes(a, c)
+
+
 def test_crossover_aware_dispatch(spark, embeddings, monkeypatch):
     """VERDICT r8 #3: small batches (Q x N under the measured exact-BLAS
     crossover budget) route to the exact local_merge operator automatically;
