@@ -217,6 +217,64 @@ _LINE_CELLS = [
 ]
 
 
+# Reference host-speed points for calib normalization (VERDICT r8 #7):
+# the round-8 settled-box sidecar's calib block (BENCH_PROTOCOL.json at
+# commit 2be2355 — the cleanest recorded run of the same calibration code).
+# A run's calib factor = geomean(run_calib / ref_calib); dividing cell
+# walls by it separates code regressions from host/noisy-neighbor drift
+# BEFORE the 2x-vs-r1 gate is applied (BASELINE.md round-4 drift note).
+_REF_CALIB = {"matmul_1024_ms": 15.7, "pyloop_2m_ms": 76.2, "spark_sum_1m_ms": 79.4}
+
+
+def _calib_factor(calib: dict) -> float | None:
+    """Geomean host-speed ratio vs _REF_CALIB (>1 = this box is slower).
+    None when the calib block is missing or unusable — callers fall back
+    to raw walls rather than inventing a factor."""
+    ratios = [
+        calib[k] / ref
+        for k, ref in _REF_CALIB.items()
+        if isinstance(calib.get(k), (int, float)) and calib[k] > 0
+    ]
+    if not ratios:
+        return None
+    prod = 1.0
+    for r in ratios:
+        prod *= r
+    return round(prod ** (1.0 / len(ratios)), 4)
+
+
+def _r1_walls() -> dict:
+    """The r1 driver-baseline per-cell walls, parsed from the committed
+    BENCH_r01.json artifact (the set the judge geomeans against)."""
+    try:
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_r01.json"
+        )
+        with open(path) as f:
+            rec = json.load(f)
+        line = json.loads(re.search(r'\{"metric".*', rec["tail"]).group(0))
+        return line.get("queries") or {}
+    except Exception:
+        return {}
+
+
+def _calib_normalized(timings: dict, calib: dict) -> dict:
+    """Per-cell wall ratios vs the r1 baseline AFTER dividing this run's
+    walls by the host-speed calib factor — the number the 2x gate should
+    read (VERDICT r8 #7).  Emitted to the sidecar so a noisy box can
+    neither redden a round nor hide a real regression."""
+    factor = _calib_factor(calib if isinstance(calib, dict) else {})
+    r1 = _r1_walls()
+    out = {"ref_calib": _REF_CALIB, "factor": factor}
+    if factor:
+        out["ratio_vs_r1"] = {
+            n: round(timings[n] / factor / r1[n], 3)
+            for n in timings
+            if isinstance(r1.get(n), (int, float)) and r1[n] > 0
+        }
+    return out
+
+
 def _calibration(spark) -> dict:
     """Host-speed reference points so cross-round comparisons can separate
     code regressions from host/noisy-neighbor drift (the headline cells at
@@ -360,6 +418,7 @@ def main() -> None:
         calib = _calibration(spark)
     except Exception as e:
         calib = {"err": repr(e)[:200]}
+    calib_normalized = _calib_normalized(timings, calib)
     line = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -372,6 +431,7 @@ def main() -> None:
             for t in ("ivf", "hnsw")
         },
         "calib": calib,
+        "calib_factor": calib_normalized.get("factor"),
         "protocol_file": "BENCH_PROTOCOL.json",
     }
     if errors:
@@ -382,7 +442,12 @@ def main() -> None:
     try:
         with open(sidecar, "w") as f:
             json.dump(
-                {"line": line, "queries_all": timings, "protocol": protocol},
+                {
+                    "line": line,
+                    "queries_all": timings,
+                    "calib_normalized": calib_normalized,
+                    "protocol": protocol,
+                },
                 f,
                 indent=1,
             )
@@ -426,6 +491,94 @@ def _prebuilt_ann_searches(spark, sf_dir: str) -> tuple[dict, callable]:
             qbatch, k=10, n_probe=ANN_N_PROBE, ef_search=ANN_EF
         ),
     }, cleanup
+
+
+def _dedup_ladder_1m(spark) -> dict:
+    """VERDICT r8 #6: the banded-LSH near-dup ladder END-TO-END one decade
+    above the minhash_50k probe — 1M synthetic docs through signature →
+    banding → capped bucket join → exact verification of the surviving
+    candidates (array_intersect Jaccard over the candidate ids only; the
+    corpus is never pair-joined).  Records wall and the candidate-pair
+    count against the n·(n-1)/2 quadratic bound a naive all-pairs join
+    would shuffle: the generator plants one near-dup per 10 docs, so the
+    expected candidate count is ~n/10 — candidates scale with DUPLICATE
+    DENSITY, not docs², which is the ladder's whole 100 TB design claim,
+    measured rather than asserted.  Fault-isolated like _ann_crossover."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from hnsw_spark.functions.text import shingles_w, words
+    from hnsw_spark.operators.dedup import lsh_candidate_pairs
+    from hnsw_spark.sources.synthetic import synthetic_documents
+
+    n_docs = 1_000_000
+    docs = (
+        synthetic_documents(spark, n_docs, words_per_doc=30, seed=31)
+        .repartition(32)
+        .cache()
+    )
+    docs.count()
+    t0 = time.time()
+    cand = lsh_candidate_pairs(
+        docs, num_perm=32, bands=8, n=3, max_bucket=1000
+    ).cache()
+    n_cand = cand.count()
+    cand_wall = time.time() - t0
+    t0 = time.time()
+    ids = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .union(cand.select(F.col("id_b")))
+        .distinct()
+    )
+    arrays = (
+        docs.join(ids, "doc_id")
+        .select(
+            "doc_id",
+            F.array_distinct(shingles_w(words("text"), 3)).alias("_sh"),
+        )
+        .withColumn("size", F.size("_sh"))
+    )
+    ver = (
+        cand.join(
+            arrays.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("_sh").alias("_sha"),
+                F.col("size").alias("sa"),
+            ),
+            "id_a",
+        )
+        .join(
+            arrays.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("_sh").alias("_shb"),
+                F.col("size").alias("sb"),
+            ),
+            "id_b",
+        )
+        .withColumn("nc", F.size(F.array_intersect("_sha", "_shb")))
+        .withColumn(
+            "j", F.col("nc") / (F.col("sa") + F.col("sb") - F.col("nc"))
+        )
+    )
+    n_dup = ver.filter(F.col("j") >= 0.8).count()
+    verify_wall = time.time() - t0
+    cand.unpersist()
+    docs.unpersist()
+    quad = n_docs * (n_docs - 1) // 2
+    return {
+        "n_docs": n_docs,
+        "num_perm": 32,
+        "bands": 8,
+        "max_bucket": 1000,
+        "candidate_wall_s": round(cand_wall, 2),
+        "verify_wall_s": round(verify_wall, 2),
+        "n_candidate_pairs": n_cand,
+        "n_verified_ge_080": n_dup,
+        "quadratic_bound_pairs": quad,
+        "candidate_reduction_x": round(quad / max(n_cand, 1)),
+        "docs_per_s_end_to_end": round(n_docs / (cand_wall + verify_wall)),
+    }
 
 
 def _ann_crossover(spark, knn_exact, build_ivf_index, mean_recall,
@@ -813,6 +966,12 @@ def _protocol_axes(spark, sf_dir: str, qs) -> dict:
     )
 
     try:
+        ladder_cell = _dedup_ladder_1m(spark)
+    except Exception as e:
+        ladder_cell = {"err": repr(e)[:300]}
+        print(f"dedup_ladder_1m axis failed: {e!r}", file=sys.stderr)
+
+    try:
         xo_cell = _ann_crossover(
             spark, knn_exact, build_ivf_index, mean_recall, recall_table,
             synthetic_vectors,
@@ -941,6 +1100,7 @@ def _protocol_axes(spark, sf_dir: str, qs) -> dict:
             "batch_wall_best_s": round(mh_best, 3),
             "docs_per_s": round(50_000 / mh_best),
         },
+        "dedup_ladder_1m": ladder_cell,
         "neardup_20k_ivf_self_join": {
             "n_vectors": 20_000,
             "dim": 32,
