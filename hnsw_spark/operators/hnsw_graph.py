@@ -598,14 +598,7 @@ class HNSWIndex:
                 # is cached by every index-owning query path)
                 n = self.index_df.count()
                 self.params["n_vectors"] = n
-            exact = dispatch == "exact"
-            if not exact:
-                # bounded count: only the first cells/N+1 query rows are
-                # ever counted, so a huge serving batch costs one limit-k job
-                qcap = _EXACT_DISPATCH_CELLS // max(int(n), 1) + 1
-                q_n = queries.select(query_id).limit(qcap).count()
-                exact = q_n * int(n) <= _EXACT_DISPATCH_CELLS
-            if exact:
+            if dispatch == "exact":
                 from hnsw_spark.operators.knn import knn_exact
 
                 return knn_exact(
@@ -613,6 +606,29 @@ class HNSWIndex:
                     base_id="id", base_vec="vector",
                     query_id=query_id, query_vec=query_vec,
                     strategy="local_merge",
+                )
+            # fused probe: ONE bounded limit+collect both sizes the batch
+            # AND is the exact route's query transfer, so small batches pay
+            # a single extra driver job, not a count + a second toPandas.
+            # Row cap bounds the wasted transfer when a big batch hits a
+            # tiny corpus and falls through to the beam.
+            qcap = min(
+                _EXACT_DISPATCH_CELLS // max(int(n), 1) + 1, 1 << 16
+            )
+            qpd = (
+                queries.select(
+                    F.col(query_id).cast("long").alias("query_id"),
+                    F.col(query_vec).alias("v"),
+                )
+                .limit(qcap + 1)
+                .toPandas()
+            )
+            if len(qpd) <= qcap and len(qpd) * int(n) <= _EXACT_DISPATCH_CELLS:
+                from hnsw_spark.operators.knn import knn_local_merge_prepared
+
+                return knn_local_merge_prepared(
+                    self.index_df, qpd, k, self.metric,
+                    base_id="id", base_vec="vector",
                 )
         n_probe = min(n_probe or max(1, self.n_lists // 4), self.n_lists)
         ef = max(

@@ -144,10 +144,25 @@ def _score_block(metric: str, qmat: np.ndarray, bmat: np.ndarray) -> np.ndarray:
 
 
 def _knn_local_merge(base, queries, k, metric, base_id, base_vec, query_id, query_vec):
-    spark = base.sparkSession
     qpd = queries.select(
         F.col(query_id).cast("long").alias("query_id"), F.col(query_vec).alias("v")
     ).toPandas()
+    return knn_local_merge_prepared(base, qpd, k, metric, base_id, base_vec)
+
+
+def knn_local_merge_prepared(
+    base: DataFrame,
+    qpd: pd.DataFrame,
+    k: int,
+    metric: str,
+    base_id: str = "vec_id",
+    base_vec: str = "embedding",
+) -> DataFrame:
+    """``local_merge`` over an ALREADY-COLLECTED query batch (pandas columns
+    ``query_id``, ``v``) — callers that had to materialize the batch anyway
+    (the ANN auto-dispatch probe bounds it with a limit+collect) reuse that
+    one driver transfer instead of paying a second toPandas job."""
+    spark = base.sparkSession
     if qpd.empty:  # np.stack rejects an empty batch; mirror the window path
         return spark.createDataFrame([], _RESULT_SCHEMA)
     q_ids = qpd["query_id"].to_numpy()
