@@ -54,7 +54,7 @@ import heapq
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from hnsw_spark.functions.similarity import get_metric
@@ -70,6 +70,10 @@ NODE_SCHEMA = (
     "list_id int, id long, level int, vector array<float>, "
     "neighbors array<array<long>>, entry_id long"
 )
+# salted build (max_list_size): sub_id = list_id * _SALT_STRIDE + salt is
+# the physical graph/partition key; list_id stays the ROUTING key
+NODE_SCHEMA_SALTED = "sub_id long, " + NODE_SCHEMA
+_SALT_STRIDE = 1 << 20
 RESULT_SCHEMA = "query_id long, id long, score double"
 
 
@@ -746,9 +750,25 @@ class HNSWIndex:
                     out_s.extend(f[0] for f in found)
             return pd.DataFrame({"query_id": out_q, "id": out_i, "score": out_s})
 
+        key = "list_id"
+        if "sub_id" in self.index_df.columns:
+            # salted index (max_list_size): fan each probed list out to all
+            # of its sub-lists — the (list_id → sub_id) map is distinct over
+            # the node table (≤ a few rows per list, broadcast by AQE), so
+            # routing stays list-keyed and only the cogroup key changes
+            # alias through a fresh name: the map derives from index_df, and
+            # cogrouping index_df against a probe frame carrying the SAME
+            # sub_id attribute trips Spark's ambiguous-self-join analysis
+            sub_map = self.index_df.select(
+                "list_id", F.col("sub_id").alias("_sub")
+            ).distinct()
+            probes = probes.join(sub_map, "list_id").withColumnRenamed(
+                "_sub", "sub_id"
+            )
+            key = "sub_id"
         local = (
-            self.index_df.groupBy("list_id")
-            .cogroup(probes.groupBy("list_id"))
+            self.index_df.groupBy(key)
+            .cogroup(probes.groupBy(key))
             .applyInPandas(search_group, RESULT_SCHEMA)
         )
         # global merge: ids are unique across lists, so dedupe (src/main.ts:
@@ -772,6 +792,12 @@ def add_points(
     must be fresh (duplicate inserts are rejected by validate_vectors
     upstream, matching src/main.ts:240-242).
     """
+    if "sub_id" in index.index_df.columns:
+        raise ValueError(
+            "incremental insert into a salted index (max_list_size) is not "
+            "supported: sub-list membership is rank-based and would shift; "
+            "rebuild with max_list_size or merge unsalted segments instead"
+        )
     m = int(index.params.get("m", 16))
     ef_construction = int(index.params.get("ef_construction", 100))
     seed = int(index.params.get("seed", 42))
@@ -884,6 +910,7 @@ def build_hnsw_index(
     ef_search: int | None = None,
     train_method: str = "sample",
     max_level: int | None = None,
+    max_list_size: int | None = None,
 ) -> HNSWIndex:
     """Build the partitioned index: coarse-quantize into ``n_lists``, assign
     levels (B1) Spark-side, then build each list's graph in parallel inside
@@ -893,7 +920,21 @@ def build_hnsw_index(
     layer 0) — the reference's own test discipline for checking exact ids
     (tests/HNSW.test.ts pins the level draw); combined with
     n_probe = n_lists and ef ≥ list size this degenerates search to exact
-    kNN, which is how the oracle checks the whole HNSW pipeline."""
+    kNN, which is how the oracle checks the whole HNSW pipeline.
+
+    ``max_list_size`` is the SKEW GUARD (VERDICT r8 #8): real corpora
+    cluster unevenly, and each list is one sequential Python build task —
+    a hot list that swallows 10% of a 100 TB corpus is a straggler that
+    never finishes and a memory cliff.  When set, each list is salted
+    round-robin (by ascending-id rank, so sub-list sizes differ by ≤1 and
+    the split is deterministic under any partitioning) into
+    ⌈list_size / max_list_size⌉ SUB-LISTS, each carrying its own graph
+    under the physical key ``sub_id``; ``list_id`` remains the routing key
+    and search fans each probed list out to all of its sub-lists, so
+    full-probe degeneration stays exact (searching every sub-graph of a
+    list ≡ searching the list — ids are disjoint, the merge is a pure
+    top-k).  Recall at partial ef changes only through graph locality,
+    priced by the recall gates like every other knob."""
     get_metric(metric)  # validate early (src/main.ts:42-44)
     lvl = select_level(F.col(id_col).cast("long"), m, seed)
     if max_level is not None:
@@ -907,6 +948,20 @@ def build_hnsw_index(
         base.select("id", "vector"), n_lists, metric, seed, train_method=train_method
     )
     assigned = assign_lists(base, centroids, metric, extra_cols=("level",))
+    salted = max_list_size is not None
+    if salted:
+        if max_list_size < 1:
+            raise ValueError(f"max_list_size must be >= 1: {max_list_size}")
+        lw = Window.partitionBy("list_id").orderBy("id")
+        n_salts = F.ceil(
+            F.count("*").over(Window.partitionBy("list_id"))
+            / F.lit(int(max_list_size))
+        )
+        assigned = assigned.withColumn(
+            "sub_id",
+            F.col("list_id").cast("long") * _SALT_STRIDE
+            + F.pmod(F.row_number().over(lw) - 1, n_salts),
+        )
 
     def build_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("id").reset_index(drop=True)
@@ -915,20 +970,23 @@ def build_hnsw_index(
         ids = pdf["id"].to_numpy()
         nbrs = build_local_graph(levels, vecs, m, ef_construction, metric)
         e = final_entry(levels)
-        return pd.DataFrame(
-            {
-                "list_id": pdf["list_id"],
-                "id": ids,
-                "level": levels,
-                "vector": pdf["vector"],
-                "neighbors": [
-                    [[int(ids[x]) for x in lvl] for lvl in row] for row in nbrs
-                ],
-                "entry_id": np.full(len(ids), ids[e], dtype=np.int64),
-            }
-        )
+        out = {
+            "list_id": pdf["list_id"],
+            "id": ids,
+            "level": levels,
+            "vector": pdf["vector"],
+            "neighbors": [
+                [[int(ids[x]) for x in lvl] for lvl in row] for row in nbrs
+            ],
+            "entry_id": np.full(len(ids), ids[e], dtype=np.int64),
+        }
+        if salted:
+            out = {"sub_id": pdf["sub_id"], **out}
+        return pd.DataFrame(out)
 
-    index_df = assigned.groupBy("list_id").applyInPandas(build_group, NODE_SCHEMA)
+    key = "sub_id" if salted else "list_id"
+    schema = NODE_SCHEMA_SALTED if salted else NODE_SCHEMA
+    index_df = assigned.groupBy(key).applyInPandas(build_group, schema)
     return HNSWIndex(
         index_df,
         centroids,
@@ -941,5 +999,6 @@ def build_hnsw_index(
             "seed": seed,
             "train_method": train_method,
             "max_level": max_level,
+            "max_list_size": max_list_size,
         },
     )
