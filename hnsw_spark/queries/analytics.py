@@ -874,3 +874,44 @@ def trailing_window_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "n_3600s", "sum_3600s_fp", "n_86400s", "sum_86400s_fp"
     )
+
+
+@query("trailing_features_stream_gate", _TWF_SQL)
+def trailing_features_stream_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch==stream parity for the ONLINE feature path
+    (streaming/features.py:StreamingTrailingFeatures): the events table
+    arrives as 3 time-ordered epochs (fixed date boundaries, so arrival
+    lateness is 0 ≤ the 24 h horizon) INCLUDING a replayed final epoch —
+    the foreachBatch retry case — and the concatenated per-epoch feature
+    partitions must equal the one-shot batch backfill row-for-row: the
+    oracle is the SAME trailing-window SQL the batch query hash-checks
+    against, so any tail-state truncation, epoch-boundary leak, or replay
+    double-count reddens the hash.  State is the bounded trailing TAIL
+    (events within max-horizon of the high watermark), never the stream;
+    per-epoch cost is one key-shuffle over tail ∪ batch."""
+    import os
+
+    from hnsw_spark.queries.index import _scratch_dir
+    from hnsw_spark.streaming.features import StreamingTrailingFeatures
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = _scratch_dir("twf_stream_gate_")
+    stf = StreamingTrailingFeatures(
+        os.path.join(tmp, "out"),
+        os.path.join(tmp, "tail"),
+        horizons_s=[3600, 86400],
+        scale=4,
+    )
+    b0, b1 = "2024-01-11 00:00:00", "2024-01-21 00:00:00"
+    epochs = (
+        ev.filter(F.col("ts") < b0),
+        ev.filter((F.col("ts") >= b0) & (F.col("ts") < b1)),
+        ev.filter(F.col("ts") >= b1),
+    )
+    for i, batch in enumerate(epochs):
+        stf.process_batch(batch, i)
+    stf.process_batch(epochs[2], 2)  # simulated foreachBatch retry replay
+    out = spark.read.parquet(os.path.join(tmp, "out"))
+    return out.select(
+        "event_id", "n_3600s", "sum_3600s_fp", "n_86400s", "sum_86400s_fp"
+    )

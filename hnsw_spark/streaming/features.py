@@ -1,0 +1,151 @@
+"""Continuous point-in-time trailing-window features — the streaming twin
+of ``operators/features.py:trailing_window_features`` (a feature store's
+ONLINE path: the same leakage-safe features the batch backfill computes,
+maintained as event epochs arrive).
+
+State design: only a key's events within ``max(horizons)`` of the stream's
+high watermark can still influence a FUTURE row's trailing frame, so the
+persisted state is that bounded TAIL, not the stream.  Each epoch:
+
+1. reads the latest tail version strictly BEFORE this epoch (so a replayed
+   epoch recomputes from the same prior state — deterministic retries),
+2. computes the batch rows' features over ``tail ∪ batch`` with the exact
+   batch operator (the RANGE frames see the full trailing interval as long
+   as events arrive with bounded lateness ≤ the max horizon — the same
+   contract a watermark declares; later stragglers are a correctness
+   boundary in any engine, not a Spark artifact),
+3. writes the feature rows into an ``epoch_id`` partition with DYNAMIC
+   overwrite (a replay overwrites itself — exactly-once), and
+4. writes the new tail as version ``epoch`` (also dynamic-overwrite
+   idempotent).
+
+Per-epoch cost is O(tail + batch) — one window shuffle on the key over the
+union, never the history; old tail versions are dropped eagerly, keeping
+state at ~2 versions x tail size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hnsw_spark.streaming.sketch import _read_or_empty
+
+
+class StreamingTrailingFeatures:
+    def __init__(
+        self,
+        out_path: str,
+        tail_path: str,
+        horizons_s: list[int],
+        by: str = "user_id",
+        ts_col: str = "ts",
+        value_col: str = "value",
+        id_col: str = "event_id",
+        scale: int = 4,
+    ):
+        self.out_path = out_path
+        self.tail_path = tail_path
+        self.horizons_s = list(horizons_s)
+        self.by = by
+        self.ts_col = ts_col
+        self.value_col = value_col
+        self.id_col = id_col
+        self.scale = scale
+
+    def _tail_before(self, spark, epoch_id: int, schema) -> DataFrame:
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        full = StructType(list(schema.fields) + [StructField("_v", IntegerType())])
+        tails = _read_or_empty(spark, self.tail_path, full)
+        versions = [
+            r["_v"]
+            for r in tails.select("_v").distinct().collect()
+            if r["_v"] < epoch_id
+        ]
+        if not versions:
+            return tails.drop("_v").limit(0)
+        return tails.filter(F.col("_v") == max(versions)).drop("_v")
+
+    def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        from hnsw_spark.operators.features import trailing_window_features
+
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        cols = batch.columns
+        tail = self._tail_before(spark, int(epoch_id), batch.schema)
+        # dropDuplicates: a replayed epoch's rows may already sit in a tail
+        # version written by the failed attempt's successor — id-dedup makes
+        # the union (and therefore the features) attempt-invariant
+        union = tail.select(*cols).unionByName(batch).dropDuplicates(
+            [self.id_col]
+        )
+        feats = trailing_window_features(
+            union,
+            horizons_s=self.horizons_s,
+            by=self.by,
+            ts_col=self.ts_col,
+            value_col=self.value_col,
+            scale=self.scale,
+        )
+        batch_ids = batch.select(self.id_col)
+        out = feats.join(F.broadcast(batch_ids), self.id_col).withColumn(
+            "epoch_id", F.lit(int(epoch_id))
+        )
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(self.out_path)
+        )
+        hw = union.agg(F.max(self.ts_col)).first()[0]
+        horizon = max(self.horizons_s)
+        new_tail = union.filter(
+            F.col(self.ts_col)
+            >= F.lit(hw) - F.expr(f"INTERVAL {int(horizon)} SECOND")
+        ).withColumn("_v", F.lit(int(epoch_id)))
+        (
+            new_tail.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_v")
+            .parquet(self.tail_path)
+        )
+        self._drop_old_tails(spark, int(epoch_id))
+
+    def _drop_old_tails(self, spark, epoch_id: int) -> None:
+        """Keep versions >= epoch_id - 1 (the replay window); local-path
+        best effort — object stores would use lifecycle rules."""
+        import os
+        import shutil
+
+        if not os.path.isdir(self.tail_path):
+            return
+        for d in os.listdir(self.tail_path):
+            if d.startswith("_v="):
+                try:
+                    if int(d[3:]) < epoch_id - 1:
+                        shutil.rmtree(
+                            os.path.join(self.tail_path, d),
+                            ignore_errors=True,
+                        )
+                except ValueError:
+                    pass
+
+    def start(self, stream: DataFrame, checkpoint: str):
+        return (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
+
+    def features(self, spark, schema) -> DataFrame:
+        """Everything computed so far (all epoch partitions).  ``schema``
+        (StructType of the feature rows WITHOUT epoch_id) shapes the empty
+        frame before the first epoch lands."""
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        full = StructType(
+            list(schema.fields) + [StructField("epoch_id", IntegerType())]
+        )
+        return _read_or_empty(spark, self.out_path, full).drop("epoch_id")
