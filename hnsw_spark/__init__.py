@@ -73,7 +73,12 @@ from hnsw_spark.functions.similarity import (  # noqa: E402
 from hnsw_spark.operators.ann import IVFIndex, build_ivf_index  # noqa: E402
 from hnsw_spark.operators.hnsw_graph import (  # noqa: E402
     HNSWIndex,
+    add_points,
     build_hnsw_index,
+    merge_hnsw_indexes,
+)
+from hnsw_spark.streaming.features import (  # noqa: E402
+    StreamingTrailingFeatures,
 )
 from hnsw_spark.operators.curation import (  # noqa: E402
     curation_flags,
@@ -184,6 +189,9 @@ __all__ = [
     "build_ivf_index",
     "IVFIndex",
     "build_hnsw_index",
+    "add_points",
+    "merge_hnsw_indexes",
+    "StreamingTrailingFeatures",
     "HNSWIndex",
     "validate_vectors",
     "save_index",

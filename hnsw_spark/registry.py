@@ -26,66 +26,67 @@ ORACLES: dict[str, str] = {}
 # registrations are capped at ~25 per round so the window can re-certify
 # the whole registry within roughly two rounds of any addition.
 #
-# Round-8 rotation (derived by tools/rotation_plan.py from the committed
-# CORRECTNESS_r*.json artifacts after this round's registrations): the
-# driver-green union after r7 is 197/200 of the r7 registry — every oracle
-# query holds a driver-issued green row — so the r8 window leads with the
-# 5 net-new oracle rows (the KMV overlap pair, trailing-window features,
-# LOO target encoding, and bpe_merges, which gained a full unrolled-SQL
-# oracle this round), then re-certifies the stalest driver evidence: the
-# 3 remaining r2 rows and the r3 block, oldest-first in registration
-# order.  Rows-only checks (now just the 2 tuned-ANN tiers) stay last.
+# Round-9 rotation (tools/rotation_plan.py over the committed
+# CORRECTNESS_r*.json after this round's registrations): the window leads
+# with the 5 never-driver-sampled rows (this round's 4 net-new — the HNSW
+# segment merge, the salted-build pair, the streaming trailing-features
+# gate — plus jsonl_roundtrip, registered after r8's driver run), keeps
+# the 5 r8-new rows for their SECOND sampling (VERDICT r8 #1), then
+# re-certifies the stalest driver evidence: the r3 recall gates and the
+# r4 block, oldest-first.  Rows-only checks (the 2 tuned-ANN tiers) stay
+# last.  The r8 window's r2/r3-era rows all went green in CORRECTNESS_r08,
+# so they rotate out.
 _RUN_FIRST = (
+    "trailing_features_stream_gate",
+    "hnsw_merge_full_probe",
+    "hnsw_salted_full_probe",
+    "hnsw_salted_balance_gate",
+    "jsonl_roundtrip",
     "kmv_corpus_overlap",
     "kmv_stream_parity_gate",
     "target_encode_loo",
     "trailing_window_features",
     "bpe_merges",
-    "promo_revenue_by_type",
-    "top_suppliers_per_nation",
-    "returns_cube",
-    "knn_exact_cosine",
-    "knn_exact_euclidean",
-    "knn_topk_local_merge",
-    "similarity_pairs",
-    "embedding_quantize",
-    "knn_filtered",
-    "recall_at_k",
-    "mean_recall",
-    "doc_fingerprints",
-    "token_counts",
-    "text_quality",
-    "unigram_logprob",
-    "repetition_stats",
-    "lang_id_pred",
-    "dedup_exact",
-    "ngram_jaccard_pairs",
-    "ngram_jaccard_capped",
-    "minhash_signatures",
-    "lsh_candidate_pairs",
-    "simhash_fingerprints",
-    "simhash_neardup_pairs",
-    "dedup_clusters",
-    "embedding_neardup",
-    "embedding_neardup_ann",
-    "curation_filter",
-    "corpus_attrition",
-    "stratified_sample",
-    "text_hash_embeddings",
-    "tfidf_top_terms",
-    "vocab_stats",
-    "decontamination",
-    "sequence_packing",
-    "shard_assignment",
-    "pii_scrub",
-    "quality_classifier",
-    "mixing_weights",
-    "hybrid_rrf_search",
-    "bm25_search",
-    "synthetic_documents",
-    "ann_ivf_full_probe",
-    "ann_hnsw_full_probe",
-    "index_persist_roundtrip",
+    "ann_ivf_recall",
+    "ann_hnsw_recall",
+    "ann_ivfpq_recall",
+    "multimodal_frame_sample",
+    "random_projection",
+    "knn_label_vote",
+    "pca_gate",
+    "latency_summary",
+    "percentile_floor_global",
+    "ab_compare",
+    "ab_delta_summary",
+    "percentile_sketch_gate",
+    "dedup_incremental",
+    "dedup_canonical",
+    "boilerplate_spans",
+    "semantic_dedup",
+    "semantic_dedup_gate",
+    "bigram_logprob",
+    "html_strip",
+    "zipf_stats",
+    "pmi_cooccurrence",
+    "heavy_hitters_gate",
+    "bpe_encode_gate",
+    "dataset_split",
+    "contrastive_pairs",
+    "chunk_pooled_embeddings",
+    "curriculum_phases",
+    "weighted_sample",
+    "embedding_outliers",
+    "apply_mixing",
+    "global_shuffle",
+    "pipeline_end_to_end",
+    "chunk_documents",
+    "crawl_pipeline_end_to_end",
+    "pagerank_gate",
+    "tpch_q1_pricing_summary",
+    "revenue_by_nation",
+    "events_hourly_rollup",
+    "events_props_stats",
+    "user_sessions",
 )
 _RUN_LAST = (
     "ann_ivf_knn",
