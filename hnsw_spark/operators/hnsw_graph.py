@@ -77,6 +77,32 @@ _SALT_STRIDE = 1 << 20
 RESULT_SCHEMA = "query_id long, id long, score double"
 
 
+def _node_schema(salted: bool, store: str) -> str:
+    """Node-table schema for the (salted, store) combination: the int8
+    store replaces the float vector with symmetric per-vector codes +
+    scale (4× less list IO/memory at 100 TB; functions/quantize.py)."""
+    vec = (
+        "qvec array<int>, scale double"
+        if store == "int8"
+        else "vector array<float>"
+    )
+    base = (
+        f"list_id int, id long, level int, {vec}, "
+        "neighbors array<array<long>>, entry_id long"
+    )
+    return ("sub_id long, " + base) if salted else base
+
+
+def _group_vecs(pdf: pd.DataFrame) -> np.ndarray:
+    """One list's vectors as float64 — dequantized for the int8 store
+    (q·scale in float64, EXACTLY the arithmetic the SQL oracle replays),
+    straight stack for the float store."""
+    if "qvec" in pdf.columns:
+        q = np.stack(pdf["qvec"].to_numpy()).astype(np.float64)
+        return q * pdf["scale"].to_numpy()[:, None]
+    return np.stack(pdf["vector"].to_numpy()).astype(np.float64)
+
+
 def final_entry(levels: np.ndarray, n0: int = 0, prev_entry: int | None = None) -> int:
     """Entry point (row index) after inserting rows ``n0..n-1`` in row order:
     promotion happens only on a strictly greater level (src/main.ts:225-228),
@@ -602,11 +628,21 @@ class HNSWIndex:
                 # is cached by every index-owning query path)
                 n = self.index_df.count()
                 self.params["n_vectors"] = n
+            base_df = self.index_df
+            if "qvec" in base_df.columns:
+                # int8 store: the exact route scores the DEQUANTIZED values
+                # (q·scale in double), the same geometry the graph holds
+                base_df = base_df.withColumn(
+                    "vector",
+                    F.transform(
+                        "qvec", lambda x: x.cast("double") * F.col("scale")
+                    ),
+                )
             if dispatch == "exact":
                 from hnsw_spark.operators.knn import knn_exact
 
                 return knn_exact(
-                    self.index_df, queries, k=k, metric=self.metric,
+                    base_df, queries, k=k, metric=self.metric,
                     base_id="id", base_vec="vector",
                     query_id=query_id, query_vec=query_vec,
                     strategy="local_merge",
@@ -631,7 +667,7 @@ class HNSWIndex:
                 from hnsw_spark.operators.knn import knn_local_merge_prepared
 
                 return knn_local_merge_prepared(
-                    self.index_df, qpd, k, self.metric,
+                    base_df, qpd, k, self.metric,
                     base_id="id", base_vec="vector",
                 )
         n_probe = min(n_probe or max(1, self.n_lists // 4), self.n_lists)
@@ -659,7 +695,7 @@ class HNSWIndex:
             nodes = nodes.sort_values("id").reset_index(drop=True)
             ids = nodes["id"].to_numpy()
             levels = nodes["level"].to_numpy()
-            vecs = np.stack(nodes["vector"].to_numpy()).astype(np.float64)
+            vecs = _group_vecs(nodes)
             sim = _LocalSim(vecs, metric)
             level_max = int(levels.max())
             n = len(ids)
@@ -798,6 +834,13 @@ def add_points(
             "supported: sub-list membership is rank-based and would shift; "
             "rebuild with max_list_size or merge unsalted segments instead"
         )
+    if "qvec" in index.index_df.columns:
+        raise ValueError(
+            "incremental insert requires the float store (store='float32'):"
+            " int8 codes carry per-vector scales trained at quantization"
+            " time — re-encode through a rebuild, matching"
+            " merge_ivf_indexes' float32-only contract"
+        )
     m = int(index.params.get("m", 16))
     ef_construction = int(index.params.get("ef_construction", 100))
     seed = int(index.params.get("seed", 42))
@@ -911,6 +954,7 @@ def build_hnsw_index(
     train_method: str = "sample",
     max_level: int | None = None,
     max_list_size: int | None = None,
+    store: str = "float32",
 ) -> HNSWIndex:
     """Build the partitioned index: coarse-quantize into ``n_lists``, assign
     levels (B1) Spark-side, then build each list's graph in parallel inside
@@ -934,8 +978,19 @@ def build_hnsw_index(
     full-probe degeneration stays exact (searching every sub-graph of a
     list ≡ searching the list — ids are disjoint, the merge is a pure
     top-k).  Recall at partial ef changes only through graph locality,
-    priced by the recall gates like every other knob."""
+    priced by the recall gates like every other knob.
+
+    ``store='int8'`` keeps symmetric per-vector codes + scale instead of
+    float32 in the node table (4× less list IO/memory at 100 TB — the
+    FAISS ScalarQuantizer recipe the IVF tier already offers): the GRAPH
+    itself is built over the dequantized values, so build-time wiring and
+    search-time scoring see the identical geometry and the full-probe
+    degeneration stays hash-checkable against a SQL oracle that replays
+    q·scale exactly.  Incremental insert/merge require the float store,
+    matching merge_ivf_indexes' contract."""
     get_metric(metric)  # validate early (src/main.ts:42-44)
+    if store not in ("float32", "int8"):
+        raise ValueError(f"unknown store: {store!r}")
     lvl = select_level(F.col(id_col).cast("long"), m, seed)
     if max_level is not None:
         lvl = F.least(lvl, F.lit(int(max_level)))
@@ -963,10 +1018,19 @@ def build_hnsw_index(
             + F.pmod(F.row_number().over(lw) - 1, n_salts),
         )
 
+    if store == "int8":
+        from hnsw_spark.functions.quantize import quant_scale, quantize
+
+        assigned = (
+            assigned.withColumn("scale", quant_scale("vector"))
+            .withColumn("qvec", quantize("vector", F.col("scale")))
+            .drop("vector")
+        )
+
     def build_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("id").reset_index(drop=True)
         levels = pdf["level"].to_numpy()
-        vecs = np.stack(pdf["vector"].to_numpy()).astype(np.float64)
+        vecs = _group_vecs(pdf)
         ids = pdf["id"].to_numpy()
         nbrs = build_local_graph(levels, vecs, m, ef_construction, metric)
         e = final_entry(levels)
@@ -974,19 +1038,23 @@ def build_hnsw_index(
             "list_id": pdf["list_id"],
             "id": ids,
             "level": levels,
-            "vector": pdf["vector"],
             "neighbors": [
                 [[int(ids[x]) for x in lvl] for lvl in row] for row in nbrs
             ],
             "entry_id": np.full(len(ids), ids[e], dtype=np.int64),
         }
+        if store == "int8":
+            out["qvec"], out["scale"] = pdf["qvec"], pdf["scale"]
+        else:
+            out["vector"] = pdf["vector"]
         if salted:
             out = {"sub_id": pdf["sub_id"], **out}
         return pd.DataFrame(out)
 
     key = "sub_id" if salted else "list_id"
-    schema = NODE_SCHEMA_SALTED if salted else NODE_SCHEMA
-    index_df = assigned.groupBy(key).applyInPandas(build_group, schema)
+    index_df = assigned.groupBy(key).applyInPandas(
+        build_group, _node_schema(salted, store)
+    )
     return HNSWIndex(
         index_df,
         centroids,
@@ -1000,5 +1068,6 @@ def build_hnsw_index(
             "train_method": train_method,
             "max_level": max_level,
             "max_list_size": max_list_size,
+            "store": store,
         },
     )

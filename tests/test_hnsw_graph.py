@@ -516,6 +516,43 @@ def test_salted_build_balances_and_searches(spark, embeddings):
     nodes.unpersist()
 
 
+def test_int8_store_roundtrip_and_guards(spark, embeddings, tmp_path):
+    """int8 graph tier: 4x smaller node payload, persistence round-trip
+    searches identically, incremental insert refused, unknown store raises."""
+    from hnsw_spark.operators.hnsw_graph import add_points
+    from hnsw_spark.plans.persistence import load_index, save_index
+
+    idx = build_hnsw_index(
+        embeddings, n_lists=4, m=8, ef_construction=32, store="int8"
+    )
+    assert "qvec" in idx.index_df.columns and "vector" not in idx.index_df.columns
+    qs = embeddings.filter(F.col("vec_id") < 4)
+    before = {
+        (r.query_id, r.id)
+        for r in idx.search(qs, k=5, n_probe=4, ef_search=64,
+                            dispatch="beam").collect()
+    }
+    path = str(tmp_path / "hnsw_i8")
+    save_index(idx, path)
+    loaded = load_index(spark, path)
+    assert loaded.params["store"] == "int8"
+    after = {
+        (r.query_id, r.id)
+        for r in loaded.search(qs, k=5, n_probe=4, ef_search=64,
+                               dispatch="beam").collect()
+    }
+    assert before == after
+    # quantization loses little on the fixture: self-match still rank-1
+    one = embeddings.filter(F.col("vec_id") == 2)
+    top = idx.search(one, k=3, n_probe=4, ef_search=64,
+                     dispatch="beam").toPandas()
+    assert top.iloc[0]["id"] == 2
+    with pytest.raises(ValueError, match="float store"):
+        add_points(idx, embeddings.limit(1))
+    with pytest.raises(ValueError, match="store"):
+        build_hnsw_index(embeddings, n_lists=2, store="pq")
+
+
 def test_crossover_aware_dispatch(spark, embeddings, monkeypatch):
     """VERDICT r8 #3: small batches (Q x N under the measured exact-BLAS
     crossover budget) route to the exact local_merge operator automatically;
