@@ -1046,6 +1046,30 @@ def _protocol_axes(spark, sf_dir: str, qs) -> dict:
                 "exact_wall_best_s": 7.334, "build_wall_s": 628.7,
             },
         },
+        "salted_skew_recorded": {
+            "recorded_one_off": True,
+            "measured_on": "2026-08-15",
+            "measured_by": "tools/salted_skew_probe.py",
+            "note": (
+                "skewed-build straggler fix (VERDICT r8 #8): 60k x 32 with "
+                "half the corpus in ONE tight cluster -> one 31,752-row "
+                "sequential graph task; max_list_size=4000 splits it into "
+                "balanced sub-builds.  Recall reported (not equality): the "
+                "corpus is duplicate-degenerate and the reference's own "
+                "Alg-4 pruning (src/main.ts:171-200) orphans a few clones "
+                "either way — salting actually RAISES recall here (smaller "
+                "sub-graphs orphan fewer)"
+            ),
+            "unsalted": {
+                "build_wall_s": 39.22, "largest_group": 31752,
+                "full_probe_recall_at_10": 0.95,
+            },
+            "salted_cap4000": {
+                "build_wall_s": 16.81, "largest_group": 3969,
+                "full_probe_recall_at_10": 0.9875,
+            },
+            "build_speedup_x": 2.33,
+        },
         "ivf_int8_store": {
             "n_lists": ANN_N_LISTS,
             "n_probe": ANN_N_PROBE,
