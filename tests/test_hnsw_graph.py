@@ -553,6 +553,40 @@ def test_int8_store_roundtrip_and_guards(spark, embeddings, tmp_path):
         build_hnsw_index(embeddings, n_lists=2, store="pq")
 
 
+def test_int8_salted_compose(spark, embeddings):
+    """store='int8' and max_list_size compose: salted sub-lists of
+    quantized nodes, full probe == exact over the DEQUANTIZED corpus."""
+    from hnsw_spark.functions.quantize import quant_scale, quantize
+
+    idx = build_hnsw_index(
+        embeddings, n_lists=4, m=8, ef_construction=32, max_level=0,
+        store="int8", max_list_size=60,
+    )
+    cols = set(idx.index_df.columns)
+    assert {"sub_id", "qvec", "scale"} <= cols and "vector" not in cols
+    sizes = idx.index_df.groupBy("sub_id").count().toPandas()
+    assert (sizes["count"] <= 60).all()
+    qs = embeddings.filter(F.col("vec_id") < 4)
+    got = {
+        (r.query_id, r.id)
+        for r in idx.search(
+            qs, k=10, n_probe=4, ef_search=1 << 20, dispatch="beam"
+        ).collect()
+    }
+    deq = embeddings.select(
+        "vec_id",
+        F.transform(
+            quantize("embedding", quant_scale("embedding")),
+            lambda x: x.cast("double") * quant_scale("embedding"),
+        ).alias("embedding"),
+    )
+    exact = {
+        (r.query_id, r.id)
+        for r in knn_exact(deq, qs, k=10, metric="cosine").collect()
+    }
+    assert got == exact
+
+
 def test_crossover_aware_dispatch(spark, embeddings, monkeypatch):
     """VERDICT r8 #3: small batches (Q x N under the measured exact-BLAS
     crossover budget) route to the exact local_merge operator automatically;
