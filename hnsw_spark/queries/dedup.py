@@ -88,10 +88,15 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (freq groupBy + join + window) is fixed overhead that loses to brute
     force at fixture scale (measured 2.1-2.3 s vs 1.8 s; a zero-shuffle
     hash-order prefix variant was slower still, 3.2 s with 2× candidates).
-    The prefix plan is the >100× production tier — ``jaccard_prefix_filter``
-    keeps it oracle-exact, and the ``dedup_ladder_1m`` protocol axis
-    measures the bucketed ladder's sub-quadratic candidates at 1M docs —
-    the same crossover discipline as the ANN tiers' auto dispatch."""
+    The prefix plan is the boilerplate-corpus production tier —
+    ``jaccard_prefix_filter`` keeps it oracle-exact, the
+    ``jaccard_crossover_recorded`` axis measures the actual crossover
+    (brute wins through 400k docs of even zipf-skewed independent words;
+    on a 100k-doc TEMPLATED corpus — the realistic boilerplate case —
+    prefix wins 6.5× while staying pair-for-pair exact), and the
+    ``dedup_ladder_1m`` axis measures the bucketed ladder's sub-quadratic
+    candidates at 1M docs — the same crossover discipline as the ANN
+    tiers' auto dispatch."""
     docs = load_table(spark, sf_dir, "documents")
     res = ngram_jaccard_pairs(
         docs.filter(F.col("doc_id") < 100), docs, n=2, threshold=0.02,
