@@ -28,19 +28,21 @@ ORACLES: dict[str, str] = {}
 #
 # Round-9 rotation (tools/rotation_plan.py over the committed
 # CORRECTNESS_r*.json after this round's registrations): the window leads
-# with the 5 never-driver-sampled rows (this round's 4 net-new — the HNSW
-# segment merge, the salted-build pair, the streaming trailing-features
-# gate — plus jsonl_roundtrip, registered after r8's driver run), keeps
-# the 5 r8-new rows for their SECOND sampling (VERDICT r8 #1), then
-# re-certifies the stalest driver evidence: the r3 recall gates and the
-# r4 block, oldest-first.  Rows-only checks (the 2 tuned-ANN tiers) stay
-# last.  The r8 window's r2/r3-era rows all went green in CORRECTNESS_r08,
-# so they rotate out.
+# with the 7 never-driver-sampled rows (this round's 6 net-new — the HNSW
+# segment merge, the salted-build pair, the int8-store pair, the streaming
+# trailing-features gate — plus jsonl_roundtrip, registered after r8's
+# driver run), keeps the 5 r8-new rows for their SECOND sampling (VERDICT
+# r8 #1), then re-certifies the stalest driver evidence: the r3 recall
+# gates and the r4 block, oldest-first.  Rows-only checks (the 2 tuned-ANN
+# tiers) stay last.  The r8 window's r2/r3-era rows all went green in
+# CORRECTNESS_r08, so they rotate out.
 _RUN_FIRST = (
     "trailing_features_stream_gate",
     "hnsw_merge_full_probe",
     "hnsw_salted_full_probe",
     "hnsw_salted_balance_gate",
+    "hnsw_int8_full_probe",
+    "ann_hnsw_int8_recall",
     "jsonl_roundtrip",
     "kmv_corpus_overlap",
     "kmv_stream_parity_gate",
@@ -85,8 +87,6 @@ _RUN_FIRST = (
     "tpch_q1_pricing_summary",
     "revenue_by_nation",
     "events_hourly_rollup",
-    "events_props_stats",
-    "user_sessions",
 )
 _RUN_LAST = (
     "ann_ivf_knn",
