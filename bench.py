@@ -183,6 +183,12 @@ HEADLINE = [
     "trailing_window_features",
     "target_encode_loo",
     "jsonl_roundtrip",
+    "hnsw_merge_full_probe",
+    "hnsw_salted_full_probe",
+    "hnsw_salted_balance_gate",
+    "hnsw_int8_full_probe",
+    "ann_hnsw_int8_recall",
+    "trailing_features_stream_gate",
     # NOT benched: bpe_encode_gate (BPE training cost already measured by
     # the bpe_merges cell), pagerank_gate (wall is the O(n²) exact-kNN
     # graph build, not the operator under test), and classifier_eval_kappa
