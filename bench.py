@@ -1052,6 +1052,33 @@ def _protocol_axes(spark, sf_dir: str, qs) -> dict:
                 "exact_wall_best_s": 7.334, "build_wall_s": 628.7,
             },
         },
+        "int8_hnsw_xl_recorded": {
+            "recorded_one_off": True,
+            "measured_on": "2026-08-15",
+            "measured_by": "tools/int8_hnsw_xl.py",
+            "note": (
+                "the int8 GRAPH store at the crossover scale point (1M x 64 "
+                "clustered, Q=512, probe 6 / ef 96, same-session exact "
+                "baseline 7.06 s).  Honest ledger: the node TABLE compresses "
+                "2.78x (the vector payload is 4x but adjacency arrays are "
+                "store-invariant), search runs 1.34x slower than the float "
+                "graph (per-list dequantize multiply + int->float widen), "
+                "and recall drops 0.958 -> 0.922.  The tier buys list "
+                "IO/memory at 100 TB, not latency — pick it when the node "
+                "table, not the beam, is the bottleneck"
+            ),
+            "float32": {
+                "build_wall_s": 205.2, "node_table_bytes": 293352105,
+                "search_wall_best_s": 1.628, "recall_at_10": 0.9582,
+                "speedup_vs_exact": 4.34,
+            },
+            "int8": {
+                "build_wall_s": 217.3, "node_table_bytes": 105675504,
+                "search_wall_best_s": 2.18, "recall_at_10": 0.9217,
+                "speedup_vs_exact": 3.24,
+            },
+            "compression_ratio": 2.78,
+        },
         "jaccard_crossover_recorded": {
             "recorded_one_off": True,
             "measured_on": "2026-08-15",
