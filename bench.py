@@ -1115,21 +1115,32 @@ def _protocol_axes(spark, sf_dir: str, qs) -> dict:
                 "skewed-build straggler fix (VERDICT r8 #8): 60k x 32 with "
                 "half the corpus in ONE tight cluster -> one 31,752-row "
                 "sequential graph task; max_list_size=4000 splits it into "
-                "balanced sub-builds.  Recall reported (not equality): the "
-                "corpus is duplicate-degenerate and the reference's own "
-                "Alg-4 pruning (src/main.ts:171-200) orphans a few clones "
-                "either way — salting actually RAISES recall here (smaller "
-                "sub-graphs orphan fewer)"
+                "balanced sub-builds.  Round 10 re-measure AFTER the salt "
+                "became hash-mod (VERDICT r9 #5 — the r9 rank salt planned "
+                "a single-task row_number sort on the hot list, itself the "
+                "straggler shape at 100 TB; pmod(xxhash64(id), n_salts) "
+                "needs no window): build 16.81 s -> 11.06 s on the same "
+                "probe, largest physical group 4056 (the statistical "
+                "<=2x-cap contract, vs the rank salt's hard 3969).  Recall "
+                "reported (not equality): the corpus is duplicate-"
+                "degenerate and the reference's own Alg-4 pruning "
+                "(src/main.ts:171-200) orphans a few clones either way — "
+                "salting RAISES recall here (smaller sub-graphs orphan "
+                "fewer; 1.0 this run)"
             ),
             "unsalted": {
-                "build_wall_s": 39.22, "largest_group": 31752,
+                "build_wall_s": 35.38, "largest_group": 31752,
                 "full_probe_recall_at_10": 0.95,
             },
             "salted_cap4000": {
-                "build_wall_s": 16.81, "largest_group": 3969,
-                "full_probe_recall_at_10": 0.9875,
+                "build_wall_s": 11.06, "largest_group": 4056,
+                "full_probe_recall_at_10": 1.0,
             },
-            "build_speedup_x": 2.33,
+            "build_speedup_x": 3.2,
+            "r9_rank_salt": {
+                "build_wall_s": 16.81, "largest_group": 3969,
+                "build_speedup_x": 2.33,
+            },
         },
         "ivf_int8_store": {
             "n_lists": ANN_N_LISTS,

@@ -3,17 +3,26 @@ of ``operators/features.py:trailing_window_features`` (a feature store's
 ONLINE path: the same leakage-safe features the batch backfill computes,
 maintained as event epochs arrive).
 
-State design: only a key's events within ``max(horizons)`` of the stream's
-high watermark can still influence a FUTURE row's trailing frame, so the
-persisted state is that bounded TAIL, not the stream.  Each epoch:
+State design: the persisted state is a bounded TAIL of recent events, not
+the stream.  How much tail is enough is set by the LATENESS CONTRACT
+(ADVICE r9 — the round-9 docstring claimed more than the state could
+honor): a row arriving with lateness ℓ = high_watermark − ts at arrival
+has trailing frame [ts − W, ts), which reaches back to hw − ℓ − W — so
+exactness for every row with ℓ ≤ ``allowed_lateness_s`` requires retaining
+events with ts ≥ hw − (max(horizons) + allowed_lateness_s).  The default
+``allowed_lateness_s=0`` is the in-order contract (epochs partitioned by
+event time, e.g. the registered gate); callers expecting stragglers opt
+into a larger window and pay proportionally more state — exactly a
+watermark's semantics.  Rows ALREADY emitted are never retroactively
+re-featured when a late event lands inside their frame (the batch
+backfill is the correction path — standard in any streaming feature
+store).  Each epoch:
 
 1. reads the latest tail version strictly BEFORE this epoch (so a replayed
    epoch recomputes from the same prior state — deterministic retries),
 2. computes the batch rows' features over ``tail ∪ batch`` with the exact
-   batch operator (the RANGE frames see the full trailing interval as long
-   as events arrive with bounded lateness ≤ the max horizon — the same
-   contract a watermark declares; later stragglers are a correctness
-   boundary in any engine, not a Spark artifact),
+   batch operator (the RANGE frames see the full trailing interval for
+   every row within the lateness contract),
 3. writes the feature rows into an ``epoch_id`` partition with DYNAMIC
    overwrite (a replay overwrites itself — exactly-once), and
 4. writes the new tail as version ``epoch`` (also dynamic-overwrite
@@ -43,10 +52,12 @@ class StreamingTrailingFeatures:
         value_col: str = "value",
         id_col: str = "event_id",
         scale: int = 4,
+        allowed_lateness_s: int = 0,
     ):
         self.out_path = out_path
         self.tail_path = tail_path
         self.horizons_s = list(horizons_s)
+        self.allowed_lateness_s = int(allowed_lateness_s)
         self.by = by
         self.ts_col = ts_col
         self.value_col = value_col
@@ -100,10 +111,12 @@ class StreamingTrailingFeatures:
             .parquet(self.out_path)
         )
         hw = union.agg(F.max(self.ts_col)).first()[0]
-        horizon = max(self.horizons_s)
+        # retention = horizon + allowed lateness: a row arriving ℓ late
+        # needs frame events back to hw - ℓ - W (see module docstring)
+        keep = max(self.horizons_s) + self.allowed_lateness_s
         new_tail = union.filter(
             F.col(self.ts_col)
-            >= F.lit(hw) - F.expr(f"INTERVAL {int(horizon)} SECOND")
+            >= F.lit(hw) - F.expr(f"INTERVAL {int(keep)} SECOND")
         ).withColumn("_v", F.lit(int(epoch_id)))
         (
             new_tail.write.mode("overwrite")

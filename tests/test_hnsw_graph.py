@@ -473,27 +473,90 @@ def test_merge_hnsw_indexes_full_probe_equals_exact(spark, embeddings):
         merge_hnsw_indexes(a, c)
 
 
-def test_salted_build_balances_and_searches(spark, embeddings):
-    """max_list_size (the skew guard): sub-lists balanced within the cap,
-    no node lost/duplicated, partial-probe search still works, full probe
-    at level 0 equals exact, and incremental insert is refused."""
-    from hnsw_spark.operators.hnsw_graph import add_points
+def test_merge_hnsw_int8_segments_preserves_codes(spark, embeddings):
+    """int8 segment merge (round 10, closing the r9 raises-by-design edge):
+    the delta's codes + per-vector scales survive VERBATIM (no re-encoding
+    loss), so full probe over the merged index == exact kNN over the
+    dequantized union; mixing stores raises the clear contract error
+    instead of an unresolved-column AnalysisException (ADVICE r9)."""
+    from hnsw_spark.functions.quantize import quant_scale, quantize
+    from hnsw_spark.operators.hnsw_graph import merge_hnsw_indexes
 
+    half_a = embeddings.filter(F.col("vec_id") % 2 == 0)
+    half_b = embeddings.filter(F.col("vec_id") % 2 == 1)
+    a = build_hnsw_index(half_a, n_lists=4, m=8, ef_construction=48,
+                         max_level=0, store="int8")
+    b = build_hnsw_index(half_b, n_lists=2, m=8, ef_construction=48,
+                         max_level=0, store="int8")
+    # pin the delta's codes before and after: byte-identical passthrough
+    before = {
+        r["id"]: (tuple(r["qvec"]), r["scale"])
+        for r in b.index_df.select("id", "qvec", "scale").collect()
+    }
+    merged = merge_hnsw_indexes(a, b)
+    merged.index_df = merged.index_df.cache()
+    n_total = embeddings.count()
+    assert merged.index_df.count() == n_total
+    after = {
+        r["id"]: (tuple(r["qvec"]), r["scale"])
+        for r in merged.index_df.select("id", "qvec", "scale").collect()
+        if r["id"] in before
+    }
+    assert after == before
+    qs = embeddings.filter(F.col("vec_id") < 6)
+    got = {
+        (r.query_id, r.id)
+        for r in merged.search(
+            qs, k=10, n_probe=4, ef_search=1 << 20, dispatch="beam"
+        ).collect()
+    }
+    deq = embeddings.select(
+        "vec_id",
+        F.transform(
+            quantize("embedding", quant_scale("embedding")),
+            lambda x: x.cast("double") * quant_scale("embedding"),
+        ).alias("embedding"),
+    )
+    exact = {
+        (r.query_id, r.id)
+        for r in knn_exact(deq, qs, k=10, metric="cosine").collect()
+    }
+    assert got == exact
+    merged.index_df.unpersist()
+    # store mismatch: clear error, both directions
+    f = build_hnsw_index(half_b, n_lists=2, m=8, max_level=0)
+    with pytest.raises(ValueError, match="store mismatch"):
+        merge_hnsw_indexes(a, f)
+    with pytest.raises(ValueError, match="store mismatch"):
+        merge_hnsw_indexes(f, a)
+
+
+def test_salted_build_balances_and_searches(spark, embeddings):
+    """max_list_size (the skew guard, hash-mod since round 10): sub-list
+    sizes statistically balanced (mean ≤ cap per list, max ≤ 2·cap — the
+    binomial contract hash assignment trades for a window-free build plan,
+    VERDICT r9 #5), sub counts exactly ⌈n/cap⌉, no node lost/duplicated,
+    partial-probe search still works, full probe at level 0 equals exact,
+    and the build plan carries NO window/sort stage (the r9 rank salt's
+    single-task straggler)."""
     cap = 60
     idx = build_hnsw_index(
         embeddings, n_lists=4, m=8, ef_construction=32, max_level=0,
         max_list_size=cap,
     )
+    plan = idx.index_df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
     nodes = idx.index_df.cache()
     n_total = embeddings.count()
     assert nodes.count() == n_total
     assert nodes.select("id").distinct().count() == n_total
     sizes = nodes.groupBy("list_id", "sub_id").count().toPandas()
-    assert (sizes["count"] <= cap).all()
+    assert (sizes["count"] <= 2 * cap).all()
     per_list = sizes.groupby("list_id")["count"].agg(["sum", "size"])
     import math
     for _, row in per_list.iterrows():
         assert row["size"] == math.ceil(row["sum"] / cap)
+        assert row["sum"] <= row["size"] * cap  # mean sub size ≤ cap
     qs = embeddings.filter(F.col("vec_id") < 6)
     got = {
         (r.query_id, r.id)
@@ -511,15 +574,54 @@ def test_salted_build_balances_and_searches(spark, embeddings):
     top = idx.search(one, k=3, n_probe=1, ef_search=64,
                      dispatch="beam").toPandas()
     assert top.iloc[0]["id"] == 3
-    with pytest.raises(ValueError, match="salted"):
-        add_points(idx, embeddings.limit(1))
     nodes.unpersist()
+
+
+def test_salted_add_points_full_probe_exact(spark, embeddings):
+    """Incremental insert into a SALTED index (round 10 — sound now that
+    sub-list membership is a pure hash of id: existing nodes keep their
+    sub_id, new nodes hash over the grown salt count): full probe over the
+    grown index == exact kNN over the union, counts add up, and the cap
+    discipline holds statistically."""
+    from hnsw_spark.operators.hnsw_graph import add_points
+
+    cap = 60
+    base = embeddings.filter(F.col("vec_id") < 300)
+    extra = embeddings.filter(
+        (F.col("vec_id") >= 300) & (F.col("vec_id") < 400)
+    )
+    idx = build_hnsw_index(
+        base, n_lists=4, m=8, ef_construction=32, max_level=0,
+        max_list_size=cap,
+    )
+    idx.index_df = idx.index_df.cache()
+    idx.index_df.count()
+    grown = add_points(idx, extra)
+    grown.index_df = grown.index_df.cache()
+    assert grown.index_df.count() == 400
+    assert grown.index_df.select("id").distinct().count() == 400
+    sizes = grown.index_df.groupBy("sub_id").count().toPandas()
+    assert (sizes["count"] <= 2 * cap).all()
+    union = embeddings.filter(F.col("vec_id") < 400)
+    qs = embeddings.filter(F.col("vec_id").isin(2, 150, 310, 399))
+    got = {
+        (r.query_id, r.id)
+        for r in grown.search(
+            qs, k=10, n_probe=4, ef_search=1 << 20, dispatch="beam"
+        ).collect()
+    }
+    exact = {
+        (r.query_id, r.id)
+        for r in knn_exact(union, qs, k=10, metric="cosine").collect()
+    }
+    assert got == exact
+    grown.index_df.unpersist()
+    idx.index_df.unpersist()
 
 
 def test_int8_store_roundtrip_and_guards(spark, embeddings, tmp_path):
     """int8 graph tier: 4x smaller node payload, persistence round-trip
-    searches identically, incremental insert refused, unknown store raises."""
-    from hnsw_spark.operators.hnsw_graph import add_points
+    searches identically, unknown store raises."""
     from hnsw_spark.plans.persistence import load_index, save_index
 
     idx = build_hnsw_index(
@@ -547,10 +649,53 @@ def test_int8_store_roundtrip_and_guards(spark, embeddings, tmp_path):
     top = idx.search(one, k=3, n_probe=4, ef_search=64,
                      dispatch="beam").toPandas()
     assert top.iloc[0]["id"] == 2
-    with pytest.raises(ValueError, match="float store"):
-        add_points(idx, embeddings.limit(1))
     with pytest.raises(ValueError, match="store"):
         build_hnsw_index(embeddings, n_lists=2, store="pq")
+
+
+def test_int8_add_points_full_probe_exact(spark, embeddings):
+    """Incremental insert into an int8 index (round 10 — scales are
+    per-vector, so new vectors just quantize with their own): full probe
+    at level 0 == exact kNN over the DEQUANTIZED union, i.e. the insert's
+    quantize → wire → search loop is value-faithful end-to-end."""
+    from hnsw_spark.functions.quantize import quant_scale, quantize
+    from hnsw_spark.operators.hnsw_graph import add_points
+
+    base = embeddings.filter(F.col("vec_id") < 300)
+    extra = embeddings.filter(
+        (F.col("vec_id") >= 300) & (F.col("vec_id") < 380)
+    )
+    idx = build_hnsw_index(
+        base, n_lists=4, m=8, ef_construction=32, max_level=0, store="int8"
+    )
+    idx.index_df = idx.index_df.cache()
+    idx.index_df.count()
+    grown = add_points(idx, extra)
+    grown.index_df = grown.index_df.cache()
+    assert grown.index_df.count() == 380
+    assert "qvec" in grown.index_df.columns
+    union = embeddings.filter(F.col("vec_id") < 380)
+    qs = embeddings.filter(F.col("vec_id").isin(1, 305, 379))
+    got = {
+        (r.query_id, r.id)
+        for r in grown.search(
+            qs, k=10, n_probe=4, ef_search=1 << 20, dispatch="beam"
+        ).collect()
+    }
+    deq = union.select(
+        "vec_id",
+        F.transform(
+            quantize("embedding", quant_scale("embedding")),
+            lambda x: x.cast("double") * quant_scale("embedding"),
+        ).alias("embedding"),
+    )
+    exact = {
+        (r.query_id, r.id)
+        for r in knn_exact(deq, qs, k=10, metric="cosine").collect()
+    }
+    assert got == exact
+    grown.index_df.unpersist()
+    idx.index_df.unpersist()
 
 
 def test_int8_salted_compose(spark, embeddings):
@@ -565,7 +710,7 @@ def test_int8_salted_compose(spark, embeddings):
     cols = set(idx.index_df.columns)
     assert {"sub_id", "qvec", "scale"} <= cols and "vector" not in cols
     sizes = idx.index_df.groupBy("sub_id").count().toPandas()
-    assert (sizes["count"] <= 60).all()
+    assert (sizes["count"] <= 2 * 60).all()  # hash-mod statistical cap
     qs = embeddings.filter(F.col("vec_id") < 4)
     got = {
         (r.query_id, r.id)

@@ -85,6 +85,60 @@ def test_single_epoch_equals_batch(spark, events, tmp_path):
     assert got == _batch_truth(events)
 
 
+def test_allowed_lateness_contract(spark, events, tmp_path):
+    """ADVICE r9: a row arriving with lateness ℓ > 0 has a trailing frame
+    reaching below hw − W, where the default tail has already dropped
+    events.  With ``allowed_lateness_s`` ≥ ℓ the tail retains W + ℓ and the
+    late rows' features are EXACTLY the batch backfill's; with the default
+    in-order contract (0) the same arrival order visibly undercounts —
+    proving the knob changes behavior, not just the docstring."""
+    c1, c2 = "2024-01-15 00:00:00", "2024-01-16 00:00:00"
+    late = events.filter((F.col("ts") >= c1) & (F.col("ts") < c2))
+    rest = events.filter((F.col("ts") < c1) | (F.col("ts") >= c2))
+    assert late.count() > 0
+    hw0 = rest.agg(F.max("ts")).first()[0]
+    import datetime
+
+    lateness = int(
+        (hw0 - datetime.datetime.fromisoformat(c1)).total_seconds()
+    )
+    truth = {
+        t
+        for t in _batch_truth(events)
+        if t[0] in {r["event_id"] for r in late.select("event_id").collect()}
+    }
+    # exact under the declared lateness window
+    stf = StreamingTrailingFeatures(
+        str(tmp_path / "out_l"), str(tmp_path / "tail_l"),
+        horizons_s=[3600, 86400], scale=4, allowed_lateness_s=lateness,
+    )
+    stf.process_batch(rest, 0)
+    stf.process_batch(late, 1)
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "out_l"))
+        .filter(F.col("epoch_id") == 1)
+        .select(*FEATS)
+        .collect()
+    }
+    assert got == truth
+    # the in-order default on the same late arrival: undercounted frames
+    stf0 = StreamingTrailingFeatures(
+        str(tmp_path / "out_0"), str(tmp_path / "tail_0"),
+        horizons_s=[3600, 86400], scale=4,
+    )
+    stf0.process_batch(rest, 0)
+    stf0.process_batch(late, 1)
+    got0 = {
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "out_0"))
+        .filter(F.col("epoch_id") == 1)
+        .select(*FEATS)
+        .collect()
+    }
+    assert got0 != truth
+
+
 def test_writestream_api_path(spark, events, tmp_path):
     # the foreachBatch wiring end-to-end over a real file stream (one
     # epoch: trailing features are arrival-order-dependent, so multi-file
