@@ -189,6 +189,12 @@ HEADLINE = [
     "hnsw_int8_full_probe",
     "ann_hnsw_int8_recall",
     "trailing_features_stream_gate",
+    "jaccard_auto_dispatch",
+    "target_encode_stream_gate",
+    "hnsw_int8_merge_full_probe",
+    "hnsw_int8_insert_full_probe",
+    "hnsw_salted_insert_full_probe",
+    "hnsw_salted_int8_full_probe",
     # NOT benched: bpe_encode_gate (BPE training cost already measured by
     # the bpe_merges cell), pagerank_gate (wall is the O(n²) exact-kNN
     # graph build, not the operator under test), and classifier_eval_kappa
@@ -229,17 +235,47 @@ _LINE_CELLS = [
 # A run's calib factor = geomean(run_calib / ref_calib); dividing cell
 # walls by it separates code regressions from host/noisy-neighbor drift
 # BEFORE the 2x-vs-r1 gate is applied (BASELINE.md round-4 drift note).
+#
+# Known limitation (ADVICE r9): BENCH_r01 predates the calib block, so the
+# r1 box's own speed is unrecoverable — ratios vs r1 assume the driver's
+# boxes are same-class (the per-axis factors below bound the residual
+# bias, and BASELINE.md documents the convention).
 _REF_CALIB = {"matmul_1024_ms": 15.7, "pyloop_2m_ms": 76.2, "spark_sum_1m_ms": 79.4}
 
+# Axis matching (VERDICT r9 #2): the headline cells at sf0.1 are
+# Spark-scheduler/py4j/interpreter-overhead dominated — they correlate
+# with spark_sum and pyloop, NOT with matmul (the r9 round measured the
+# BLAS axis 1.57x faster with headline walls flat, and the all-axes
+# geomean then INFLATED every normalized ratio ~18%).  So the factor that
+# divides headline walls is the geomean of the two overhead axes only;
+# matmul stays recorded (and in the all-axes factor) for the BLAS-bound
+# protocol axes and for whole-box drift attribution.
+_OVERHEAD_AXES = ("pyloop_2m_ms", "spark_sum_1m_ms")
 
-def _calib_factor(calib: dict) -> float | None:
-    """Geomean host-speed ratio vs _REF_CALIB (>1 = this box is slower).
-    None when the calib block is missing or unusable — callers fall back
-    to raw walls rather than inventing a factor."""
+# Cells whose measured CODE PATH changed since the r1 baseline run — their
+# ratio_vs_r1 compares different algorithms, not the same code on a
+# different day (ADVICE r9).  Kept in the sidecar so artifact readers see
+# the caveat next to the number.
+_PATH_CHANGED_SINCE_R1 = {
+    "ann_hnsw_knn": (
+        "since r9, dispatch='auto' routes the registered Q=8 batch to the"
+        " exact BLAS local_merge path; r1 measured the sequential beam"
+    ),
+}
+
+
+def _calib_factor(calib: dict, axes: tuple[str, ...] | None = None) -> float | None:
+    """Geomean host-speed ratio vs _REF_CALIB (>1 = this box is slower)
+    over the given axes (default: all three).  None when the calib block
+    is missing or unusable — callers fall back to raw walls rather than
+    inventing a factor."""
+    keys = axes if axes is not None else tuple(_REF_CALIB)
     ratios = [
-        calib[k] / ref
-        for k, ref in _REF_CALIB.items()
-        if isinstance(calib.get(k), (int, float)) and calib[k] > 0
+        calib[k] / _REF_CALIB[k]
+        for k in keys
+        if k in _REF_CALIB
+        and isinstance(calib.get(k), (int, float))
+        and calib[k] > 0
     ]
     if not ratios:
         return None
@@ -266,17 +302,45 @@ def _r1_walls() -> dict:
 
 def _calib_normalized(timings: dict, calib: dict) -> dict:
     """Per-cell wall ratios vs the r1 baseline AFTER dividing this run's
-    walls by the host-speed calib factor — the number the 2x gate should
-    read (VERDICT r8 #7).  Emitted to the sidecar so a noisy box can
-    neither redden a round nor hide a real regression."""
-    factor = _calib_factor(calib if isinstance(calib, dict) else {})
+    walls by the host-speed factor of the OVERHEAD axes (pyloop +
+    spark_sum) — the axes the headline cells actually scale with
+    (VERDICT r9 #2: the old all-axes geomean let a BLAS-fast box inflate
+    Spark-overhead cells ~18%).  Per-axis ratios are emitted alongside so
+    any reader can see how sensitive the normalization is to each axis,
+    and cells whose code path changed since r1 carry an annotation."""
+    calib = calib if isinstance(calib, dict) else {}
+    factor_all = _calib_factor(calib)
+    factor = _calib_factor(calib, _OVERHEAD_AXES)
     r1 = _r1_walls()
-    out = {"ref_calib": _REF_CALIB, "factor": factor}
+    out = {
+        "ref_calib": _REF_CALIB,
+        "ref_calib_note": (
+            "r8 settled-box calib (BENCH_PROTOCOL at 2be2355); BENCH_r01"
+            " predates the calib block, so ratios assume same-class driver"
+            " boxes — see BASELINE.md round-10 addendum"
+        ),
+        "factor": factor,
+        "factor_all_axes": factor_all,
+        "factor_by_axis": {
+            k: (
+                round(calib[k] / ref, 4)
+                if isinstance(calib.get(k), (int, float)) and calib[k] > 0
+                else None
+            )
+            for k, ref in _REF_CALIB.items()
+        },
+        "normalization_axes": list(_OVERHEAD_AXES),
+    }
     if factor:
         out["ratio_vs_r1"] = {
             n: round(timings[n] / factor / r1[n], 3)
             for n in timings
             if isinstance(r1.get(n), (int, float)) and r1[n] > 0
+        }
+        out["path_changed_since_r1"] = {
+            n: note
+            for n, note in _PATH_CHANGED_SINCE_R1.items()
+            if n in out["ratio_vs_r1"]
         }
     return out
 

@@ -19,6 +19,13 @@ Smoothing (Micci-Barreca 2001, the standard formulation):
 encoded = (loo_sum + alpha · global_mean_fp) / (n − 1 + alpha), emitted as
 fixed-point BIGINT via exact integer DIV.  Rows whose category has n = 1
 (no peers) fall back to the global mean.
+
+The stats/encode split exists for the streaming twin
+(streaming/encoding.py:StreamingTargetEncoder): category stats are
+MERGEABLE (decimal sums + counts add), so the online path maintains them
+incrementally per epoch and serves encodings by joining the SAME
+``encode_with_stats`` expression — batch≡stream parity is structural, not
+re-implemented.
 """
 
 from __future__ import annotations
@@ -29,38 +36,58 @@ from pyspark.sql import functions as F
 from hnsw_spark.operators.evaluation import dquant
 
 
-def target_encode_loo(
+def category_stats(
+    df: DataFrame, category_col: str, target_col: str, scale: int = 4
+) -> DataFrame:
+    """Per-category label evidence: DataFrame[(category, _cat_sum
+    decimal(38,0), _cat_n long)] over fixed-point targets.  NULL categories
+    form a group like any other (they resolve to the global mean at encode
+    time; keeping them here makes the stats table the COMPLETE label
+    evidence, so the global mean derives from it — see ``global_from_stats``
+    — and the streaming state needs nothing else).  NULL-target rows are
+    not label evidence: sums/counts cover non-NULL targets only."""
+    q = dquant(target_col, scale).cast("decimal(38,0)")
+    return df.select(F.col(category_col), q.alias("_y")).groupBy(
+        category_col
+    ).agg(
+        F.sum("_y").alias("_cat_sum"),
+        F.count("_y").alias("_cat_n"),
+    )
+
+
+def global_from_stats(stats: DataFrame) -> DataFrame:
+    """The exact fixed-point global mean, derived from the stats table
+    itself (decimal sums are exact, so Σ_cat sums ≡ the row-level sum)."""
+    return stats.agg(F.expr("sum(_cat_sum) DIV sum(_cat_n)").alias("_gmean_fp"))
+
+
+def encode_with_stats(
     df: DataFrame,
+    stats: DataFrame,
     category_col: str,
     target_col: str,
     alpha: int = 20,
     scale: int = 4,
     out_col: str = "te_fp",
 ) -> DataFrame:
-    """Adds ``out_col``: the leave-one-out smoothed target encoding of
-    ``category_col`` as a fixed-point 10⁻ˢ BIGINT.  NULL categories AND
-    NULL targets encode as the global mean: a NULL category carries no
-    category signal, and a NULL-target row contributes no label — it must
-    neither deflate its peers' LOO denominator nor encode as NULL itself
-    (ADVICE r6), so all label statistics count only non-NULL targets.
+    """Adds ``out_col`` to ``df`` from a (possibly streamed) stats table:
+    the LOO smoothed encoding when the row's own label is part of the
+    stats — which is the batch contract and the streaming gate's — and the
+    plain smoothed category mean shape otherwise.  NULL categories AND
+    NULL targets encode as the global mean (a NULL category carries no
+    category signal; a NULL-target row contributes no label — it must
+    neither deflate its peers' LOO denominator nor encode as NULL itself,
+    ADVICE r6).
 
     Targets must be non-negative (labels, rates, prices): integer DIV
     truncates, which equals floor only for non-negative numerators — the
     same convention ``time_weighted_avg`` documents."""
-    q = dquant(target_col, scale).cast("decimal(38,0)")
-    rows = df.withColumn("_y", q)
-    stats = rows.groupBy(category_col).agg(
-        F.sum("_y").alias("_cat_sum"),
-        # count(_y), not count(*): NULL-target rows are not label evidence
-        F.count("_y").alias("_cat_n"),
-    )
-    glob = rows.agg(
-        # exact integer global mean in fixed point over LABELED rows only
-        F.expr("sum(_y) DIV count(_y)").alias("_gmean_fp")
-    )
-    enc = (
+    rows = df.withColumn("_y", dquant(target_col, scale).cast("decimal(38,0)"))
+    # NULL-category stats rows never match the left join (SQL null ≠ null),
+    # which is correct: those rows take the global-mean branch below
+    return (
         rows.join(F.broadcast(stats), category_col, "left")
-        .crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(global_from_stats(stats)))
         .withColumn(
             out_col,
             F.when(
@@ -77,4 +104,20 @@ def target_encode_loo(
         )
         .drop("_y", "_cat_sum", "_cat_n", "_gmean_fp")
     )
-    return enc
+
+
+def target_encode_loo(
+    df: DataFrame,
+    category_col: str,
+    target_col: str,
+    alpha: int = 20,
+    scale: int = 4,
+    out_col: str = "te_fp",
+) -> DataFrame:
+    """Adds ``out_col``: the leave-one-out smoothed target encoding of
+    ``category_col`` as a fixed-point 10⁻ˢ BIGINT — ``encode_with_stats``
+    over this frame's own ``category_stats`` (the one-shot batch path)."""
+    stats = category_stats(df, category_col, target_col, scale)
+    return encode_with_stats(
+        df, stats, category_col, target_col, alpha, scale, out_col
+    )

@@ -1243,3 +1243,65 @@ def kmv_stream_parity_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(h), parity) for h in live],
         "h long, stream_equals_batch boolean",
     )
+
+
+# ---- crossover-aware exact-Jaccard plan dispatch -------------------------------
+
+_AUTO_JACC_T = 0.8
+_AUTO_BOIL_N = 600
+
+
+@query(
+    "jaccard_auto_dispatch",
+    """
+SELECT 'brute' AS even_plan, 'prefix' AS templated_plan,
+       true AS pairs_match
+""",
+)
+def jaccard_auto_dispatch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crossover-aware plan dispatch for the exact-Jaccard self-join
+    (operators/dedup.py:ngram_jaccard_auto — VERDICT r9 #4, the ANN tier's
+    dispatch="auto" move applied to the dedup ladder), driver-hash-checked
+    on BOTH measured corpus shapes: the fixture documents (even shingle
+    dfs — the regime where brute won through 400k docs in
+    jaccard_crossover_recorded) must route to the brute shingle equi-join,
+    and a template-concentrated boilerplate corpus (the shape that blew
+    brute up 6.5×) must route to the prefix-filtered PPJoin plan.  The
+    chooser reads a MEASURED signal — Σ df·(df−1)/2 over the shingle df
+    table, which IS the brute join's pair-row shuffle volume, computed in
+    one aggregate — instead of asking the caller to know their corpus.
+    ``pairs_match`` pins that dispatch never changes values: the auto
+    (prefix) result on the templated corpus equals the forced-brute result
+    pair-for-pair (both exceptAll directions empty)."""
+    from hnsw_spark.operators.dedup import (
+        choose_jaccard_plan,
+        ngram_jaccard_auto,
+    )
+    from hnsw_spark.sources.synthetic import boilerplate_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    even_plan, _ = choose_jaccard_plan(docs, n=3, threshold=_AUTO_JACC_T)
+    boil = boilerplate_documents(spark, _AUTO_BOIL_N, n_templates=2, seed=7)
+    templated_plan, _ = choose_jaccard_plan(boil, n=3, threshold=_AUTO_JACC_T)
+
+    def probe(res: DataFrame) -> DataFrame:
+        return res.select(
+            "id_a",
+            "id_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.col("size_a").cast("long").alias("size_a"),
+            F.col("size_b").cast("long").alias("size_b"),
+        )
+
+    auto = probe(ngram_jaccard_auto(boil, n=3, threshold=_AUTO_JACC_T))
+    brute = probe(
+        ngram_jaccard_auto(boil, n=3, threshold=_AUTO_JACC_T, plan="brute")
+    )
+    pairs_match = (
+        auto.exceptAll(brute).count() == 0
+        and brute.exceptAll(auto).count() == 0
+    )
+    return spark.createDataFrame(
+        [(even_plan, templated_plan, pairs_match)],
+        "even_plan string, templated_plan string, pairs_match boolean",
+    )

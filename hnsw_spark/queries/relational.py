@@ -3285,3 +3285,38 @@ def target_encode_loo_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         scale=_TE_SCALE,
     )
     return enc.select("o_orderkey", "o_orderpriority", "te_fp")
+
+
+@query("target_encode_stream_gate", _TE_SQL)
+def target_encode_stream_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch==stream parity for the ONLINE target-encoding path
+    (streaming/encoding.py:StreamingTargetEncoder — VERDICT r9 #6): the
+    orders table arrives as 4 epoch batches (o_orderkey quartiles by
+    modulus) INCLUDING a replayed epoch — the foreachBatch retry case the
+    versioned dynamic-overwrite stats write must absorb — and encoding the
+    full fact table against the LIVE streamed stats must equal the
+    one-shot batch operator row-for-row: the oracle is the SAME LOO SQL
+    the batch query hash-checks against, so a dropped category, a
+    double-counted replay, or any decimal drift in the mergeable stats
+    reddens the hash.  State is ONE ROW PER CATEGORY (sums + counts; the
+    global mean derives from the same table) — the smallest state any
+    exact encoder can carry; fact rows are never retained or shuffled."""
+    import os
+
+    from hnsw_spark.queries.index import _scratch_dir
+    from hnsw_spark.streaming.encoding import StreamingTargetEncoder
+
+    orders = load_table(spark, sf_dir, "orders")
+    tmp = _scratch_dir("te_stream_gate_")
+    ste = StreamingTargetEncoder(
+        os.path.join(tmp, "stats"),
+        category_col="o_orderpriority",
+        target_col="o_totalprice",
+        alpha=_TE_ALPHA,
+        scale=_TE_SCALE,
+    )
+    epochs = [orders.filter(F.col("o_orderkey") % 4 == i) for i in range(4)]
+    for i, batch in enumerate(epochs):
+        ste.process_batch(batch, i)
+    ste.process_batch(epochs[3], 3)  # simulated foreachBatch retry replay
+    return ste.encode(orders).select("o_orderkey", "o_orderpriority", "te_fp")

@@ -26,67 +26,67 @@ ORACLES: dict[str, str] = {}
 # registrations are capped at ~25 per round so the window can re-certify
 # the whole registry within roughly two rounds of any addition.
 #
-# Round-9 rotation (tools/rotation_plan.py over the committed
+# Round-10 rotation (tools/rotation_plan.py over the committed
 # CORRECTNESS_r*.json after this round's registrations): the window leads
-# with the 7 never-driver-sampled rows (this round's 6 net-new — the HNSW
-# segment merge, the salted-build pair, the int8-store pair, the streaming
-# trailing-features gate — plus jsonl_roundtrip, registered after r8's
-# driver run), keeps the 5 r8-new rows for their SECOND sampling (VERDICT
-# r8 #1), then re-certifies the stalest driver evidence: the r3 recall
-# gates and the r4 block, oldest-first.  Rows-only checks (the 2 tuned-ANN
-# tiers) stay last.  The r8 window's r2/r3-era rows all went green in
-# CORRECTNESS_r08, so they rotate out.
+# with the 6 never-driver-sampled rows (this round's net-new — the Jaccard
+# crossover dispatch gate, the streaming target-encoder gate, and the four
+# grown-graph full probes: int8 merge, int8 insert, salted insert,
+# salted×int8 composition), keeps the 6 r9-new rows for their SECOND
+# sampling (VERDICT r9 #1), then re-certifies the stalest driver evidence:
+# the remaining r4 block (events_props_stats onward — the r9 window
+# cleared the r3 rows and the head of r4), then r6-era rows oldest-first
+# to fill.  Rows-only checks (the 2 tuned-ANN tiers) stay last.
 _RUN_FIRST = (
+    "jaccard_auto_dispatch",
+    "target_encode_stream_gate",
+    "hnsw_int8_merge_full_probe",
+    "hnsw_int8_insert_full_probe",
+    "hnsw_salted_insert_full_probe",
+    "hnsw_salted_int8_full_probe",
     "trailing_features_stream_gate",
     "hnsw_merge_full_probe",
     "hnsw_salted_full_probe",
     "hnsw_salted_balance_gate",
     "hnsw_int8_full_probe",
     "ann_hnsw_int8_recall",
-    "jsonl_roundtrip",
-    "kmv_corpus_overlap",
-    "kmv_stream_parity_gate",
-    "target_encode_loo",
-    "trailing_window_features",
-    "bpe_merges",
-    "ann_ivf_recall",
-    "ann_hnsw_recall",
-    "ann_ivfpq_recall",
-    "multimodal_frame_sample",
-    "random_projection",
-    "knn_label_vote",
-    "pca_gate",
-    "latency_summary",
-    "percentile_floor_global",
-    "ab_compare",
-    "ab_delta_summary",
-    "percentile_sketch_gate",
-    "dedup_incremental",
-    "dedup_canonical",
-    "boilerplate_spans",
-    "semantic_dedup",
-    "semantic_dedup_gate",
-    "bigram_logprob",
-    "html_strip",
-    "zipf_stats",
-    "pmi_cooccurrence",
-    "heavy_hitters_gate",
-    "bpe_encode_gate",
-    "dataset_split",
-    "contrastive_pairs",
-    "chunk_pooled_embeddings",
-    "curriculum_phases",
-    "weighted_sample",
-    "embedding_outliers",
-    "apply_mixing",
-    "global_shuffle",
-    "pipeline_end_to_end",
-    "chunk_documents",
-    "crawl_pipeline_end_to_end",
-    "pagerank_gate",
-    "tpch_q1_pricing_summary",
-    "revenue_by_nation",
-    "events_hourly_rollup",
+    "events_props_stats",
+    "user_sessions",
+    "asof_latest_view",
+    "table_profile",
+    "table_profile_approx_gate",
+    "event_funnel",
+    "trade_volume_nation_pairs",
+    "order_priority_checking",
+    "level_histogram",
+    "index_build_stats",
+    "synthetic_vectors",
+    "fvecs_roundtrip",
+    "index_merge_full_probe",
+    "multimodal_image_features",
+    "multimodal_audio_features",
+    "multimodal_scene_cuts",
+    "knn_hamming_rerank",
+    "mutual_knn_pairs",
+    "matryoshka_recall",
+    "label_centroid_distances",
+    "hard_negatives",
+    "classifier_eval_kappa",
+    "lsh_quality_report",
+    "similarity_triangles",
+    "jaccard_prefix_filter",
+    "kcore_gate",
+    "containment_pairs",
+    "count_min_frequencies",
+    "tfidf_doc_similarity",
+    "token_budget_selection",
+    "quality_drift_ks",
+    "quality_auc",
+    "cross_split_contamination_gate",
+    "sorted_export_gate",
+    "upsert_compaction",
+    "dsir_selection",
+    "hll_cardinality",
+    "mmr_diversified",
 )
 _RUN_LAST = (
     "ann_ivf_knn",

@@ -178,3 +178,60 @@ def synthetic_zipf_tokens(
     return base.select(
         "pos", F.concat(F.lit("t"), rank.cast("string")).alias("token")
     )
+
+
+def boilerplate_documents(
+    spark: SparkSession,
+    count: int,
+    n_templates: int = 2,
+    seed: int = 42,
+    template_words: int = 12,
+    tail_words: int = 18,
+) -> DataFrame:
+    """Deterministic TEMPLATE-CONCENTRATED corpus — the boilerplate shape
+    (license headers, scaffold HTML, form letters) that blows up the brute
+    shingle equi-join's pair aggregation (BENCH_PROTOCOL
+    ``jaccard_crossover_recorded``): each doc = a ``template_words``-word
+    run shared verbatim by all docs with the same ``doc_id % n_templates``,
+    then a ``tail_words``-word unique hash tail; docs with
+    ``doc_id % 97 == 0`` reuse the PREVIOUS doc's template AND tail
+    (planted near-dups, Jaccard 1.0).  Same no-shuffle hash-of-(seed, id)
+    construction as ``synthetic_documents`` — deterministic under any
+    partitioning.  Same-template non-dup pairs share ~``template_words − 2``
+    shingles (far below near-dup thresholds), so they are pure candidate
+    NOISE for any plan that joins on shared shingles."""
+    from hnsw_spark.functions.hashing import h31
+
+    base = spark.range(count).withColumnRenamed("id", "doc_id")
+    is_dup = (F.col("doc_id") % 97 == 0) & (F.col("doc_id") > 0)
+    src = F.when(is_dup, F.col("doc_id") - 1).otherwise(F.col("doc_id"))
+    tmpl_src = (src % n_templates).cast("string")
+    tail_src = src.cast("string")
+
+    def hword(tag, word_src, j):
+        return F.concat(
+            F.lit(tag),
+            (
+                h31(
+                    F.concat(
+                        F.lit(f"{tag}{seed}_"),
+                        word_src,
+                        F.lit("_"),
+                        j.cast("string"),
+                    )
+                )
+                % 100000
+            ).cast("string"),
+        )
+
+    tmpl = F.transform(
+        F.sequence(F.lit(0), F.lit(template_words - 1)),
+        lambda j: hword("t", tmpl_src, j),
+    )
+    tail = F.transform(
+        F.sequence(F.lit(0), F.lit(tail_words - 1)),
+        lambda j: hword("u", tail_src, j),
+    )
+    return base.select(
+        "doc_id", F.array_join(F.concat(tmpl, tail), " ").alias("text")
+    )

@@ -1,0 +1,165 @@
+"""Continuously-maintained target-encoding stats — the streaming twin of
+``operators/encoding.py:target_encode_loo`` (VERDICT r9 #6, the last r8
+library operator without an online path).
+
+State design: the persisted state is the per-category label-evidence table
+(category, Σy fixed-point decimal, n) — ONE ROW PER CATEGORY, the smallest
+state any exact encoder can carry (category cardinality is
+vocabulary-sized, never corpus-sized; the global mean derives from the
+same table, so nothing else is stored).  Category stats are MERGEABLE —
+decimal sums and counts add — so each epoch:
+
+1. reads the latest stats version strictly BEFORE this epoch (a replayed
+   epoch recomputes from the same prior state — deterministic retries),
+2. aggregates the batch to per-category (sum, n) and merges by addition,
+3. writes the merged table as version ``epoch`` with dynamic partition
+   overwrite (a replay overwrites itself — exactly-once), and
+4. drops versions older than the replay window (~2 versions live).
+
+Per-epoch cost is one aggregate-sized shuffle over the batch plus a
+stats-sized union — the fact rows are never shuffled and never retained.
+Serving (``encode``) joins the live stats onto any fact frame with the
+IDENTICAL ``encode_with_stats`` expression the batch operator uses, so
+once the streamed stats equal the batch stats (exact decimal arithmetic —
+no float drift to accumulate), the encodings are equal BY CONSTRUCTION;
+the registered gate (``target_encode_stream_gate``) pins it against the
+same DuckDB oracle as the batch query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hnsw_spark.streaming.sketch import _read_or_empty
+
+
+class StreamingTargetEncoder:
+    def __init__(
+        self,
+        stats_path: str,
+        category_col: str,
+        target_col: str,
+        alpha: int = 20,
+        scale: int = 4,
+        out_col: str = "te_fp",
+        category_type: str = "string",
+    ):
+        self.stats_path = stats_path
+        self.category_col = category_col
+        self.target_col = target_col
+        self.alpha = int(alpha)
+        self.scale = int(scale)
+        self.out_col = out_col
+        self.category_type = category_type
+
+    def _stats_schema(self, spark):
+        from pyspark.sql.types import (
+            DecimalType,
+            IntegerType,
+            LongType,
+            StructField,
+            StructType,
+            _parse_datatype_string,
+        )
+
+        return StructType(
+            [
+                # category dtype is caller-declared: it only shapes the
+                # empty frame before the first epoch lands
+                StructField(
+                    self.category_col,
+                    _parse_datatype_string(self.category_type),
+                ),
+                StructField("_cat_sum", DecimalType(38, 0)),
+                StructField("_cat_n", LongType()),
+                StructField("_v", IntegerType()),
+            ]
+        )
+
+    def _stats_before(self, spark, epoch_id: int) -> DataFrame:
+        all_versions = _read_or_empty(
+            spark, self.stats_path, self._stats_schema(spark)
+        )
+        versions = [
+            r["_v"]
+            for r in all_versions.select("_v").distinct().collect()
+            if r["_v"] < epoch_id
+        ]
+        if not versions:
+            return all_versions.drop("_v").limit(0)
+        return all_versions.filter(F.col("_v") == max(versions)).drop("_v")
+
+    def stats(self, spark) -> DataFrame:
+        """The live (latest-version) stats table."""
+        return self._stats_before(spark, 1 << 31)
+
+    def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        from hnsw_spark.operators.encoding import category_stats
+
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        prior = self._stats_before(spark, int(epoch_id))
+        fresh = category_stats(
+            batch, self.category_col, self.target_col, self.scale
+        )
+        merged = (
+            prior.unionByName(fresh)
+            .groupBy(self.category_col)
+            .agg(
+                F.sum("_cat_sum").alias("_cat_sum"),
+                F.sum("_cat_n").alias("_cat_n"),
+            )
+            .withColumn("_v", F.lit(int(epoch_id)))
+        )
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_v")
+            .parquet(self.stats_path)
+        )
+        self._drop_old_versions(int(epoch_id))
+
+    def _drop_old_versions(self, epoch_id: int) -> None:
+        """Keep versions >= epoch_id - 1 (the replay window); local-path
+        best effort — object stores would use lifecycle rules."""
+        import os
+        import shutil
+
+        if not os.path.isdir(self.stats_path):
+            return
+        for d in os.listdir(self.stats_path):
+            if d.startswith("_v="):
+                try:
+                    if int(d[3:]) < epoch_id - 1:
+                        shutil.rmtree(
+                            os.path.join(self.stats_path, d),
+                            ignore_errors=True,
+                        )
+                except ValueError:
+                    pass
+
+    def encode(self, rows: DataFrame) -> DataFrame:
+        """Adds ``out_col`` to ``rows`` from the LIVE streamed stats —
+        the identical expression the batch operator applies, so for rows
+        whose labels are all part of the streamed evidence the output is
+        exactly ``target_encode_loo`` over everything streamed so far."""
+        from hnsw_spark.operators.encoding import encode_with_stats
+
+        return encode_with_stats(
+            rows,
+            self.stats(rows.sparkSession),
+            self.category_col,
+            self.target_col,
+            self.alpha,
+            self.scale,
+            self.out_col,
+        )
+
+    def start(self, stream: DataFrame, checkpoint: str):
+        return (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )

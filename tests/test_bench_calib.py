@@ -1,6 +1,9 @@
-"""Calib-normalized bench gating (VERDICT r8 #7): the sidecar must carry
-per-cell wall ratios vs the r1 baseline divided by the run's host-speed
-factor, so the 2x gate reads code, not box contention.
+"""Calib-normalized bench gating (VERDICT r8 #7, r9 #2): the sidecar must
+carry per-cell wall ratios vs the r1 baseline divided by the run's
+host-speed factor computed over the OVERHEAD axes only (pyloop +
+spark_sum) — the headline cells are Spark-scheduler/interpreter-overhead
+dominated, so the BLAS axis must not be able to move their normalized
+ratios (round 9 measured an 18% inflation from exactly that).
 
 Importing bench is side-effect-free (main() is __main__-guarded)."""
 
@@ -20,12 +23,35 @@ def test_calib_factor_geomean():
     assert abs(bench._calib_factor(calib) - (1 * 2 * 4) ** (1 / 3)) < 1e-3
 
 
+def test_calib_factor_axis_subset():
+    # axis-matched factor: only the requested axes participate
+    calib = dict(bench._REF_CALIB)
+    calib["matmul_1024_ms"] *= 4.0  # BLAS axis way off, overhead axes on-ref
+    assert bench._calib_factor(calib, bench._OVERHEAD_AXES) == 1.0
+    assert bench._calib_factor(calib) == round(4.0 ** (1 / 3), 4)
+    # overhead axes both 2x slower -> overhead factor 2.0 regardless of matmul
+    calib2 = {
+        "matmul_1024_ms": bench._REF_CALIB["matmul_1024_ms"] * 0.1,
+        "pyloop_2m_ms": bench._REF_CALIB["pyloop_2m_ms"] * 2.0,
+        "spark_sum_1m_ms": bench._REF_CALIB["spark_sum_1m_ms"] * 2.0,
+    }
+    assert bench._calib_factor(calib2, bench._OVERHEAD_AXES) == 2.0
+
+
 def test_calib_factor_missing_or_bad_is_none():
     assert bench._calib_factor({}) is None
     assert bench._calib_factor({"err": "boom"}) is None
     assert bench._calib_factor({"matmul_1024_ms": 0}) is None  # degenerate
     # one usable point is enough (partial calib on a failing box)
     assert bench._calib_factor({"matmul_1024_ms": bench._REF_CALIB["matmul_1024_ms"]}) == 1.0
+    # overhead subset with only matmul present -> None, never a matmul factor
+    assert (
+        bench._calib_factor(
+            {"matmul_1024_ms": bench._REF_CALIB["matmul_1024_ms"]},
+            bench._OVERHEAD_AXES,
+        )
+        is None
+    )
 
 
 def test_r1_walls_parse_committed_artifact():
@@ -56,3 +82,33 @@ def test_calib_normalized_ratios():
     out4 = bench._calib_normalized(timings, calib)
     assert out4["ratio_vs_r1"]["knn_exact_cosine"] == 3.0
     assert math.isclose(out4["ratio_vs_r1"]["dedup_exact"], 0.5)
+
+
+def test_calib_normalized_insensitive_to_matmul_axis():
+    """The VERDICT r9 #2 scenario, pinned: a box whose BLAS runs 1.57x
+    FASTER than the reference while the overhead axes sit at 1.0 must
+    leave every headline ratio exactly equal to its raw ratio — the
+    matmul axis cannot inflate (or deflate) overhead-dominated cells."""
+    r1 = bench._r1_walls()
+    timings = dict(r1)
+    calib = dict(bench._REF_CALIB)
+    calib["matmul_1024_ms"] /= 1.57
+    out = bench._calib_normalized(timings, calib)
+    assert out["factor"] == 1.0
+    assert all(abs(v - 1.0) < 1e-6 for v in out["ratio_vs_r1"].values())
+    # ...while the all-axes factor still records the whole-box drift
+    assert out["factor_all_axes"] == round((1 / 1.57) ** (1 / 3), 4)
+    # per-axis ratios are emitted for sensitivity reading
+    assert out["factor_by_axis"]["pyloop_2m_ms"] == 1.0
+    assert abs(out["factor_by_axis"]["matmul_1024_ms"] - 1 / 1.57) < 1e-3
+
+
+def test_calib_normalized_annotates_changed_paths():
+    # ann_hnsw_knn changed code path since r1 (dispatch=auto -> exact
+    # route); the sidecar must say so next to the ratio (ADVICE r9)
+    r1 = bench._r1_walls()
+    out = bench._calib_normalized(dict(r1), dict(bench._REF_CALIB))
+    assert "ann_hnsw_knn" in out["path_changed_since_r1"]
+    assert "ann_hnsw_knn" in out["ratio_vs_r1"]
+    assert out["ref_calib_note"]
+    assert out["normalization_axes"] == list(bench._OVERHEAD_AXES)

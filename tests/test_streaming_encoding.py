@@ -1,0 +1,102 @@
+"""Streaming target-encoding twin (streaming/encoding.py): the mergeable
+per-category stats maintained over epochs must leave ``encode`` exactly
+equal to the one-shot batch operator — including under epoch replays,
+out-of-order category arrival, NULL categories/targets, and empty
+batches; state must stay one row per category with old versions pruned."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from hnsw_spark.operators.encoding import target_encode_loo
+from hnsw_spark.streaming.encoding import StreamingTargetEncoder
+
+_SCHEMA = "row_id long, cat string, y double"
+
+_ROWS = [
+    (1, "a", 1.0),
+    (2, "a", 3.0),
+    (3, "b", 100.0),
+    (4, None, 2.0),     # NULL category
+    (5, "b", None),     # NULL target (not label evidence)
+    (6, "c", 7.5),
+    (7, "a", 2.25),
+    (8, "c", 0.0),
+]
+
+
+@pytest.fixture()
+def tmp_stats():
+    d = tempfile.mkdtemp(prefix="ste_test_")
+    yield os.path.join(d, "stats")
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _encoded(df):
+    return {r["row_id"]: r["te_fp"] for r in df.select("row_id", "te_fp").collect()}
+
+
+def test_stream_equals_batch_with_replay(spark, tmp_stats):
+    df = spark.createDataFrame(_ROWS, _SCHEMA)
+    ste = StreamingTargetEncoder(tmp_stats, "cat", "y", alpha=5, scale=4)
+    epochs = [df.filter(F.col("row_id") % 3 == i) for i in range(3)]
+    for i, b in enumerate(epochs):
+        ste.process_batch(b, i)
+    ste.process_batch(epochs[1], 1)  # replay a MIDDLE epoch (retry case)
+    got = _encoded(ste.encode(df))
+    want = _encoded(target_encode_loo(df, "cat", "y", alpha=5, scale=4))
+    assert got == want
+
+
+def test_state_is_one_row_per_category_and_pruned(spark, tmp_stats):
+    df = spark.createDataFrame(_ROWS, _SCHEMA)
+    ste = StreamingTargetEncoder(tmp_stats, "cat", "y", alpha=5)
+    for i in range(4):
+        ste.process_batch(df.filter(F.col("row_id") % 4 == i), i)
+    live = ste.stats(spark)
+    # categories: a, b, c, NULL — one stats row each
+    assert live.count() == 4
+    assert live.groupBy("cat").count().agg(F.max("count")).first()[0] == 1
+    # old versions pruned to the replay window (>= epoch - 1)
+    versions = sorted(
+        int(d[3:]) for d in os.listdir(tmp_stats) if d.startswith("_v=")
+    )
+    assert versions == [2, 3]
+    # NULL-target rows are not label evidence
+    b_row = live.filter(F.col("cat") == "b").first()
+    assert b_row["_cat_n"] == 1 and int(b_row["_cat_sum"]) == 1_000_000
+
+
+def test_empty_batch_is_noop_and_late_categories_merge(spark, tmp_stats):
+    df = spark.createDataFrame(_ROWS, _SCHEMA)
+    ste = StreamingTargetEncoder(tmp_stats, "cat", "y", alpha=0)
+    ste.process_batch(df.filter(F.col("cat") == "a"), 0)
+    ste.process_batch(df.limit(0), 1)  # empty epoch: no version written
+    # NB: a bare `cat != 'a'` would silently drop the NULL-category row
+    # (three-valued logic) — the null-safe form keeps it in the stream
+    ste.process_batch(df.filter(~F.col("cat").eqNullSafe("a")), 2)
+    versions = {
+        int(d[3:]) for d in os.listdir(tmp_stats) if d.startswith("_v=")
+    }
+    assert 1 not in versions
+    got = _encoded(ste.encode(df))
+    want = _encoded(target_encode_loo(df, "cat", "y", alpha=0))
+    assert got == want
+
+
+def test_registered_gate_green(spark):
+    from hnsw_spark.queries.relational import (
+        target_encode_loo_q,
+        target_encode_stream_gate_q,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    streamed = target_encode_stream_gate_q(spark, sf)
+    batch = target_encode_loo_q(spark, sf)
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
