@@ -573,7 +573,14 @@ def _dedup_ladder_1m(spark) -> dict:
     would shuffle: the generator plants one near-dup per 10 docs, so the
     expected candidate count is ~n/10 — candidates scale with DUPLICATE
     DENSITY, not docs², which is the ladder's whole 100 TB design claim,
-    measured rather than asserted.  Fault-isolated like _ann_crossover."""
+    measured rather than asserted.  Fault-isolated like _ann_crossover.
+    The 10M decade is a recorded one-off (tools/dedup_ladder_10m.py →
+    ``dedup_ladder_10m_recorded``) — re-generating and signing 10M docs
+    per round would dominate the driver's bench budget."""
+    return _dedup_ladder(spark, 1_000_000)
+
+
+def _dedup_ladder(spark, n_docs: int) -> dict:
     import time
 
     from pyspark.sql import functions as F
@@ -582,7 +589,6 @@ def _dedup_ladder_1m(spark) -> dict:
     from hnsw_spark.operators.dedup import lsh_candidate_pairs
     from hnsw_spark.sources.synthetic import synthetic_documents
 
-    n_docs = 1_000_000
     docs = (
         synthetic_documents(spark, n_docs, words_per_doc=30, seed=31)
         .repartition(32)
@@ -1143,6 +1149,47 @@ def _protocol_axes(spark, sf_dir: str, qs) -> dict:
             },
             "compression_ratio": 2.78,
         },
+        "salted_int8_recorded": {
+            "recorded_one_off": True,
+            "measured_on": "2026-08-16",
+            "measured_by": "tools/salted_int8_probe.py",
+            "note": (
+                "the salted x int8 COMPOSITION at the shape where the "
+                "knobs compose at 100 TB (VERDICT r9 #7): 60k x 32 with "
+                "half the corpus in ONE tight cluster, Q=512, probe 8/16 "
+                "ef 96.  The salt still kills the hot-list straggler with "
+                "the compressed store (build 52.9 s -> 22.5 s, 2.35x) and "
+                "the compression survives the salted layout (2.69x; "
+                "adjacency is store-invariant).  Honest recall ledger: "
+                "this corpus is int8's ADVERSARIAL case — the hot "
+                "cluster's internal distances (sigma 0.02, ~1% of vector "
+                "magnitude) are comparable to the quantization step "
+                "(max|v|/127 ~ 0.8%), so tuned-probe recall drops 0.83 -> "
+                "0.67 where a normal corpus loses ~3 points "
+                "(int8_hnsw_xl_recorded: 0.958 -> 0.922).  Pick the "
+                "composition when the node table is IO-bound AND the "
+                "corpus is not a near-clone pile; values at full probe "
+                "stay oracle-exact either way "
+                "(hnsw_salted_int8_full_probe)"
+            ),
+            "int8_unsalted": {
+                "build_wall_s": 52.88, "largest_group": 31752,
+                "node_table_bytes": 3288841, "search_wall_best_s": 2.348,
+                "recall_at_10": 0.5934,
+            },
+            "float32_salted": {
+                "build_wall_s": 27.58, "largest_group": 4056,
+                "node_table_bytes": 8878916, "search_wall_best_s": 2.432,
+                "recall_at_10": 0.8339,
+            },
+            "int8_salted": {
+                "build_wall_s": 22.46, "largest_group": 4056,
+                "node_table_bytes": 3298314, "search_wall_best_s": 2.466,
+                "recall_at_10": 0.6743,
+            },
+            "compression_ratio_salted": 2.69,
+            "salt_build_speedup_int8_x": 2.35,
+        },
         "jaccard_crossover_recorded": {
             "recorded_one_off": True,
             "measured_on": "2026-08-15",
@@ -1261,6 +1308,33 @@ def _protocol_axes(spark, sf_dir: str, qs) -> dict:
             "docs_per_s": round(50_000 / mh_best),
         },
         "dedup_ladder_1m": ladder_cell,
+    "dedup_ladder_10m_recorded": {
+        "recorded_one_off": True,
+        "measured_on": "2026-08-16",
+        "measured_by": "tools/dedup_ladder_10m.py",
+        "note": (
+            "the anti-quadratic claim one decade above the per-round 1M "
+            "cell (VERDICT r9 #8): candidates still track DUPLICATE "
+            "DENSITY (1,000,015 ~= n/10 planted pairs; 999,999 verify at "
+            ">= 0.8 — the planted set exactly), reduction 5.0e7x vs the "
+            "5e13 all-pairs bound, one decade more than 1M's 5.0e6x.  "
+            "Wall is signature-stage-bound and near-linear: 16.4k docs/s "
+            "end-to-end vs 27.8k at 1M on this box (memory-pressure "
+            "degradation, not plan blowup — candidate and verify stages "
+            "stay duplicate-density-sized)"
+        ),
+        "n_docs": 10_000_000,
+        "num_perm": 32,
+        "bands": 8,
+        "max_bucket": 1000,
+        "candidate_wall_s": 587.54,
+        "verify_wall_s": 23.63,
+        "n_candidate_pairs": 1_000_015,
+        "n_verified_ge_080": 999_999,
+        "quadratic_bound_pairs": 49_999_995_000_000,
+        "candidate_reduction_x": 49_999_245,
+        "docs_per_s_end_to_end": 16_362,
+    },
         "neardup_20k_ivf_self_join": {
             "n_vectors": 20_000,
             "dim": 32,

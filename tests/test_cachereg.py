@@ -52,8 +52,12 @@ def test_no_monotonic_growth_across_repeated_queries(spark):
     release_caches()
     spark.catalog.clearCache()
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # clearCache's unpersists are non-blocking: in a full-suite run the
+    # baseline can be captured mid-drain of OTHER modules' session caches
+    # and then drop below itself (observed 13 -> 7).  The property under
+    # test is NO GROWTH, so the gate is <=, never ==.
     baseline = _persistent_rdd_count(spark)
     for _ in range(3):
         jaccard_prefix_pairs(docs.filter(F.col("doc_id") < 40), n=3).collect()
         release_caches()
-        assert _persistent_rdd_count(spark) == baseline
+        assert _persistent_rdd_count(spark) <= baseline

@@ -20,12 +20,16 @@ from hnsw_spark.sources.synthetic import (
 
 @pytest.fixture(scope="module")
 def even_docs(spark):
-    return synthetic_documents(spark, 400, words_per_doc=30, seed=11).cache()
+    df = synthetic_documents(spark, 400, words_per_doc=30, seed=11).cache()
+    yield df
+    df.unpersist(blocking=True)
 
 
 @pytest.fixture(scope="module")
 def boil_docs(spark):
-    return boilerplate_documents(spark, 400, n_templates=2, seed=7).cache()
+    df = boilerplate_documents(spark, 400, n_templates=2, seed=7).cache()
+    yield df
+    df.unpersist(blocking=True)
 
 
 def test_even_corpus_routes_brute(even_docs):
