@@ -195,6 +195,8 @@ HEADLINE = [
     "hnsw_int8_insert_full_probe",
     "hnsw_salted_insert_full_probe",
     "hnsw_salted_int8_full_probe",
+    "hnsw_salted_merge_full_probe",
+    "hnsw_salted_int8_insert_full_probe",
     # NOT benched: bpe_encode_gate (BPE training cost already measured by
     # the bpe_merges cell), pagerank_gate (wall is the O(n²) exact-kNN
     # graph build, not the operator under test), and classifier_eval_kappa
@@ -1041,13 +1043,26 @@ def _protocol_axes(spark, sf_dir: str, qs) -> dict:
         len(results["float32"]), 1
     )
 
+    def _isolate() -> None:
+        # the big protocol axes (1M ladder, 4M crossover, 1M HNSW build)
+        # are allocation-heavy; shed every library-owned persist and the
+        # whole storage pool first — the same cross-cell discipline the
+        # headline loop applies (round 10 A/B: the ladder measured 101 s
+        # in-bench vs 56 s standalone on the same box state before this)
+        from hnsw_spark.plans.cachereg import release_caches
+
+        release_caches()
+        spark.catalog.clearCache()
+
     try:
+        _isolate()
         ladder_cell = _dedup_ladder_1m(spark)
     except Exception as e:
         ladder_cell = {"err": repr(e)[:300]}
         print(f"dedup_ladder_1m axis failed: {e!r}", file=sys.stderr)
 
     try:
+        _isolate()
         xo_cell = _ann_crossover(
             spark, knn_exact, build_ivf_index, mean_recall, recall_table,
             synthetic_vectors,
@@ -1059,6 +1074,7 @@ def _protocol_axes(spark, sf_dir: str, qs) -> dict:
     try:
         from hnsw_spark.operators.hnsw_graph import build_hnsw_index
 
+        _isolate()
         hnsw_xo_cell = _hnsw_crossover(
             spark, knn_exact, build_hnsw_index, mean_recall, recall_table,
             synthetic_vectors,

@@ -28,10 +28,11 @@ ORACLES: dict[str, str] = {}
 #
 # Round-10 rotation (tools/rotation_plan.py over the committed
 # CORRECTNESS_r*.json after this round's registrations): the window leads
-# with the 6 never-driver-sampled rows (this round's net-new — the Jaccard
-# crossover dispatch gate, the streaming target-encoder gate, and the four
-# grown-graph full probes: int8 merge, int8 insert, salted insert,
-# salted×int8 composition), keeps the 6 r9-new rows for their SECOND
+# with the 8 never-driver-sampled rows (this round's net-new — the Jaccard
+# crossover dispatch gate, the streaming target-encoder gate, and the six
+# grown-graph full probes closing the insert/merge × store/salt operation
+# matrix: int8 merge, int8 insert, salted insert, salted×int8 composition,
+# salted merge, salted×int8 insert), keeps the 6 r9-new rows for their SECOND
 # sampling (VERDICT r9 #1), then re-certifies the stalest driver evidence:
 # the remaining r4 block (events_props_stats onward — the r9 window
 # cleared the r3 rows and the head of r4), then r6-era rows oldest-first
@@ -43,6 +44,8 @@ _RUN_FIRST = (
     "hnsw_int8_insert_full_probe",
     "hnsw_salted_insert_full_probe",
     "hnsw_salted_int8_full_probe",
+    "hnsw_salted_merge_full_probe",
+    "hnsw_salted_int8_insert_full_probe",
     "trailing_features_stream_gate",
     "hnsw_merge_full_probe",
     "hnsw_salted_full_probe",
@@ -85,8 +88,6 @@ _RUN_FIRST = (
     "sorted_export_gate",
     "upsert_compaction",
     "dsir_selection",
-    "hll_cardinality",
-    "mmr_diversified",
 )
 _RUN_LAST = (
     "ann_ivf_knn",
