@@ -732,6 +732,86 @@ def test_int8_salted_compose(spark, embeddings):
     assert got == exact
 
 
+def test_salted_matrix_merge_and_int8_insert(spark, embeddings):
+    """The last two cells of the insert/merge × store/salt matrix
+    (round 10): (a) merging an UNSALTED delta into a salted base re-routes
+    AND re-salts the delta under the base's grown totals without shifting
+    any existing node's sub-list; (b) inserting raw vectors into a
+    salted × int8 base quantizes and salts in one pass.  Both grown
+    indexes degenerate to exact kNN at full probe."""
+    from hnsw_spark.functions.quantize import quant_scale, quantize
+    from hnsw_spark.operators.hnsw_graph import add_points, merge_hnsw_indexes
+
+    half_a = embeddings.filter(F.col("vec_id") % 2 == 0)
+    half_b = embeddings.filter(F.col("vec_id") % 2 == 1)
+    qs = embeddings.filter(F.col("vec_id") < 6)
+
+    # (a) float: salted base <- unsalted delta through the merge path
+    base = build_hnsw_index(
+        half_a, n_lists=4, m=8, ef_construction=32, max_level=0,
+        max_list_size=60,
+    )
+    base.index_df = base.index_df.cache()
+    before = {
+        r["id"]: r["sub_id"]
+        for r in base.index_df.select("id", "sub_id").collect()
+    }
+    delta = build_hnsw_index(half_b, n_lists=2, m=8, ef_construction=32,
+                             max_level=0)
+    merged = merge_hnsw_indexes(base, delta)
+    merged.index_df = merged.index_df.cache()
+    assert merged.index_df.count() == embeddings.count()
+    # hash-mod membership is growth-stable: existing nodes keep sub_id
+    after = {
+        r["id"]: r["sub_id"]
+        for r in merged.index_df.select("id", "sub_id").collect()
+        if r["id"] in before
+    }
+    assert after == before
+    got = {
+        (r.query_id, r.id)
+        for r in merged.search(
+            qs, k=10, n_probe=4, ef_search=1 << 20, dispatch="beam"
+        ).collect()
+    }
+    exact = {
+        (r.query_id, r.id)
+        for r in knn_exact(embeddings, qs, k=10, metric="cosine").collect()
+    }
+    assert got == exact
+    merged.index_df.unpersist()
+    base.index_df.unpersist()
+
+    # (b) salted x int8 base <- raw insert
+    base2 = build_hnsw_index(
+        half_a, n_lists=4, m=8, ef_construction=32, max_level=0,
+        store="int8", max_list_size=60,
+    )
+    grown = add_points(base2, half_b)
+    grown.index_df = grown.index_df.cache()
+    assert grown.index_df.count() == embeddings.count()
+    assert {"sub_id", "qvec", "scale"} <= set(grown.index_df.columns)
+    got2 = {
+        (r.query_id, r.id)
+        for r in grown.search(
+            qs, k=10, n_probe=4, ef_search=1 << 20, dispatch="beam"
+        ).collect()
+    }
+    deq = embeddings.select(
+        "vec_id",
+        F.transform(
+            quantize("embedding", quant_scale("embedding")),
+            lambda x: x.cast("double") * quant_scale("embedding"),
+        ).alias("embedding"),
+    )
+    exact2 = {
+        (r.query_id, r.id)
+        for r in knn_exact(deq, qs, k=10, metric="cosine").collect()
+    }
+    assert got2 == exact2
+    grown.index_df.unpersist()
+
+
 def test_crossover_aware_dispatch(spark, embeddings, monkeypatch):
     """VERDICT r8 #3: small batches (Q x N under the measured exact-BLAS
     crossover budget) route to the exact local_merge operator automatically;
