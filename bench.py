@@ -347,6 +347,23 @@ def _calib_normalized(timings: dict, calib: dict) -> dict:
     return out
 
 
+def _norm_summary(ratios: dict | None) -> dict:
+    """Geomean + worst cell of the normalized per-cell ratios — the two
+    numbers the 2x gate reads, sized to ride on the bounded stdout line."""
+    if not ratios:
+        return {}
+    import math
+
+    worst = max(ratios.items(), key=lambda kv: kv[1])
+    return {
+        "norm_vs_r1_geomean": round(
+            math.exp(sum(math.log(v) for v in ratios.values()) / len(ratios)),
+            3,
+        ),
+        "norm_vs_r1_worst": {worst[0]: worst[1]},
+    }
+
+
 def _calibration(spark) -> dict:
     """Host-speed reference points so cross-round comparisons can separate
     code regressions from host/noisy-neighbor drift (the headline cells at
@@ -506,6 +523,10 @@ def main() -> None:
         "calib_factor": calib_normalized.get("factor"),
         "protocol_file": "BENCH_PROTOCOL.json",
     }
+    # the normalized verdict rides ON the line (the driver captures only a
+    # bounded stdout tail): geomean + worst cell of the overhead-axis-
+    # normalized ratios vs the r1 baseline — the numbers the 2x gate reads
+    line.update(_norm_summary(calib_normalized.get("ratio_vs_r1")))
     if errors:
         line["errors"] = {k: v[:60] for k, v in errors.items()}
     sidecar = os.path.join(

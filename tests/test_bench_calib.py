@@ -112,3 +112,12 @@ def test_calib_normalized_annotates_changed_paths():
     assert "ann_hnsw_knn" in out["ratio_vs_r1"]
     assert out["ref_calib_note"]
     assert out["normalization_axes"] == list(bench._OVERHEAD_AXES)
+
+
+def test_norm_summary_rides_the_line():
+    # the stdout line carries the two gate numbers; empty ratios add nothing
+    assert bench._norm_summary(None) == {}
+    assert bench._norm_summary({}) == {}
+    out = bench._norm_summary({"a": 0.5, "b": 2.0, "c": 1.0})
+    assert out["norm_vs_r1_geomean"] == 1.0
+    assert out["norm_vs_r1_worst"] == {"b": 2.0}
