@@ -349,19 +349,30 @@ def _calib_normalized(timings: dict, calib: dict) -> dict:
 
 def _norm_summary(ratios: dict | None) -> dict:
     """Geomean + worst cell of the normalized per-cell ratios — the two
-    numbers the 2x gate reads, sized to ride on the bounded stdout line."""
+    numbers the 2x gate reads, sized to ride on the bounded stdout line.
+    Cells in _PATH_CHANGED_SINCE_R1 are EXCLUDED from the gate numbers
+    (their ratio compares different algorithms, not the same code on a
+    different day — ADVICE r10) and emitted as a separate annotated field
+    so the caveat rides on the line, not just in the sidecar."""
     if not ratios:
         return {}
     import math
 
-    worst = max(ratios.items(), key=lambda kv: kv[1])
-    return {
+    gated = {k: v for k, v in ratios.items() if k not in _PATH_CHANGED_SINCE_R1}
+    if not gated:
+        return {}
+    worst = max(gated.items(), key=lambda kv: kv[1])
+    out = {
         "norm_vs_r1_geomean": round(
-            math.exp(sum(math.log(v) for v in ratios.values()) / len(ratios)),
+            math.exp(sum(math.log(v) for v in gated.values()) / len(gated)),
             3,
         ),
         "norm_vs_r1_worst": {worst[0]: worst[1]},
     }
+    excluded = {k: v for k, v in ratios.items() if k in _PATH_CHANGED_SINCE_R1}
+    if excluded:
+        out["norm_excluded_path_changed"] = excluded
+    return out
 
 
 def _calibration(spark) -> dict:
@@ -398,6 +409,23 @@ def _timed(fn) -> float:
     t0 = time.time()
     fn()
     return time.time() - t0
+
+
+def _cell_walls(run, runs: int = 3) -> tuple[float, list[float]]:
+    """Times ``run`` ``runs`` times → (median wall, all samples).  The
+    median is the recorded per-cell wall (VERDICT r10 #1: one contended
+    scheduling window can redden at most one of three samples, never the
+    record) and the full sample list lands in the sidecar so the spread
+    is auditable."""
+    walls = []
+    for _ in range(runs):
+        t0 = time.time()
+        run()
+        walls.append(time.time() - t0)
+    return (
+        round(sorted(walls)[len(walls) // 2], 3),
+        [round(w, 3) for w in walls],
+    )
 
 
 def main() -> None:
@@ -442,25 +470,30 @@ def main() -> None:
         ann_search, ann_cleanup = {}, lambda: None
         print(f"prebuilt ANN setup failed: {e!r}", file=sys.stderr)
 
-    # best-of-2 per query: the second run measures steady state (codegen
-    # cached, JIT warm); reporting the min keeps round-over-round numbers
-    # comparable instead of GC-noise lottery.  Each cell is fault-isolated:
-    # a failing query records {"err": ...} instead of zeroing the artifact
+    # median-of-3 per query (VERDICT r10 #1: the r10 2x-gate breach lived
+    # entirely in single-sample headline walls on a degraded box — the
+    # crossover axes, which already take best-of-N, never breached).  Run 1
+    # warms codegen/JIT, so the median lands on a steady-state sample, and
+    # one contended scheduling window can redden at most one of the three;
+    # ALL samples are recorded in the sidecar (`queries_samples`) so any
+    # reader can audit the spread.  Each cell is fault-isolated: a failing
+    # query records {"err": ...} instead of zeroing the artifact
     # (BENCH_r03 lesson — one broken loader cost the whole round's numbers).
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     ann_cells_done = False
     for name in HEADLINE:
         fn = ann_search.get(name) or qs.get(name)
         if fn is None:
             continue
-        walls = []
         try:
-            for _ in range(2):
-                t0 = time.time()
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                walls.append(time.time() - t0)
-            timings[name] = round(min(walls), 3)
+            timings[name], samples[name] = _cell_walls(
+                lambda: fn(spark, sf_dir)
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
         except Exception as e:
             errors[name] = repr(e)[:200]
             print(f"bench cell {name} failed: {e!r}", file=sys.stderr)
@@ -508,10 +541,21 @@ def main() -> None:
     except Exception as e:
         calib = {"err": repr(e)[:200]}
     calib_normalized = _calib_normalized(timings, calib)
+    # run identity (VERDICT r10 #2): stamp UTC + the calib triple on both
+    # the line and the sidecar so every BASELINE.md claim can be matched to
+    # the exact run that produced it.
+    import datetime
+
+    run_utc = datetime.datetime.now(datetime.timezone.utc).strftime(
+        "%Y-%m-%dT%H:%M:%SZ"
+    )
+    calib_normalized["run_utc"] = run_utc
+    calib_normalized["run_calib"] = calib
     line = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
+        "run_utc": run_utc,
         "queries": {n: timings[n] for n in _LINE_CELLS if n in timings},
         "n_queries": len(timings),
         "sf": sf,
@@ -538,6 +582,9 @@ def main() -> None:
                 {
                     "line": line,
                     "queries_all": timings,
+                    "queries_samples": samples,
+                    "wall_convention": "median-of-3 per headline cell"
+                    " (r11+; r1-r10 recorded min-of-2)",
                     "calib_normalized": calib_normalized,
                     "protocol": protocol,
                 },

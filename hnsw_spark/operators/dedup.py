@@ -770,7 +770,9 @@ def choose_jaccard_plan(
         sh.groupBy("shingle")
         .agg(F.count("*").alias("_df"))
         .agg(
-            F.sum(F.expr("_df * (_df - 1) / 2")).cast("long").alias("pair_rows"),
+            # df·(df−1) is always even, so integer DIV keeps the sum exact
+            # past 2^53 pair rows (double division would not — ADVICE r10)
+            F.sum(F.expr("_df * (_df - 1) DIV 2")).cast("long").alias("pair_rows"),
             F.sum("_df").cast("long").alias("shingle_rows"),
         )
         .first()

@@ -69,20 +69,52 @@ def encode_with_stats(
     alpha: int = 20,
     scale: int = 4,
     out_col: str = "te_fp",
+    row_in_stats: bool = True,
 ) -> DataFrame:
-    """Adds ``out_col`` to ``df`` from a (possibly streamed) stats table:
-    the LOO smoothed encoding when the row's own label is part of the
-    stats — which is the batch contract and the streaming gate's — and the
-    plain smoothed category mean shape otherwise.  NULL categories AND
-    NULL targets encode as the global mean (a NULL category carries no
-    category signal; a NULL-target row contributes no label — it must
-    neither deflate its peers' LOO denominator nor encode as NULL itself,
-    ADVICE r6).
+    """Adds ``out_col`` to ``df`` from a (possibly streamed) stats table.
+
+    ``row_in_stats`` is the evidence contract (ADVICE r10):
+
+    - ``True`` (default — the batch path and the streaming parity gate,
+      where ``df``'s labels ARE part of ``stats``): leave-one-out — the
+      row's own label is subtracted before smoothing.  Callers MUST only
+      use this when every encoded row's (category, label) was counted
+      into ``stats``; otherwise the subtraction removes evidence that was
+      never added and biases the encoding low.
+    - ``False`` (online serving over not-yet-streamed rows): the plain
+      smoothed category mean — nothing is subtracted, so rows outside the
+      evidence are encoded from the evidence as-is.
+
+    NULL categories, NULL targets (only relevant under LOO), and
+    categories ABSENT from ``stats`` (left-join miss → NULL ``_cat_n``)
+    all encode as the global mean: an unseen category carries no category
+    signal yet, exactly like a NULL one.
 
     Targets must be non-negative (labels, rates, prices): integer DIV
     truncates, which equals floor only for non-negative numerators — the
     same convention ``time_weighted_avg`` documents."""
     rows = df.withColumn("_y", dquant(target_col, scale).cast("decimal(38,0)"))
+    if row_in_stats:
+        fallback = (
+            F.col("_y").isNull()
+            | F.col(category_col).isNull()
+            | F.col("_cat_n").isNull()
+            | (F.col("_cat_n") <= 1)
+        )
+        encoded = F.expr(
+            f"(_cat_sum - _y + {int(alpha)} * _gmean_fp)"
+            f" DIV (_cat_n - 1 + {int(alpha)})"
+        )
+    else:
+        fallback = (
+            F.col(category_col).isNull()
+            | F.col("_cat_n").isNull()
+            | (F.col("_cat_n") <= 0)
+        )
+        encoded = F.expr(
+            f"(_cat_sum + {int(alpha)} * _gmean_fp)"
+            f" DIV (_cat_n + {int(alpha)})"
+        )
     # NULL-category stats rows never match the left join (SQL null ≠ null),
     # which is correct: those rows take the global-mean branch below
     return (
@@ -90,17 +122,9 @@ def encode_with_stats(
         .crossJoin(F.broadcast(global_from_stats(stats)))
         .withColumn(
             out_col,
-            F.when(
-                F.col("_y").isNull()
-                | F.col(category_col).isNull()
-                | (F.col("_cat_n") <= 1),
-                F.col("_gmean_fp"),
-            ).otherwise(
-                F.expr(
-                    f"(_cat_sum - _y + {int(alpha)} * _gmean_fp)"
-                    f" DIV (_cat_n - 1 + {int(alpha)})"
-                )
-            ).try_cast("long"),
+            F.when(fallback, F.col("_gmean_fp"))
+            .otherwise(encoded)
+            .try_cast("long"),
         )
         .drop("_y", "_cat_sum", "_cat_n", "_gmean_fp")
     )

@@ -1293,7 +1293,12 @@ def jaccard_auto_dispatch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("size_b").cast("long").alias("size_b"),
         )
 
-    auto = probe(ngram_jaccard_auto(boil, n=3, threshold=_AUTO_JACC_T))
+    # the routing assertion lives on templated_plan above; passing it back
+    # in avoids re-running the identical shingle-df probe job inside the
+    # dispatcher (ADVICE r10)
+    auto = probe(
+        ngram_jaccard_auto(boil, n=3, threshold=_AUTO_JACC_T, plan=templated_plan)
+    )
     brute = probe(
         ngram_jaccard_auto(boil, n=3, threshold=_AUTO_JACC_T, plan="brute")
     )

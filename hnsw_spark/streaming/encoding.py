@@ -100,7 +100,30 @@ class StreamingTargetEncoder:
         if batch.isEmpty():
             return
         spark = batch.sparkSession
-        prior = self._stats_before(spark, int(epoch_id))
+        epoch_id = int(epoch_id)
+        all_versions = [
+            r["_v"]
+            for r in _read_or_empty(
+                spark, self.stats_path, self._stats_schema(spark)
+            )
+            .select("_v")
+            .distinct()
+            .collect()
+        ]
+        # Replay is only safe while this epoch's prior version survives
+        # the prune window: replaying epoch e after version e-2 was pruned
+        # would rebuild version e from the batch alone (ADVICE r10).
+        if (
+            epoch_id > 0
+            and not any(v < epoch_id for v in all_versions)
+            and any(v >= epoch_id for v in all_versions)
+        ):
+            raise ValueError(
+                f"replay of epoch {epoch_id} is outside the retained "
+                f"window (surviving versions: {sorted(all_versions)}); "
+                "only the latest epoch can be replayed after pruning"
+            )
+        prior = self._stats_before(spark, epoch_id)
         fresh = category_stats(
             batch, self.category_col, self.target_col, self.scale
         )
@@ -140,11 +163,16 @@ class StreamingTargetEncoder:
                 except ValueError:
                     pass
 
-    def encode(self, rows: DataFrame) -> DataFrame:
+    def encode(self, rows: DataFrame, row_in_stats: bool = True) -> DataFrame:
         """Adds ``out_col`` to ``rows`` from the LIVE streamed stats —
-        the identical expression the batch operator applies, so for rows
-        whose labels are all part of the streamed evidence the output is
-        exactly ``target_encode_loo`` over everything streamed so far."""
+        the identical expression the batch operator applies.  With the
+        default ``row_in_stats=True`` the caller asserts every row's
+        (category, label) has already been streamed into the stats (the
+        parity-gate scenario): the output is exactly ``target_encode_loo``
+        over everything streamed so far.  For serving rows that are NOT
+        part of the evidence yet pass ``row_in_stats=False`` — the plain
+        smoothed category mean, with unseen categories at the global mean
+        (ADVICE r10)."""
         from hnsw_spark.operators.encoding import encode_with_stats
 
         return encode_with_stats(
@@ -155,6 +183,7 @@ class StreamingTargetEncoder:
             self.alpha,
             self.scale,
             self.out_col,
+            row_in_stats=row_in_stats,
         )
 
     def start(self, stream: DataFrame, checkpoint: str):

@@ -121,3 +121,32 @@ def test_norm_summary_rides_the_line():
     out = bench._norm_summary({"a": 0.5, "b": 2.0, "c": 1.0})
     assert out["norm_vs_r1_geomean"] == 1.0
     assert out["norm_vs_r1_worst"] == {"b": 2.0}
+    assert "norm_excluded_path_changed" not in out
+
+
+def test_norm_summary_excludes_path_changed_cells():
+    """ADVICE r10: a path-changed cell's ratio compares different
+    algorithms, so it must not move the gate numbers — it rides the line
+    as a separately annotated field instead."""
+    assert "ann_hnsw_knn" in bench._PATH_CHANGED_SINCE_R1
+    out = bench._norm_summary({"a": 1.0, "ann_hnsw_knn": 9.0})
+    assert out["norm_vs_r1_geomean"] == 1.0
+    assert out["norm_vs_r1_worst"] == {"a": 1.0}
+    assert out["norm_excluded_path_changed"] == {"ann_hnsw_knn": 9.0}
+    # all-excluded input degenerates to empty, never a gate on nothing
+    assert bench._norm_summary({"ann_hnsw_knn": 9.0}) == {}
+
+
+def test_cell_walls_median_of_three_with_samples():
+    """VERDICT r10 #1: headline walls are median-of-3 and every sample is
+    recorded (the sidecar's `queries_samples`), so one contended window
+    cannot redden the committed record."""
+    seq = iter([0.0, 1.0, 1.0, 1.2, 1.2, 9.0])  # walls 1.0, 0.2, 7.8
+    orig = bench.time.time
+    bench.time.time = lambda: next(seq)
+    try:
+        wall, samples = bench._cell_walls(lambda: None)
+    finally:
+        bench.time.time = orig
+    assert samples == [1.0, 0.2, 7.8]
+    assert wall == 1.0  # the median, not the min and not the spike

@@ -105,6 +105,68 @@ def test_smoothing_shrinks_toward_global_mean(spark):
         assert sharp[rid] > smooth[rid] >= gmean
 
 
+def test_unseen_category_encodes_as_global_mean(spark):
+    """ADVICE r10 (medium): a row whose category is ABSENT from the stats
+    table (left-join miss → NULL _cat_n) must fall back to the global
+    mean, never NULL — under BOTH evidence contracts."""
+    from hnsw_spark.operators.encoding import category_stats, encode_with_stats
+
+    evidence = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 3.0), (3, "b", 5.0)], _SCHEMA
+    )
+    stats = category_stats(evidence, "cat", "y")
+    gmean = (_q(1.0) + _q(3.0) + _q(5.0)) // 3
+    serving = spark.createDataFrame(
+        [(10, "zzz", 4.0), (11, "zzz", None), (12, "a", None)], _SCHEMA
+    )
+    for row_in_stats in (True, False):
+        got = {
+            r.row_id: r.te_fp
+            for r in encode_with_stats(
+                serving, stats, "cat", "y", alpha=0,
+                row_in_stats=row_in_stats,
+            ).collect()
+        }
+        assert got[10] == gmean, row_in_stats  # unseen category, has label
+        assert got[11] == gmean, row_in_stats  # unseen category, no label
+
+
+def test_serving_rows_outside_evidence_use_plain_mean(spark):
+    """ADVICE r10 (medium): with row_in_stats=False nothing is subtracted —
+    a serving row's label must not remove evidence it never added."""
+    from hnsw_spark.operators.encoding import category_stats, encode_with_stats
+
+    evidence = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 3.0), (3, "b", 5.0)], _SCHEMA
+    )
+    stats = category_stats(evidence, "cat", "y")
+    gmean = (_q(1.0) + _q(3.0) + _q(5.0)) // 3
+    serving = spark.createDataFrame(
+        [(20, "a", 100.0), (21, "a", None), (22, "b", 7.0)], _SCHEMA
+    )
+    got = {
+        r.row_id: r.te_fp
+        for r in encode_with_stats(
+            serving, stats, "cat", "y", alpha=0, row_in_stats=False
+        ).collect()
+    }
+    # plain category mean of the EVIDENCE, independent of the row's label
+    assert got[20] == got[21] == (_q(1.0) + _q(3.0)) // 2
+    # n=1 categories are usable evidence under the plain-mean contract
+    # (only n=0/unseen falls back); with alpha>0 they'd shrink toward gmean
+    assert got[22] == _q(5.0)
+    # the LOO contract on the same rows would instead subtract the label —
+    # pin that the two contracts genuinely differ on out-of-evidence rows
+    loo = {
+        r.row_id: r.te_fp
+        for r in encode_with_stats(
+            serving, stats, "cat", "y", alpha=0, row_in_stats=True
+        ).collect()
+    }
+    assert loo[20] != got[20]
+    assert loo[22] == gmean  # _cat_n <= 1 under LOO -> global mean
+
+
 @pytest.mark.slow
 @given(seed=st.integers(min_value=0, max_value=2**31 - 1))
 @settings(

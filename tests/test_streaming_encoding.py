@@ -47,7 +47,28 @@ def test_stream_equals_batch_with_replay(spark, tmp_stats):
     epochs = [df.filter(F.col("row_id") % 3 == i) for i in range(3)]
     for i, b in enumerate(epochs):
         ste.process_batch(b, i)
-    ste.process_batch(epochs[1], 1)  # replay a MIDDLE epoch (retry case)
+    # replay the LATEST epoch (the foreachBatch retry case the replay
+    # window retains state for — its prior version survives the prune)
+    ste.process_batch(epochs[2], 2)
+    got = _encoded(ste.encode(df))
+    want = _encoded(target_encode_loo(df, "cat", "y", alpha=5, scale=4))
+    assert got == want
+
+
+def test_replay_outside_retained_window_raises(spark, tmp_stats):
+    """ADVICE r10: replaying an epoch whose prior version was pruned would
+    silently rebuild that version from the batch alone — the encoder must
+    refuse instead of corrupting state."""
+    df = spark.createDataFrame(_ROWS, _SCHEMA)
+    ste = StreamingTargetEncoder(tmp_stats, "cat", "y", alpha=5, scale=4)
+    epochs = [df.filter(F.col("row_id") % 3 == i) for i in range(3)]
+    for i, b in enumerate(epochs):
+        ste.process_batch(b, i)
+    # after epoch 2 the prune keeps versions {1, 2}; epoch 1's prior
+    # (version 0) is gone, so its replay must be rejected
+    with pytest.raises(ValueError, match="outside the retained"):
+        ste.process_batch(epochs[1], 1)
+    # and the live stats are untouched by the refused replay
     got = _encoded(ste.encode(df))
     want = _encoded(target_encode_loo(df, "cat", "y", alpha=5, scale=4))
     assert got == want
