@@ -197,6 +197,7 @@ HEADLINE = [
     "hnsw_salted_int8_full_probe",
     "hnsw_salted_merge_full_probe",
     "hnsw_salted_int8_insert_full_probe",
+    "ann_serving_gate",
     # NOT benched: bpe_encode_gate (BPE training cost already measured by
     # the bpe_merges cell), pagerank_gate (wall is the O(n²) exact-kNN
     # graph build, not the operator under test), and classifier_eval_kappa
@@ -1111,6 +1112,33 @@ def _protocol_axes(spark, sf_dir: str, qs) -> dict:
         len(results["float32"]), 1
     )
 
+    # ADC-only agreement vs m (VERDICT r10 #5): m — bytes per vector — is
+    # the lever that moves the ADC-only path; OPQ-style rotations measured
+    # NOT to move top-k agreement at serving shapes (tools/opq_probe.py,
+    # recorded in pq_adc_agreement_recorded below), so the honest sizing
+    # curve is the deliverable.  m=16 reuses the store-ladder measurement.
+    adc_by_m = {}
+    for pm in (8, 16, 32):
+        if pm == 16:
+            adc_by_m[pm] = round(
+                len(results["pq"] & results["float32"])
+                / max(len(results["float32"]), 1),
+                4,
+            )
+            continue
+        idx = build_ivf_index(
+            emb2, n_lists=ANN_N_LISTS, metric="cosine", store="pq", pq_m=pm
+        )
+        idx.index_df = idx.index_df.cache()
+        idx.index_df.count()
+        res_m = idx.search(q2, k=10, n_probe=ANN_N_PROBE)
+        pairs_m = {(r.query_id, r.id) for r in res_m.collect()}
+        adc_by_m[pm] = round(
+            len(pairs_m & results["float32"]) / max(len(results["float32"]), 1),
+            4,
+        )
+        idx.index_df.unpersist()
+
     def _isolate() -> None:
         # the big protocol axes (1M ladder, 4M crossover, 1M HNSW build)
         # are allocation-heavy; shed every library-owned persist and the
@@ -1366,6 +1394,48 @@ def _protocol_axes(spark, sf_dir: str, qs) -> dict:
                 / max(len(results["float32"]), 1),
                 4,
             ),
+            "adc_agreement_by_m": adc_by_m,
+            "sizing_note": (
+                "ADC-only serving wants m >= d/2 at 8-bit codes (the "
+                "agreement curve above); for smaller m treat the ADC pass "
+                "as shortlist-only and rerank (agreement 1.0 at ~2x wall). "
+                "Rotations don't move this — see pq_adc_agreement_recorded"
+            ),
+        },
+        "pq_adc_agreement_recorded": {
+            "recorded_one_off": True,
+            "measured_on": "2026-08-16",
+            "measured_by": "tools/opq_probe.py",
+            "note": (
+                "VERDICT r10 #5 adjudicated by measurement: neither the "
+                "parametric OPQ rotation (Ge et al. 2013, eigenvalue-"
+                "balanced PCA permutation) nor the iterative Procrustes "
+                "variant moves PQ ADC top-10 agreement outside noise at "
+                "serving shapes (n=2000, Q=8, k=10), on uniform OR "
+                "clustered-anisotropic corpora — reconstruction error "
+                "improves marginally (0.217 -> 0.212 at m=16 uniform) but "
+                "the agreement bottleneck is quantization noise vs the "
+                "tiny rank-10/11 score gap, which a rotation cannot "
+                "widen.  The honest lever is m: the library ships no "
+                "rotation knob; size m >= d/2 for ADC-only serving or "
+                "rerank (agreement 1.0, ~2x wall)"
+            ),
+            "uniform_64d": {
+                "m8": {"plain": 0.550, "opq_parametric": 0.500,
+                       "opq_iterative": 0.600},
+                "m16": {"plain": 0.762, "opq_parametric": 0.775,
+                        "opq_iterative": 0.725},
+                "m32": {"plain": 0.925, "opq_parametric": 0.875,
+                        "opq_iterative": 0.912},
+            },
+            "clustered_aniso_64d": {
+                "m8": {"plain": 0.275, "opq_parametric": 0.250,
+                       "opq_iterative": 0.287},
+                "m16": {"plain": 0.350, "opq_parametric": 0.312,
+                        "opq_iterative": 0.325},
+                "m32": {"plain": 0.362, "opq_parametric": 0.400,
+                        "opq_iterative": 0.362},
+            },
         },
         "ivf_binary_store": {
             "n_lists": ANN_N_LISTS,

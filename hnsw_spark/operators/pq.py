@@ -30,6 +30,19 @@ shuffles and the scan reads.  Exactness is NOT the contract here (PQ is
 lossy by design); quality is gated the reference's own way — recall@k vs
 the exact operator (bench/README.md:108) — via the ``ann_ivfpq_recall``
 registered query and the pinned tests.
+
+Sizing m (VERDICT r10 #5, adjudicated by measurement — tools/opq_probe.py
+and the ``adc_agreement_by_m`` bench axis): ADC-ONLY serving needs
+``m >= d/2`` at 8-bit codes (top-10 agreement vs exact ≈ 0.55 / 0.76 /
+0.93 at m = 8 / 16 / 32 on the 64-dim fixture shape); for smaller m the
+ADC pass is a SHORTLIST, not a ranking — always pair it with
+``rerank_with`` (agreement 1.0 at ~2× wall).  There is deliberately no
+OPQ rotation knob: both the parametric (Ge et al., CVPR 2013) and the
+iterative-Procrustes rotations were measured to improve reconstruction
+error only marginally while moving top-k agreement NOWHERE outside noise
+at serving shapes — the agreement bottleneck is quantization noise
+against the tiny rank-10/11 score gap, which no orthogonal transform can
+widen (bench ``pq_adc_agreement_recorded``).
 """
 
 from __future__ import annotations

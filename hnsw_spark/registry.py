@@ -26,18 +26,15 @@ ORACLES: dict[str, str] = {}
 # registrations are capped at ~25 per round so the window can re-certify
 # the whole registry within roughly two rounds of any addition.
 #
-# Round-10 rotation (tools/rotation_plan.py over the committed
-# CORRECTNESS_r*.json after this round's registrations): the window leads
-# with the 8 never-driver-sampled rows (this round's net-new — the Jaccard
-# crossover dispatch gate, the streaming target-encoder gate, and the six
-# grown-graph full probes closing the insert/merge × store/salt operation
-# matrix: int8 merge, int8 insert, salted insert, salted×int8 composition,
-# salted merge, salted×int8 insert), keeps the 6 r9-new rows for their SECOND
-# sampling (VERDICT r9 #1), then re-certifies the stalest driver evidence:
-# the remaining r4 block (events_props_stats onward — the r9 window
-# cleared the r3 rows and the head of r4), then r6-era rows oldest-first
-# to fill.  Rows-only checks (the 2 tuned-ANN tiers) stay last.
+# Round-11 rotation (tools/rotation_plan.py recomputed at HEAD, VERDICT
+# r10 #3): the window leads with the one never-driver-sampled row (this
+# round's net-new `ann_serving_gate`), gives the 14 r10-new rows their
+# SECOND sampling (the VERDICT r9 #1 two-sample policy for fresh
+# registrations), then re-certifies the stalest driver evidence — the r6
+# block oldest-first, spilling into the head of the r7 block to fill 50.
+# Rows-only checks (the 2 tuned-ANN tiers) stay last.
 _RUN_FIRST = (
+    "ann_serving_gate",
     "jaccard_auto_dispatch",
     "target_encode_stream_gate",
     "hnsw_int8_merge_full_probe",
@@ -52,42 +49,41 @@ _RUN_FIRST = (
     "hnsw_salted_balance_gate",
     "hnsw_int8_full_probe",
     "ann_hnsw_int8_recall",
-    "events_props_stats",
-    "user_sessions",
-    "asof_latest_view",
-    "table_profile",
-    "table_profile_approx_gate",
-    "event_funnel",
-    "trade_volume_nation_pairs",
-    "order_priority_checking",
-    "level_histogram",
-    "index_build_stats",
-    "synthetic_vectors",
-    "fvecs_roundtrip",
-    "index_merge_full_probe",
-    "multimodal_image_features",
-    "multimodal_audio_features",
-    "multimodal_scene_cuts",
-    "knn_hamming_rerank",
-    "mutual_knn_pairs",
-    "matryoshka_recall",
-    "label_centroid_distances",
-    "hard_negatives",
-    "classifier_eval_kappa",
-    "lsh_quality_report",
-    "similarity_triangles",
-    "jaccard_prefix_filter",
-    "kcore_gate",
-    "containment_pairs",
-    "count_min_frequencies",
-    "tfidf_doc_similarity",
-    "token_budget_selection",
-    "quality_drift_ks",
-    "quality_auc",
-    "cross_split_contamination_gate",
-    "sorted_export_gate",
-    "upsert_compaction",
-    "dsir_selection",
+    "hll_cardinality",
+    "mmr_diversified",
+    "retrieval_quality_metrics",
+    "events_in_windows",
+    "discounted_revenue_filters",
+    "event_anomaly_zscore",
+    "threshold_alert_episodes",
+    "rowgroup_pruning_gate",
+    "market_share_by_year",
+    "user_recency_scores",
+    "incremental_rollup",
+    "join_skew_report",
+    "events_gapfilled_hourly",
+    "event_transition_matrix",
+    "retention_cohorts",
+    "seasonal_naive_forecast",
+    "user_behavior_entropy",
+    "repeat_purchase_intervals",
+    "basket_type_pairs",
+    "bloom_join_prune",
+    "time_weighted_avg",
+    "order_count_distribution",
+    "dormant_high_balance_customers",
+    "data_expectations",
+    "association_rules",
+    "scd2_intervals",
+    "hll_distinct_by_group",
+    "wav_audio_features",
+    "kmeans_lloyd_gate",
+    "label_propagation_communities",
+    "embedding_drift_cohorts",
+    "lsh_incremental_candidates",
+    "ngram_novelty",
+    "duplicate_span_lengths",
+    "doc_keywords",
 )
 _RUN_LAST = (
     "ann_ivf_knn",
