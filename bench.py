@@ -651,7 +651,7 @@ def _dedup_ladder_1m(spark) -> dict:
     return _dedup_ladder(spark, 1_000_000)
 
 
-def _dedup_ladder(spark, n_docs: int) -> dict:
+def _dedup_ladder(spark, n_docs: int, n_parts: int = 32) -> dict:
     import time
 
     from pyspark.sql import functions as F
@@ -662,7 +662,7 @@ def _dedup_ladder(spark, n_docs: int) -> dict:
 
     docs = (
         synthetic_documents(spark, n_docs, words_per_doc=30, seed=31)
-        .repartition(32)
+        .repartition(n_parts)
         .cache()
     )
     docs.count()
