@@ -93,8 +93,10 @@ def encode_with_stats(
     Targets must be non-negative (labels, rates, prices): integer DIV
     truncates, which equals floor only for non-negative numerators — the
     same convention ``time_weighted_avg`` documents."""
-    rows = df.withColumn("_y", dquant(target_col, scale).cast("decimal(38,0)"))
     if row_in_stats:
+        rows = df.withColumn(
+            "_y", dquant(target_col, scale).cast("decimal(38,0)")
+        )
         fallback = (
             F.col("_y").isNull()
             | F.col(category_col).isNull()
@@ -106,6 +108,9 @@ def encode_with_stats(
             f" DIV (_cat_n - 1 + {int(alpha)})"
         )
     else:
+        # serving frames may be UNLABELED — the plain-mean path never
+        # reads the target, so don't require the column to exist
+        rows = df
         fallback = (
             F.col(category_col).isNull()
             | F.col("_cat_n").isNull()

@@ -33,8 +33,9 @@ registered query and the pinned tests.
 
 Sizing m (VERDICT r10 #5, adjudicated by measurement — tools/opq_probe.py
 and the ``adc_agreement_by_m`` bench axis): ADC-ONLY serving needs
-``m >= d/2`` at 8-bit codes (top-10 agreement vs exact ≈ 0.55 / 0.76 /
-0.93 at m = 8 / 16 / 32 on the 64-dim fixture shape); for smaller m the
+``m >= d/2`` at 8-bit codes (top-10 agreement vs exact = 0.55 / 0.725 /
+0.925 at m = 8 / 16 / 32 on the 64-dim fixture — the committed
+``adc_agreement_by_m`` axis); for smaller m the
 ADC pass is a SHORTLIST, not a ranking — always pair it with
 ``rerank_with`` (agreement 1.0 at ~2× wall).  There is deliberately no
 OPQ rotation knob: both the parametric (Ge et al., CVPR 2013) and the

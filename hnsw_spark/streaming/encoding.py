@@ -101,21 +101,20 @@ class StreamingTargetEncoder:
             return
         spark = batch.sparkSession
         epoch_id = int(epoch_id)
+        # ONE state read per micro-batch: the version list drives both the
+        # replay guard and the prior selection (ADVICE r10 follow-up — the
+        # guard used to trigger a second full read via _stats_before).
+        all_df = _read_or_empty(spark, self.stats_path, self._stats_schema(spark))
         all_versions = [
-            r["_v"]
-            for r in _read_or_empty(
-                spark, self.stats_path, self._stats_schema(spark)
-            )
-            .select("_v")
-            .distinct()
-            .collect()
+            r["_v"] for r in all_df.select("_v").distinct().collect()
         ]
+        priors = [v for v in all_versions if v < epoch_id]
         # Replay is only safe while this epoch's prior version survives
-        # the prune window: replaying epoch e after version e-2 was pruned
+        # the prune window: replaying epoch e after its prior was pruned
         # would rebuild version e from the batch alone (ADVICE r10).
         if (
             epoch_id > 0
-            and not any(v < epoch_id for v in all_versions)
+            and not priors
             and any(v >= epoch_id for v in all_versions)
         ):
             raise ValueError(
@@ -123,7 +122,11 @@ class StreamingTargetEncoder:
                 f"window (surviving versions: {sorted(all_versions)}); "
                 "only the latest epoch can be replayed after pruning"
             )
-        prior = self._stats_before(spark, epoch_id)
+        prior = (
+            all_df.filter(F.col("_v") == max(priors)).drop("_v")
+            if priors
+            else all_df.drop("_v").limit(0)
+        )
         fresh = category_stats(
             batch, self.category_col, self.target_col, self.scale
         )
@@ -145,23 +148,34 @@ class StreamingTargetEncoder:
         self._drop_old_versions(int(epoch_id))
 
     def _drop_old_versions(self, epoch_id: int) -> None:
-        """Keep versions >= epoch_id - 1 (the replay window); local-path
-        best effort — object stores would use lifecycle rules."""
+        """Keep this epoch's version AND its actual surviving prior (the
+        newest version strictly below epoch_id) — NOT a numeric
+        ``>= epoch_id - 1`` window: empty micro-batches write no version,
+        so the latest epoch's true prior can sit any distance below it,
+        and pruning by number would delete exactly the state a legitimate
+        foreachBatch retry of the latest epoch needs (the replay guard
+        would then kill the stream on every restart).  Local-path best
+        effort — object stores would use lifecycle rules."""
         import os
         import shutil
 
         if not os.path.isdir(self.stats_path):
             return
+        versions = []
         for d in os.listdir(self.stats_path):
             if d.startswith("_v="):
                 try:
-                    if int(d[3:]) < epoch_id - 1:
-                        shutil.rmtree(
-                            os.path.join(self.stats_path, d),
-                            ignore_errors=True,
-                        )
+                    versions.append(int(d[3:]))
                 except ValueError:
                     pass
+        priors = [v for v in versions if v < epoch_id]
+        keep = {epoch_id} | ({max(priors)} if priors else set())
+        for v in versions:
+            if v not in keep:
+                shutil.rmtree(
+                    os.path.join(self.stats_path, f"_v={v}"),
+                    ignore_errors=True,
+                )
 
     def encode(self, rows: DataFrame, row_in_stats: bool = True) -> DataFrame:
         """Adds ``out_col`` to ``rows`` from the LIVE streamed stats —

@@ -55,6 +55,47 @@ def test_stream_equals_batch_with_replay(spark, tmp_stats):
     assert got == want
 
 
+def test_latest_epoch_replay_survives_empty_epoch_gap(spark, tmp_stats):
+    """Code-review r11: an empty micro-batch writes no version, so the
+    latest epoch's TRUE prior can sit any numeric distance below it — the
+    prune must keep that actual prior (newest surviving version < epoch),
+    or a legitimate retry of the latest epoch would be refused and kill
+    the stream on every restart."""
+    df = spark.createDataFrame(_ROWS, _SCHEMA)
+    ste = StreamingTargetEncoder(tmp_stats, "cat", "y", alpha=5, scale=4)
+    first = df.filter(F.col("row_id") <= 4)
+    rest = df.filter(F.col("row_id") > 4)
+    ste.process_batch(first, 0)
+    ste.process_batch(df.limit(0), 1)  # empty epoch: no version written
+    ste.process_batch(rest, 2)
+    # version 0 (epoch 2's actual prior) must survive the epoch-2 prune
+    versions = {
+        int(d[3:]) for d in os.listdir(tmp_stats) if d.startswith("_v=")
+    }
+    assert versions == {0, 2}
+    ste.process_batch(rest, 2)  # the retry the guard must NOT refuse
+    got = _encoded(ste.encode(df))
+    want = _encoded(target_encode_loo(df, "cat", "y", alpha=5, scale=4))
+    assert got == want
+
+
+def test_serving_frame_without_label_column(spark, tmp_stats):
+    """Code-review r11: row_in_stats=False never reads the target, so an
+    UNLABELED serving frame (no label column at all) must encode."""
+    df = spark.createDataFrame(_ROWS, _SCHEMA)
+    ste = StreamingTargetEncoder(tmp_stats, "cat", "y", alpha=0, scale=4)
+    ste.process_batch(df, 0)
+    serving = spark.createDataFrame(
+        [(100, "a"), (101, "zzz"), (102, None)], "row_id long, cat string"
+    )
+    got = _encoded(ste.encode(serving, row_in_stats=False))
+    # 'a' has labels 1.0, 3.0, 2.25 -> plain mean; unseen/NULL -> global
+    assert got[100] == (10000 + 30000 + 22500) // 3
+    labeled = [1.0, 3.0, 100.0, 2.0, 7.5, 2.25, 0.0]
+    gmean = sum(int(v * 10000) for v in labeled) // len(labeled)
+    assert got[101] == gmean and got[102] == gmean
+
+
 def test_replay_outside_retained_window_raises(spark, tmp_stats):
     """ADVICE r10: replaying an epoch whose prior version was pruned would
     silently rebuild that version from the batch alone — the encoder must

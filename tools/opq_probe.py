@@ -28,11 +28,12 @@ Usage: python tools/opq_probe.py
 
 from __future__ import annotations
 
+import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from hnsw_spark.operators.ann import _kmeans_numpy, _normalize_rows  # noqa: E402
 from hnsw_spark.operators.pq import _encode_mat, pq_reconstruct  # noqa: E402
