@@ -1489,6 +1489,47 @@ def _protocol_axes(spark, sf_dir: str, qs) -> dict:
         "candidate_reduction_x": 49_999_245,
         "docs_per_s_end_to_end": 16_362,
     },
+        "dedup_ladder_30m_recorded": {
+            "recorded_one_off": True,
+            "measured_on": "2026-08-16",
+            "measured_by": "tools/dedup_ladder_xl.py 30000000",
+            "note": (
+                "VERDICT r10 #8 (the next anti-quadratic decade), honest "
+                "outcome: the 100M point DIED ON DISK on this box — the "
+                "ladder's cumulative transient footprint (docs cache + "
+                "signature/banding/bucket-join shuffle files retained "
+                "across the candidate job) measured ~62 GB at 30M and "
+                "extrapolates to ~200 GB at 100M vs ~80 GB free, so the "
+                "recorded half-decade is 30M with the boundary documented "
+                "rather than asserted.  The LEDGER still holds exactly: "
+                "candidates track duplicate density (3,000,143 ~= n/10 "
+                "planted pairs; 2,999,999 verify at >= 0.8 — the planted "
+                "set), reduction 1.5e8x vs the 4.5e14 all-pairs bound (one "
+                "decade more than 10M's 5.0e7x), wall near-linear (13.3k "
+                "docs/s vs 16.4k at 10M on a degraded-overhead box).  At "
+                "100 TB this boundary is per-EXECUTOR scratch disk — the "
+                "footprint shards with the shuffle, so a 1000-executor "
+                "cluster needs ~200 MB/executor per 100M docs, not 200 GB "
+                "on one box.  Shuffle-volume note: the signature shuffle "
+                "is already one row per DOC (map-side partial agg "
+                "collapses exploded shingles); the zero-shuffle "
+                "higher-order-function twin measured 1.5-2.6x slower CPU "
+                "(interpreted, outside codegen) and was rejected — see "
+                "minhash_signatures' docstring"
+            ),
+            "n_docs": 30_000_000,
+            "num_perm": 32,
+            "bands": 8,
+            "max_bucket": 1000,
+            "candidate_wall_s": 2102.82,
+            "verify_wall_s": 146.57,
+            "n_candidate_pairs": 3_000_143,
+            "n_verified_ge_080": 2_999_999,
+            "quadratic_bound_pairs": 449_999_985_000_000,
+            "candidate_reduction_x": 149_992_845,
+            "docs_per_s_end_to_end": 13_337,
+            "peak_scratch_disk_gb_observed": 62,
+        },
         "neardup_20k_ivf_self_join": {
             "n_vectors": 20_000,
             "dim": 32,
