@@ -1293,11 +1293,14 @@ def jaccard_auto_dispatch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("size_b").cast("long").alias("size_b"),
         )
 
-    # the routing assertion lives on templated_plan above; passing it back
-    # in avoids re-running the identical shingle-df probe job inside the
-    # dispatcher (ADVICE r10)
+    # the routing assertion lives on templated_plan above (the oracle pins
+    # it to 'prefix'); the parity probe forces plan='prefix' explicitly so
+    # pairs_match always pins prefix-vs-brute value equality — passing
+    # templated_plan back in would degenerate to brute-vs-brute (a vacuous
+    # pin) if the chooser ever mis-routed this corpus (ADVICE r11; the
+    # explicit plan still skips the dispatcher's probe job, ADVICE r10)
     auto = probe(
-        ngram_jaccard_auto(boil, n=3, threshold=_AUTO_JACC_T, plan=templated_plan)
+        ngram_jaccard_auto(boil, n=3, threshold=_AUTO_JACC_T, plan="prefix")
     )
     brute = probe(
         ngram_jaccard_auto(boil, n=3, threshold=_AUTO_JACC_T, plan="brute")

@@ -112,10 +112,16 @@ class StreamingTargetEncoder:
         # Replay is only safe while this epoch's prior version survives
         # the prune window: replaying epoch e after its prior was pruned
         # would rebuild version e from the batch alone (ADVICE r10).
+        # Only a STRICTLY newer surviving version proves the stale-prior
+        # case: a retry of the first non-empty epoch (epoch_id > 0 after
+        # empty micro-batches, so no prior version ever existed) sees its
+        # own committed version v == epoch_id, and rebuilding that version
+        # from the batch alone is exactly correct — its true prior state
+        # was empty (ADVICE r11).
         if (
             epoch_id > 0
             and not priors
-            and any(v >= epoch_id for v in all_versions)
+            and any(v > epoch_id for v in all_versions)
         ):
             raise ValueError(
                 f"replay of epoch {epoch_id} is outside the retained "

@@ -96,6 +96,27 @@ def test_serving_frame_without_label_column(spark, tmp_stats):
     assert got[101] == gmean and got[102] == gmean
 
 
+def test_first_nonempty_epoch_retry_not_refused(spark, tmp_stats):
+    """ADVICE r11: a foreachBatch retry of the FIRST non-empty epoch
+    (epoch_id > 0 after empty micro-batches, so no prior version ever
+    existed) sees only its own committed version — rebuilding it from the
+    batch alone is exactly correct (its true prior state was empty), so
+    the replay guard must not trip and kill the stream on restart."""
+    df = spark.createDataFrame(_ROWS, _SCHEMA)
+    ste = StreamingTargetEncoder(tmp_stats, "cat", "y", alpha=5, scale=4)
+    ste.process_batch(df.limit(0), 0)  # empty epoch: no version written
+    ste.process_batch(df, 1)           # first non-empty epoch
+    ste.process_batch(df, 1)           # the retry the guard must NOT refuse
+    got = _encoded(ste.encode(df))
+    want = _encoded(target_encode_loo(df, "cat", "y", alpha=5, scale=4))
+    assert got == want
+    # exactly one stats version survives — the retry overwrote itself
+    versions = {
+        int(d[3:]) for d in os.listdir(tmp_stats) if d.startswith("_v=")
+    }
+    assert versions == {1}
+
+
 def test_replay_outside_retained_window_raises(spark, tmp_stats):
     """ADVICE r10: replaying an epoch whose prior version was pruned would
     silently rebuild that version from the batch alone — the encoder must
