@@ -249,11 +249,36 @@ _REF_CALIB = {"matmul_1024_ms": 15.7, "pyloop_2m_ms": 76.2, "spark_sum_1m_ms": 7
 # Spark-scheduler/py4j/interpreter-overhead dominated — they correlate
 # with spark_sum and pyloop, NOT with matmul (the r9 round measured the
 # BLAS axis 1.57x faster with headline walls flat, and the all-axes
-# geomean then INFLATED every normalized ratio ~18%).  So the factor that
-# divides headline walls is the geomean of the two overhead axes only;
-# matmul stays recorded (and in the all-axes factor) for the BLAS-bound
-# protocol axes and for whole-box drift attribution.
+# geomean then INFLATED every normalized ratio ~18%).  So the run-level
+# drift factor is the geomean of the two overhead axes only; matmul stays
+# recorded (and in the all-axes factor) for the BLAS-bound protocol axes
+# and for whole-box drift attribution.
 _OVERHEAD_AXES = ("pyloop_2m_ms", "spark_sum_1m_ms")
+
+# Per-cell axis matching (VERDICT r11 #1b): every r1-baseline GATE cell is
+# a Spark-job-shaped plan over a tiny fixture — a couple of scheduler
+# round-trips plus a scan that fits one task — so its wall is bounded by
+# the spark_sum axis, not pyloop (none runs a driver Python loop) and not
+# matmul (a 2k-row gemm is microseconds).  Measured, not asserted: in the
+# r11 contended/quiet same-code pair (BENCH_r11 14:24Z vs the 09:18Z
+# committed record) the gate cells inflated up to 3.5x while pyloop moved
+# 0.87->1.02 and the BLAS axis was FASTER — their inflation tracked the
+# Spark-scheduler window alone.  Gate-cell ratios therefore divide by the
+# spark_sum factor: by the cell's own bracketing micro-probes when
+# available (host speed AT THE MOMENT the cell ran — the r11 pair shows
+# contention is bursty WITHIN a run, some cells 2-5x while neighbors ran
+# clean, so an end-of-run factor cannot normalize it), else by the
+# run-level spark_sum axis factor, never the two-axis mean that
+# undercorrected the four r11 breach cells (VERDICT r11 What's-wrong #2).
+_GATE_AXIS = "spark_sum_1m_ms"
+
+# A run whose overhead factor exceeds this is a contended window: the
+# headline loop probes first and retries within a bounded budget before
+# measuring (VERDICT r11 #1a).  1.25 is just above the protocol's own
+# <=1.2 quiet-window bar so a settled-but-not-pristine box still runs.
+_QUIET_FACTOR = 1.25
+_QUIET_ATTEMPTS = 4
+_QUIET_SLEEP_S = 150.0
 
 # Cells whose measured CODE PATH changed since the r1 baseline run — their
 # ratio_vs_r1 compares different algorithms, not the same code on a
@@ -303,15 +328,46 @@ def _r1_walls() -> dict:
         return {}
 
 
-def _calib_normalized(timings: dict, calib: dict) -> dict:
-    """Per-cell wall ratios vs the r1 baseline AFTER dividing this run's
-    walls by the host-speed factor of the OVERHEAD axes (pyloop +
-    spark_sum) — the axes the headline cells actually scale with
-    (VERDICT r9 #2: the old all-axes geomean let a BLAS-fast box inflate
-    Spark-overhead cells ~18%).  Per-axis ratios are emitted alongside so
-    any reader can see how sensitive the normalization is to each axis,
-    and cells whose code path changed since r1 carry an annotation."""
+def _cell_factor(probes: list | None, calib: dict) -> float | None:
+    """The spark_sum host-speed factor for ONE gate cell: geomean of the
+    cell's bracketing micro-probes vs the reference axis when probes were
+    taken, else the run-level spark_sum axis factor (axis-matched — never
+    the two-axis mean, which undercorrects Spark-overhead-bound cells when
+    the axes diverge; VERDICT r11 What's-wrong #2), else the run factor."""
+    ref = _REF_CALIB[_GATE_AXIS]
+    vals = [p for p in (probes or []) if isinstance(p, (int, float)) and p > 0]
+    if vals:
+        prod = 1.0
+        for v in vals:
+            prod *= v / ref
+        return round(prod ** (1.0 / len(vals)), 4)
+    return _calib_factor(calib, (_GATE_AXIS,)) or _calib_factor(
+        calib, _OVERHEAD_AXES
+    )
+
+
+def _calib_normalized(
+    timings: dict,
+    calib: dict,
+    samples: dict | None = None,
+    cell_probes: dict | None = None,
+) -> dict:
+    """Per-cell wall ratios vs the r1 baseline, noise-proofed (VERDICT
+    r11 #1): each gate cell's MIN sample (r1 recorded min-of-2, so min/min
+    is the convention-consistent ratio — ADVICE r11 flagged the old
+    median/min upward bias) divided by the spark_sum host-speed factor
+    measured by that cell's OWN bracketing micro-probes, so a contention
+    burst that hits one cell mid-run is corrected by the probe that saw
+    the same burst, not by an end-of-run whole-run factor.  Cells without
+    probes fall back to the run-level spark_sum axis factor.  The
+    run-level overhead factor (pyloop + spark_sum geomean, VERDICT r9 #2)
+    is still computed and recorded for whole-run drift attribution, and
+    the old-convention ratios ride alongside (`ratio_vs_r1_run_factor`)
+    so the change is auditable round-over-round.  Cells whose code path
+    changed since r1 carry an annotation."""
     calib = calib if isinstance(calib, dict) else {}
+    samples = samples or {}
+    cell_probes = cell_probes or {}
     factor_all = _calib_factor(calib)
     factor = _calib_factor(calib, _OVERHEAD_AXES)
     r1 = _r1_walls()
@@ -333,12 +389,40 @@ def _calib_normalized(timings: dict, calib: dict) -> dict:
             for k, ref in _REF_CALIB.items()
         },
         "normalization_axes": list(_OVERHEAD_AXES),
+        "gate_axis": _GATE_AXIS,
+        "ratio_convention": (
+            "min-of-samples / per-cell spark_sum probe factor / r1 wall"
+            " (r12+; r1 walls are min-of-2, so min/min is"
+            " convention-consistent — r8-r11 divided the median wall by"
+            " the run-level two-axis factor, recorded alongside as"
+            " ratio_vs_r1_run_factor)"
+        ),
     }
     if factor:
-        out["ratio_vs_r1"] = {
-            n: round(timings[n] / factor / r1[n], 3)
-            for n in timings
+        gated = {
+            n: w
+            for n, w in timings.items()
             if isinstance(r1.get(n), (int, float)) and r1[n] > 0
+        }
+        factors = {n: _cell_factor(cell_probes.get(n), calib) for n in gated}
+        out["cell_factors"] = factors
+        out["cell_probes_ms"] = {
+            n: cell_probes[n] for n in gated if cell_probes.get(n)
+        }
+        out["ratio_vs_r1"] = {
+            n: round(
+                min(samples[n]) if samples.get(n) else w,
+                6,
+            )
+            / factors[n]
+            / r1[n]
+            for n, w in gated.items()
+        }
+        out["ratio_vs_r1"] = {
+            n: round(v, 3) for n, v in out["ratio_vs_r1"].items()
+        }
+        out["ratio_vs_r1_run_factor"] = {
+            n: round(w / factor / r1[n], 3) for n, w in gated.items()
         }
         out["path_changed_since_r1"] = {
             n: note
@@ -412,21 +496,77 @@ def _timed(fn) -> float:
     return time.time() - t0
 
 
-def _cell_walls(run, runs: int = 3) -> tuple[float, list[float]]:
+def _cell_walls(
+    run, runs: int = 3, max_extra: int = 2, spread_gate: float = 2.0
+) -> tuple[float, list[float]]:
     """Times ``run`` ``runs`` times → (median wall, all samples).  The
     median is the recorded per-cell wall (VERDICT r10 #1: one contended
     scheduling window can redden at most one of three samples, never the
     record) and the full sample list lands in the sidecar so the spread
-    is auditable."""
+    is auditable.  When the spread is burst-shaped (max/min > 2 — the r11
+    driver run's dedup_exact sampled 2.93/0.72/0.90 s), up to ``max_extra``
+    extra samples are taken so the median and min both land on
+    steady-state walls instead of whichever side of the burst got 2 of 3
+    (VERDICT r11 #1: contention on this box is bursty within a run)."""
     walls = []
     for _ in range(runs):
         t0 = time.time()
         run()
         walls.append(time.time() - t0)
+    extra = 0
+    while (
+        extra < max_extra
+        and min(walls) > 0
+        and max(walls) / min(walls) > spread_gate
+    ):
+        t0 = time.time()
+        run()
+        walls.append(time.time() - t0)
+        extra += 1
     return (
         round(sorted(walls)[len(walls) // 2], 3),
         [round(w, 3) for w in walls],
     )
+
+
+def _spark_probe_ms(spark, repeats: int = 2) -> float:
+    """One spark_sum micro-probe (the _GATE_AXIS reference point): the
+    min wall of a trivial whole-stage-codegen job, in ms — pure
+    scheduler + JVM + py4j overhead, zero library code, so it measures
+    the box, never a code regression.  Taken immediately before/after
+    each gate cell so the cell's normalization factor reflects host
+    speed AT THE MOMENT the cell ran."""
+    return round(
+        min(
+            _timed(lambda: spark.range(1_000_000).selectExpr("sum(id)").collect())
+            for _ in range(repeats)
+        )
+        * 1000,
+        1,
+    )
+
+
+def _quiet_window(
+    spark,
+    threshold: float = _QUIET_FACTOR,
+    attempts: int = _QUIET_ATTEMPTS,
+    sleep_s: float = _QUIET_SLEEP_S,
+) -> tuple[bool, list]:
+    """Probe the calib axes before measuring anything; if the overhead
+    factor says the window is contended (> threshold), sleep and reprobe
+    within a bounded budget (VERDICT r11 #1a).  Every probe is returned
+    for the sidecar, so when no compliant window exists the artifact
+    PROVES it instead of silently recording a contended run."""
+    probes = []
+    for i in range(attempts):
+        calib = _calibration(spark)
+        f = _calib_factor(calib, _OVERHEAD_AXES)
+        probes.append({"calib": calib, "factor": f})
+        if f is None or f <= threshold:
+            return True, probes
+        if i < attempts - 1:
+            time.sleep(sleep_s)
+    return False, probes
 
 
 def main() -> None:
@@ -461,6 +601,23 @@ def main() -> None:
             except Exception:
                 pass  # warm-up only; the real cell records its own error
 
+    # quiet-window gate (VERDICT r11 #1a): the r10 and r11 driver windows
+    # both breached the 2x gate on code-unchanged paths; probe the box
+    # FIRST and wait out a contended window within a bounded budget.  All
+    # probes land in the sidecar — a still-contended run is recorded as
+    # such, with the probe log proving no compliant window existed.
+    try:
+        quiet_ok, quiet_probes = _quiet_window(spark)
+    except Exception as e:
+        quiet_ok, quiet_probes = True, [{"err": repr(e)[:200]}]
+    if not quiet_ok:
+        print(
+            f"quiet-window gate: no window with overhead factor <="
+            f" {_QUIET_FACTOR} in {len(quiet_probes)} probes — measuring"
+            " anyway (probes recorded)",
+            file=sys.stderr,
+        )
+
     # the registered ann_* queries are self-contained (they rebuild their
     # index so the oracle harness stays hermetic); the bench must time
     # SEARCH only, so round-over-round search regressions aren't masked by
@@ -482,12 +639,22 @@ def main() -> None:
     # (BENCH_r03 lesson — one broken loader cost the whole round's numbers).
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
+    cell_probes: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     ann_cells_done = False
+    gate_cells = set(_r1_walls())
+    last_probe: float | None = None  # reused as the next cell's "before"
     for name in HEADLINE:
         fn = ann_search.get(name) or qs.get(name)
         if fn is None:
             continue
+        is_gate = name in gate_cells
+        if is_gate and last_probe is None:
+            try:
+                last_probe = _spark_probe_ms(spark)
+            except Exception:
+                last_probe = None
+        probe_before = last_probe
         try:
             timings[name], samples[name] = _cell_walls(
                 lambda: fn(spark, sf_dir)
@@ -498,6 +665,20 @@ def main() -> None:
         except Exception as e:
             errors[name] = repr(e)[:200]
             print(f"bench cell {name} failed: {e!r}", file=sys.stderr)
+        if is_gate:
+            # bracketing micro-probes: host speed at the moment THIS cell
+            # ran (the r11 contended window was bursty — see the _GATE_AXIS
+            # note); the "after" probe doubles as the next gate cell's
+            # "before" when gate cells are adjacent
+            try:
+                last_probe = _spark_probe_ms(spark)
+            except Exception:
+                last_probe = None
+            cell_probes[name] = [
+                p for p in (probe_before, last_probe) if p is not None
+            ]
+        else:
+            last_probe = None
         if name == "ann_hnsw_knn":
             # the prebuilt node tables exist only for the two ann_* cells;
             # release them the moment the second one is timed.  Holding the
@@ -541,7 +722,7 @@ def main() -> None:
         calib = _calibration(spark)
     except Exception as e:
         calib = {"err": repr(e)[:200]}
-    calib_normalized = _calib_normalized(timings, calib)
+    calib_normalized = _calib_normalized(timings, calib, samples, cell_probes)
     # run identity (VERDICT r10 #2): stamp UTC + the calib triple on both
     # the line and the sidecar so every BASELINE.md claim can be matched to
     # the exact run that produced it.
@@ -552,6 +733,11 @@ def main() -> None:
     )
     calib_normalized["run_utc"] = run_utc
     calib_normalized["run_calib"] = calib
+    calib_normalized["quiet_window"] = {
+        "ok": quiet_ok,
+        "threshold": _QUIET_FACTOR,
+        "probes": quiet_probes,
+    }
     line = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -566,6 +752,7 @@ def main() -> None:
         },
         "calib": calib,
         "calib_factor": calib_normalized.get("factor"),
+        "quiet_window_ok": quiet_ok,
         "protocol_file": "BENCH_PROTOCOL.json",
     }
     # the normalized verdict rides ON the line (the driver captures only a
@@ -584,8 +771,11 @@ def main() -> None:
                     "line": line,
                     "queries_all": timings,
                     "queries_samples": samples,
-                    "wall_convention": "median-of-3 per headline cell"
-                    " (r11+; r1-r10 recorded min-of-2)",
+                    "wall_convention": "median-of-3 per headline cell,"
+                    " up to 2 extra samples when max/min > 2 (r12+; r11"
+                    " was plain median-of-3, r1-r10 recorded min-of-2;"
+                    " gate RATIOS use min-of-samples — see"
+                    " calib_normalized.ratio_convention)",
                     "calib_normalized": calib_normalized,
                     "protocol": protocol,
                 },
