@@ -3287,6 +3287,71 @@ def target_encode_loo_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enc.select("o_orderkey", "o_orderpriority", "te_fp")
 
 
+_TE_SERVE_SQL = f"""
+WITH ev AS (
+  SELECT o_orderpriority,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS y
+  FROM orders WHERE o_orderkey % 4 <> 3
+),
+cs AS (
+  SELECT o_orderpriority, sum(y) AS s, count(y) AS n
+  FROM ev GROUP BY o_orderpriority
+),
+g AS (SELECT sum(y) // count(y) AS gm FROM ev),
+serv AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 8 = 3 THEN 'X-UNSEEN'
+              ELSE o_orderpriority END AS cat
+  FROM orders WHERE o_orderkey % 4 = 3
+)
+SELECT o_orderkey, cat,
+       (CASE WHEN cat IS NULL OR n IS NULL OR n <= 0 THEN gm
+             ELSE (s + {_TE_ALPHA} * gm) // (n + {_TE_ALPHA})
+        END)::BIGINT AS te_fp
+FROM serv LEFT JOIN cs ON serv.cat = cs.o_orderpriority CROSS JOIN g
+"""
+
+
+@query("target_encode_serving", _TE_SERVE_SQL)
+def target_encode_serving_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVING side of target encoding (VERDICT r11 #5):
+    ``encode_with_stats(row_in_stats=False)`` — the plain smoothed
+    category mean — over a frame deliberately OUTSIDE the evidence.  The
+    evidence is three orderkey quartiles; the served frame is the held-out
+    fourth, UNLABELED (the target column is never selected — the r11
+    contract fix lets the plain-mean path skip it entirely), and one in
+    every two served keys is remapped to a category the evidence has never
+    seen, so the unseen-category → global-mean fallback (ADVICE r10) is
+    hash-checked, not just pytest-pinned.  The oracle mirrors the
+    integer-DIV plain-mean expression exactly: (s + α·gm) DIV (n + α),
+    fixed-point cents, so both engines agree bit-for-bit.  Plan shape:
+    one aggregate-sized shuffle for the stats, broadcast joins back —
+    the served rows are never shuffled."""
+    from hnsw_spark.operators.encoding import category_stats, encode_with_stats
+
+    orders = load_table(spark, sf_dir, "orders")
+    evidence = orders.filter(F.col("o_orderkey") % 4 != 3)
+    stats = category_stats(
+        evidence, "o_orderpriority", "o_totalprice", scale=_TE_SCALE
+    ).withColumnRenamed("o_orderpriority", "cat")
+    serving = orders.filter(F.col("o_orderkey") % 4 == 3).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 8 == 3, F.lit("X-UNSEEN"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("cat"),
+    )
+    enc = encode_with_stats(
+        serving,
+        stats,
+        category_col="cat",
+        target_col="o_totalprice",  # unused on the plain-mean path
+        alpha=_TE_ALPHA,
+        scale=_TE_SCALE,
+        row_in_stats=False,
+    )
+    return enc.select("o_orderkey", "cat", "te_fp")
+
+
 @query("target_encode_stream_gate", _TE_SQL)
 def target_encode_stream_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch==stream parity for the ONLINE target-encoding path

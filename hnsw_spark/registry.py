@@ -26,64 +26,65 @@ ORACLES: dict[str, str] = {}
 # registrations are capped at ~25 per round so the window can re-certify
 # the whole registry within roughly two rounds of any addition.
 #
-# Round-11 rotation (tools/rotation_plan.py recomputed at HEAD, VERDICT
-# r10 #3): the window leads with the one never-driver-sampled row (this
-# round's net-new `ann_serving_gate`), gives the 14 r10-new rows their
+# Round-12 rotation (tools/rotation_plan.py recomputed at HEAD, VERDICT
+# r11 #2): the window leads with this round's one net-new row
+# (`target_encode_serving`), gives the r11-new `ann_serving_gate` its
 # SECOND sampling (the VERDICT r9 #1 two-sample policy for fresh
-# registrations), then re-certifies the stalest driver evidence — the r6
-# block oldest-first, spilling into the head of the r7 block to fill 50.
-# Rows-only checks (the 2 tuned-ANN tiers) stay last.
+# registrations), then re-certifies the stalest driver evidence — the
+# whole r7 block (43 rows, last-green r7), topping up from the head of
+# the r8 block to fill 50.  Rows-only checks (the 2 tuned-ANN tiers)
+# stay last.
 _RUN_FIRST = (
+    "target_encode_serving",
     "ann_serving_gate",
-    "jaccard_auto_dispatch",
-    "target_encode_stream_gate",
-    "hnsw_int8_merge_full_probe",
-    "hnsw_int8_insert_full_probe",
-    "hnsw_salted_insert_full_probe",
-    "hnsw_salted_int8_full_probe",
-    "hnsw_salted_merge_full_probe",
-    "hnsw_salted_int8_insert_full_probe",
-    "trailing_features_stream_gate",
-    "hnsw_merge_full_probe",
-    "hnsw_salted_full_probe",
-    "hnsw_salted_balance_gate",
-    "hnsw_int8_full_probe",
-    "ann_hnsw_int8_recall",
-    "hll_cardinality",
-    "mmr_diversified",
-    "retrieval_quality_metrics",
-    "events_in_windows",
-    "discounted_revenue_filters",
-    "event_anomaly_zscore",
-    "threshold_alert_episodes",
-    "rowgroup_pruning_gate",
-    "market_share_by_year",
-    "user_recency_scores",
-    "incremental_rollup",
-    "join_skew_report",
-    "events_gapfilled_hourly",
-    "event_transition_matrix",
-    "retention_cohorts",
-    "seasonal_naive_forecast",
-    "user_behavior_entropy",
-    "repeat_purchase_intervals",
-    "basket_type_pairs",
-    "bloom_join_prune",
-    "time_weighted_avg",
-    "order_count_distribution",
-    "dormant_high_balance_customers",
-    "data_expectations",
-    "association_rules",
-    "scd2_intervals",
-    "hll_distinct_by_group",
-    "wav_audio_features",
-    "kmeans_lloyd_gate",
-    "label_propagation_communities",
-    "embedding_drift_cohorts",
-    "lsh_incremental_candidates",
-    "ngram_novelty",
-    "duplicate_span_lengths",
-    "doc_keywords",
+    "calibration_bins",
+    "query_expansion_prf",
+    "passage_search_maxpool",
+    "phrase_search",
+    "top_customers_per_segment",
+    "customers_without_orders",
+    "revenue_rollup",
+    "order_priority_rolling",
+    "scd2_asof_enrichment",
+    "small_quantity_revenue",
+    "large_volume_orders",
+    "shipping_priority_topk",
+    "returned_item_losses",
+    "min_cost_supplier",
+    "sole_supplier_orders",
+    "important_part_value",
+    "ewma_recency",
+    "zorder_clustering_gate",
+    "salted_aggregation_gate",
+    "bucketed_join_gate",
+    "profit_by_nation_year",
+    "shipping_delay_priority",
+    "top_revenue_supplier",
+    "supplier_part_variety",
+    "bracketed_quantity_revenue",
+    "excess_shipment_suppliers",
+    "revenue_pareto",
+    "trending_topn",
+    "ohlc_bars",
+    "top_event_paths",
+    "snapshot_diff_cdc",
+    "watermark_lateness_report",
+    "user_rfm_scores",
+    "grouped_split_gate",
+    "event_transitions",
+    "dau_wau_stickiness",
+    "robust_outlier_days",
+    "events_type_pivot",
+    "growth_accounting",
+    "ann_binary_full_probe",
+    "ann_binary_recall",
+    "npy_roundtrip",
+    "ppm_image_features",
+    "knn_exact_cosine",
+    "knn_exact_euclidean",
+    "knn_topk_local_merge",
+    "similarity_pairs",
+    "embedding_quantize",
 )
 _RUN_LAST = (
     "ann_ivf_knn",
