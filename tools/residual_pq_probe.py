@@ -14,11 +14,17 @@ Two measurements:
 1. numpy-side at tools/opq_probe.py's exact shapes (2000×64 uniform and
    clustered-anisotropic, 8 queries, top-10), plain vs residual at
    m = 8/16/32 — directly comparable to `pq_adc_agreement_recorded`;
-2. Spark-side through the REAL `build_ivf_index(store='pq')` path at the
-   crossover corpus shape (1M×64 clustered, n_lists=256, Q=64): ADC-only
-   top-10 agreement vs exact BLAS at the same generous n_probe for both
-   variants, so routing loss is held constant and the delta is purely
-   the encoding.
+2. Spark-side through the REAL `build_ivf_index(store='pq')` path at a
+   clustered-at-scale shape (250k×64, n_lists=128, Q=64 by default —
+   n_lists ≈ the generator's 128 clusters, the regime residual targets):
+   ADC-only top-10 agreement vs exact BLAS at the same generous n_probe
+   for both variants, so routing loss is held constant and the delta is
+   purely the encoding.  The full 1M×64 shape was attempted and is
+   recorded where it got before the round's wall budget cut it: plain
+   m=8 ADC-only agreement at 1M clustered = 0.0063 (a measured null —
+   ADC-only serving at that scale/m ranks by quantization noise; builds
+   cost ~980 s each on this box, which is why the recorded axis runs at
+   250k).
 
 Usage: python tools/residual_pq_probe.py [--spark] [n_base]
 """
@@ -66,7 +72,7 @@ def agreement_numpy(x: np.ndarray, m: int, residual: bool, n_lists: int = 32):
     return hits / 80
 
 
-def spark_probe(n_base: int = 1_000_000, n_lists: int = 256, n_probe: int = 32):
+def spark_probe(n_base: int = 250_000, n_lists: int = 128, n_probe: int = 16):
     from pyspark.sql import functions as F
 
     from hnsw_spark.operators.ann import build_ivf_index
