@@ -407,14 +407,22 @@ def _kmeans_numpy(
             centers.append(x[rng.choice(n, p=d2 / total)])
         d2 = np.minimum(d2, ((x - centers[-1]) ** 2).sum(1))
     c = np.stack(centers)
+    d = x.shape[1]
     for _ in range(iters):
-        assign = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1).argmin(1) if n * k * x.shape[1] < 5e7 else np.argmax(
+        assign = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1).argmin(1) if n * k * d < 5e7 else np.argmax(
             x @ c.T - 0.5 * (c * c).sum(1), axis=1
         )
-        for j in range(k):
-            mask = assign == j
-            if mask.any():
-                c[j] = x[mask].mean(0)
+        # center update via per-dim bincount: one O(n) pass per dimension.
+        # The old per-center loop (k boolean masks × fancy-index × mean)
+        # cost ~30 s per training run at the 65k sample — and a PQ build
+        # runs this once per subspace, so m=16 paid ~15 min of driver-side
+        # Python per build (measured, tools/residual_pq_probe.py round 12).
+        counts = np.bincount(assign, minlength=k).astype(np.float64)
+        sums = np.empty((k, d))
+        for dim in range(d):
+            sums[:, dim] = np.bincount(assign, weights=x[:, dim], minlength=k)
+        nz = counts > 0
+        c[nz] = sums[nz] / counts[nz, None]  # empty lists keep their center
         if spherical:
             c = _normalize_rows(c)
     return c
