@@ -346,6 +346,37 @@ def _cell_factor(probes: list | None, calib: dict) -> float | None:
     )
 
 
+def _normalized_min(
+    walls: list, probes: list | None, calib: dict
+) -> float | None:
+    """Min of PER-SAMPLE normalized walls (ADVICE r12 #1): each sample is
+    divided by the probe factor nearest it in time — position-interpolated
+    between the cell's before/after bracketing probes — instead of the min
+    sample divided by the geomean of both probes.  The old convention had
+    a one-sided bias: under bursty contention the min sample likely landed
+    in a quiet moment while a bracketing probe caught the burst, so a
+    clean wall got divided by a >1 factor it never paid and regressions
+    were under-reported.  Interpolating by sample position pairs each wall
+    with the host speed closest to when it ran; a cell with no probes
+    falls back to the run-level spark_sum axis factor as before."""
+    walls = [w for w in walls if isinstance(w, (int, float)) and w > 0]
+    if not walls:
+        return None
+    ref = _REF_CALIB[_GATE_AXIS]
+    ps = [p for p in (probes or []) if isinstance(p, (int, float)) and p > 0]
+    if not ps:
+        f = _calib_factor(calib, (_GATE_AXIS,)) or _calib_factor(
+            calib, _OVERHEAD_AXES
+        )
+        return min(walls) / f if f else None
+    lo, hi = ps[0], ps[-1]
+    k = len(walls)
+    return min(
+        w / (max(lo + ((i + 0.5) / k) * (hi - lo), 1e-9) / ref)
+        for i, w in enumerate(walls)
+    )
+
+
 def _calib_normalized(
     timings: dict,
     calib: dict,
@@ -353,12 +384,13 @@ def _calib_normalized(
     cell_probes: dict | None = None,
 ) -> dict:
     """Per-cell wall ratios vs the r1 baseline, noise-proofed (VERDICT
-    r11 #1): each gate cell's MIN sample (r1 recorded min-of-2, so min/min
-    is the convention-consistent ratio — ADVICE r11 flagged the old
-    median/min upward bias) divided by the spark_sum host-speed factor
-    measured by that cell's OWN bracketing micro-probes, so a contention
-    burst that hits one cell mid-run is corrected by the probe that saw
-    the same burst, not by an end-of-run whole-run factor.  Cells without
+    r11 #1, ADVICE r12 #1): each gate cell's samples are normalized
+    PER-SAMPLE by the position-interpolated nearest-in-time bracketing
+    probe factor, then the min normalized sample is the ratio (r1 recorded
+    min-of-2, so min/min is convention-consistent) — a contention burst
+    that hits one cell mid-run is corrected by the probe that saw the same
+    burst, and a quiet-moment min sample is no longer divided by a burst
+    factor it never paid.  Cells without
     probes fall back to the run-level spark_sum axis factor.  The
     run-level overhead factor (pyloop + spark_sum geomean, VERDICT r9 #2)
     is still computed and recorded for whole-run drift attribution, and
@@ -391,10 +423,12 @@ def _calib_normalized(
         "normalization_axes": list(_OVERHEAD_AXES),
         "gate_axis": _GATE_AXIS,
         "ratio_convention": (
-            "min-of-samples / per-cell spark_sum probe factor / r1 wall"
-            " (r12+; r1 walls are min-of-2, so min/min is"
-            " convention-consistent — r8-r11 divided the median wall by"
-            " the run-level two-axis factor, recorded alongside as"
+            "min over samples of (sample / its position-interpolated"
+            " nearest-in-time probe factor) / r1 wall (r13+; ADVICE r12 #1"
+            " closed the one-sided bias of r12's min-of-samples /"
+            " geomean-of-probes — r1 walls are min-of-2, so min/min stays"
+            " convention-consistent; r8-r11 divided the median wall by the"
+            " run-level two-axis factor, recorded alongside as"
             " ratio_vs_r1_run_factor)"
         ),
     }
@@ -411,15 +445,13 @@ def _calib_normalized(
         }
         out["ratio_vs_r1"] = {
             n: round(
-                min(samples[n]) if samples.get(n) else w,
-                6,
+                _normalized_min(
+                    samples.get(n) or [w], cell_probes.get(n), calib
+                )
+                / r1[n],
+                3,
             )
-            / factors[n]
-            / r1[n]
             for n, w in gated.items()
-        }
-        out["ratio_vs_r1"] = {
-            n: round(v, 3) for n, v in out["ratio_vs_r1"].items()
         }
         out["ratio_vs_r1_run_factor"] = {
             n: round(w / factor / r1[n], 3) for n, w in gated.items()
@@ -432,13 +464,27 @@ def _calib_normalized(
     return out
 
 
-def _norm_summary(ratios: dict | None) -> dict:
+def _norm_summary(ratios: dict | None, cn: dict | None = None) -> dict:
     """Geomean + worst cell of the normalized per-cell ratios — the two
     numbers the 2x gate reads, sized to ride on the bounded stdout line.
     Cells in _PATH_CHANGED_SINCE_R1 are EXCLUDED from the gate numbers
     (their ratio compares different algorithms, not the same code on a
     different day — ADVICE r10) and emitted as a separate annotated field
-    so the caveat rides on the line, not just in the sidecar."""
+    so the caveat rides on the line, not just in the sidecar.
+
+    With the full calib_normalized block (``cn``), two more fields make
+    the convention self-documenting on the line (VERDICT r12 #4 + ADVICE
+    r12 #1's second arm):
+
+    - ``normalized_away``: every cell whose OLD-convention ratio
+      (median / run-level factor) breached 2x while the probe-normalized
+      ratio cleared — the corrective power of the per-cell probes, shown
+      with the raw ratio, the cell factor and the probes that justify it;
+    - ``run_factor_gate_3x``: cells whose old-convention ratio exceeds a
+      LOOSER 3x bar.  Probe normalization can absorb contention it can
+      also absorb a real regression dressed as contention; a persistent
+      cell-level slowdown past 3x run-factor reddens the line regardless
+      of what the probes said."""
     if not ratios:
         return {}
     import math
@@ -457,6 +503,27 @@ def _norm_summary(ratios: dict | None) -> dict:
     excluded = {k: v for k, v in ratios.items() if k in _PATH_CHANGED_SINCE_R1}
     if excluded:
         out["norm_excluded_path_changed"] = excluded
+    if cn:
+        run_r = cn.get("ratio_vs_r1_run_factor") or {}
+        away = [
+            {
+                "cell": n,
+                "raw_ratio": run_r[n],
+                "cell_factor": (cn.get("cell_factors") or {}).get(n),
+                "probes_ms": (cn.get("cell_probes_ms") or {}).get(n),
+            }
+            for n, v in gated.items()
+            if v <= 2.0 and run_r.get(n, 0.0) > 2.0
+        ]
+        if away:
+            out["normalized_away"] = away
+        loose = {
+            n: v
+            for n, v in run_r.items()
+            if n in gated and v > 3.0
+        }
+        if loose:
+            out["run_factor_gate_3x"] = loose
     return out
 
 
@@ -758,7 +825,9 @@ def main() -> None:
     # the normalized verdict rides ON the line (the driver captures only a
     # bounded stdout tail): geomean + worst cell of the overhead-axis-
     # normalized ratios vs the r1 baseline — the numbers the 2x gate reads
-    line.update(_norm_summary(calib_normalized.get("ratio_vs_r1")))
+    line.update(
+        _norm_summary(calib_normalized.get("ratio_vs_r1"), calib_normalized)
+    )
     if errors:
         line["errors"] = {k: v[:60] for k, v in errors.items()}
     sidecar = os.path.join(

@@ -112,6 +112,12 @@ def train_pq_codebooks(
     ONE table per query plus a per-list additive constant."""
     from hnsw_spark.operators.levels import uniform_from_id
 
+    if centroids is not None and metric != "cosine":
+        raise ValueError(
+            "residual PQ training requires metric='cosine': _assign_rows "
+            f"routes by the cosine convention (got {metric!r}); mirror of "
+            "adc_score's early rejection"
+        )
     ksub = 1 << nbits
     probe = base.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vector")
@@ -182,6 +188,11 @@ def pq_encode(
     residual, and ADC adds the exact ``q·centroid[list]`` term back at
     search time.  The centroid matrix broadcasts with the codebooks; the
     pass stays one Arrow-batched scan."""
+    if centroids is not None and metric != "cosine":
+        raise ValueError(
+            "residual PQ encoding requires metric='cosine': the coarse "
+            f"assignment convention is cosine-only (got {metric!r})"
+        )
     bcast = df.sparkSession.sparkContext.broadcast(
         (codebooks, _residual_cents(centroids) if centroids is not None else None)
     )

@@ -224,6 +224,27 @@ def test_pq_rejects_euclidean_and_indivisible_dim(spark, corpus):
         build_ivf_index(corpus, metric="cosine", store="pq", pq_m=5)
 
 
+def test_residual_pq_rejects_non_cosine_direct_calls(spark, corpus):
+    """ADVICE r12 #2: _assign_rows routes by the cosine convention, so a
+    DIRECT train/encode call with centroids + metric='euclidean' would
+    silently assign residuals with the wrong nearest-centroid rule (no
+    shipped path hits this — adc_score and build_ivf_index are already
+    cosine-only); both sites must reject early, mirroring adc_score."""
+    import numpy as np
+    import pytest as _pytest
+
+    from hnsw_spark.operators.pq import pq_encode, train_pq_codebooks
+
+    base = corpus.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    cents = np.eye(4, 16)
+    with _pytest.raises(ValueError, match="cosine"):
+        train_pq_codebooks(base, m=8, metric="euclidean", centroids=cents)
+    with _pytest.raises(ValueError, match="cosine"):
+        pq_encode(base, np.zeros((8, 256, 2)), metric="euclidean", centroids=cents)
+
+
 @pytest.fixture(scope="module")
 def clustered(spark):
     return synthetic_vectors(

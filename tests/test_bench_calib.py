@@ -262,3 +262,60 @@ def test_quiet_window_retry(monkeypatch):
     monkeypatch.setattr(bench, "_calibration", lambda spark: {"err": "x"})
     ok3, probes3 = bench._quiet_window(None, sleep_s=1.0)
     assert ok3 and len(probes3) == 1
+
+
+def test_normalized_min_per_sample_probe_pairing():
+    """ADVICE r12 #1, pinned: the one-sided bias scenario — the min
+    sample landed in a QUIET moment (before-probe on-ref) while the
+    after-probe caught a 2x burst.  r12's min/geomean-of-probes divided
+    the clean wall by ~1.41x it never paid (under-reporting a regression
+    by the same factor); the per-sample convention pairs the early min
+    sample with the early (quiet) probe."""
+    ref = bench._REF_CALIB["spark_sum_1m_ms"]
+    calib = dict(bench._REF_CALIB)
+    # two samples: a clean 1.0 s first, a burst-inflated 2.0 s second
+    walls = [1.0, 2.0]
+    probes = [ref * 1.0, ref * 2.0]
+    v = bench._normalized_min(walls, probes, calib)
+    # sample 0 at t=0.25 -> factor 1.25; sample 1 at t=0.75 -> 1.75
+    assert abs(v - min(1.0 / 1.25, 2.0 / 1.75)) < 1e-9
+    # old convention (geomean sqrt(2)=1.414) would have read 0.707 —
+    # the new one reads 0.8: strictly less flattering to the clean wall
+    assert v > 1.0 / math.sqrt(2.0)
+    # identical probes degenerate to the r12 convention exactly
+    assert abs(
+        bench._normalized_min([1.9, 4.0], [ref * 1.9, ref * 1.9], calib)
+        - 1.0
+    ) < 1e-9
+    # no probes -> run-level spark_sum axis fallback, min of samples
+    calib2 = dict(bench._REF_CALIB)
+    calib2["spark_sum_1m_ms"] *= 2.0
+    assert abs(bench._normalized_min([4.0, 2.0], None, calib2) - 1.0) < 1e-9
+    # unusable calib and no probes -> None, never an invented factor
+    assert bench._normalized_min([1.0], None, {"err": "x"}) is None
+
+
+def test_norm_summary_normalized_away_and_loose_run_gate():
+    """VERDICT r12 #4: cells the probe convention rescued from a >2x
+    old-convention ratio are first-class on the line (cell, raw ratio,
+    factor, probes); ADVICE r12 #1 second arm: a persistent slowdown past
+    a LOOSER 3x run-factor bar reddens the line even when probe
+    normalization cleared it."""
+    cn = {
+        "ratio_vs_r1_run_factor": {"a": 2.7, "b": 1.1, "c": 3.4},
+        "cell_factors": {"a": 1.9, "b": 1.0, "c": 2.1},
+        "cell_probes_ms": {"a": [151.6, 150.2], "c": [160.0]},
+    }
+    out = bench._norm_summary({"a": 1.05, "b": 1.1, "c": 1.9}, cn)
+    away = {e["cell"]: e for e in out["normalized_away"]}
+    assert set(away) == {"a", "c"}
+    assert away["a"]["raw_ratio"] == 2.7
+    assert away["a"]["cell_factor"] == 1.9
+    assert away["a"]["probes_ms"] == [151.6, 150.2]
+    assert out["run_factor_gate_3x"] == {"c": 3.4}
+    # a cell >2 under BOTH conventions is a breach, not "normalized away"
+    out2 = bench._norm_summary({"a": 2.4}, {"ratio_vs_r1_run_factor": {"a": 2.9}})
+    assert "normalized_away" not in out2
+    # no cn block: the classic two-field summary, unchanged
+    out3 = bench._norm_summary({"a": 1.0})
+    assert "normalized_away" not in out3 and "run_factor_gate_3x" not in out3

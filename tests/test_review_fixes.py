@@ -4,6 +4,7 @@ seeding, overflow-guarded fixed-point sums, and zero-match span pairs."""
 from __future__ import annotations
 
 import math
+import os
 
 
 def test_kmeans_seeds_k_smallest_ids_not_id_lt_k(spark):
@@ -84,3 +85,24 @@ def test_dsum_fp_never_wraps_silently(spark):
     assert small.agg(dsum_fp("v").alias("s")).collect()[0]["s"] == int(
         math.floor(1.5 * 1e4 + 0.5) + math.floor(2.25 * 1e4 + 0.5)
     )
+
+
+def test_query_caches_are_session_keyed(spark):
+    """ADVICE r12 #3: the registry's memoized exact-kNN frame and index
+    cache must key on the LIVE session (applicationId) — a stop+recreate
+    of the SparkSession in one process must miss the cache instead of
+    serving a DataFrame bound to a dead JVM context.  Pinned structurally
+    (no Spark restart in the shared-session suite): every cache entry's
+    key leads with this session's applicationId, so a new session's
+    lookups cannot collide."""
+    from hnsw_spark.queries import index as qindex
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    qindex.cached_exact_topk(spark, sf_dir)
+    app = spark.sparkContext.applicationId
+    assert app == qindex._session_token(spark)
+    assert all(k[0] == app for k in qindex._EXACT_TOPK_CACHE)
+    # a different session token misses: the dead-session entry is
+    # unreachable from a recreated session's lookups
+    assert (("app-other", sf_dir)) not in qindex._EXACT_TOPK_CACHE
+    assert (app, sf_dir) in qindex._EXACT_TOPK_CACHE

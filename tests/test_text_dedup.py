@@ -459,7 +459,10 @@ def test_staged_ladder_pairs_identical_to_one_job_plan(spark, tmp_path):
     changes where shuffle files live, never which pairs band-collide.
     Verified at 30M against the r11 recorded run (3,000,143 pairs,
     pair-identical); this pins the equivalence in the suite at test
-    scale."""
+    scale — including the r13 sliced signature pass (sig_slices=3 over
+    4000 docs exercises uneven id-range slices + the per-band cap): the
+    minhash signature is per-document, so slicing must never change which
+    pairs band-collide."""
     from pyspark.sql import functions as F
 
     from hnsw_spark.operators.dedup import lsh_candidate_pairs
@@ -475,9 +478,46 @@ def test_staged_ladder_pairs_identical_to_one_job_plan(spark, tmp_path):
         ).collect()
     }
     out = dedup_ladder_staged(
-        spark, n, n_parts=8, scratch=str(tmp_path / "ladder")
+        spark, n, n_parts=8, scratch=str(tmp_path / "ladder"),
+        sig_slices=3,
     )
     assert out["n_candidate_pairs"] == len(one_job)
     # the generator plants one near-dup per 10 docs; the verified set is
     # exactly the planted pairs on both plans
     assert out["n_verified_ge_080"] == n // 10 - 1
+
+
+def test_staged_ladder_per_band_cap_matches_global_cap(spark, tmp_path):
+    """r13: the staged plan moved the max_bucket cap from the (global)
+    signature job into stage 2, applied per band — semantically identical
+    because the cap key is (band_idx, band_key).  NON-VACUOUSLY pinned
+    (the ADVICE r11 #3 lesson): six identical docs form an over-cap
+    bucket in EVERY band at max_bucket=4, so the cap must actually drop
+    pairs, and the staged drop must equal the one-job global drop."""
+    from pyspark.sql import functions as F
+
+    from hnsw_spark.operators.dedup import lsh_candidate_pairs
+    from tools.dedup_ladder_xl import dedup_ladder_staged
+
+    texts = ["identical degenerate boilerplate text repeated verbatim"] * 6
+    texts += [
+        f"unique filler document number {i} with its own distinct words "
+        f"alpha{i} beta{i} gamma{i} delta{i}"
+        for i in range(14)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    capped = lsh_candidate_pairs(
+        docs, num_perm=32, bands=8, n=3, max_bucket=4
+    ).count()
+    uncapped = lsh_candidate_pairs(
+        docs, num_perm=32, bands=8, n=3, max_bucket=None
+    ).count()
+    assert uncapped > capped  # the cap genuinely trips on this corpus
+    out = dedup_ladder_staged(
+        spark, len(texts), n_parts=4, max_bucket=4,
+        scratch=str(tmp_path / "ladder_cap"), sig_slices=2,
+        docs_df=docs, id_max=len(texts),
+    )
+    assert out["n_candidate_pairs"] == capped
