@@ -159,7 +159,12 @@ class IVFIndex:
         lookup of Q·k·factor ids against the float store — the compressed
         codes serve the scan, the floats serve only survivors.  With
         ``store='pq'`` and full probing this recovers recall ≈ 1 (pinned in
-        tests)."""
+        tests).
+
+        Rule of thumb (see ``build_ivf_index`` for the measured axes): for
+        ``store='pq'`` ALWAYS pass ``rerank_with`` unless ``pq_m ≥ d/2`` —
+        ADC-only ordering below that bar is quantization noise on clustered
+        corpora, residual or not."""
         sim = get_metric(self.metric)
         if k <= 0:
             return self.index_df.sparkSession.createDataFrame(
@@ -797,7 +802,21 @@ def build_ivf_index(
     list at search time); on clustered corpora the residual variance is a
     fraction of the raw variance, so agreement-vs-exact at a given m rises
     sharply (measured: tools/residual_pq_probe.py, bench
-    ``pq_residual_agreement_recorded``)."""
+    ``pq_residual_agreement_recorded``).
+
+    **Sizing ``pq_m`` (the honest serving rule, measured on the two
+    recorded axes — tools/opq_probe.py OPQ sweep and
+    tools/residual_pq_probe.py / bench ``pq_residual_agreement_recorded``):**
+    ADC-only ranking is trustworthy only at ``m ≥ d/2`` (≤2 dims per
+    subspace); below that, serve a ``k·rerank_factor`` shortlist and
+    re-rank full-precision via ``search(rerank_with=...)`` — at m=d/8 on
+    tightly-clustered corpora ADC-only top-10 agreement collapses to ~0.05
+    for BOTH plain and residual encodings while shortlist+rerank restores
+    recall 1.0.  ``pq_residual`` helps exactly when the coarse quantizer
+    resolves real cluster structure (clustered-aniso d=256/m=32 agreement
+    0.362→0.662; ~10× ADC-only lift on 250k clustered corpora) and is
+    recall-neutral-to-slightly-negative on structureless/uniform data —
+    it is never a substitute for the rerank stage at small m."""
     get_metric(metric)  # validate early (reference src/main.ts:42-44)
     if store not in ("float32", "int8", "pq", "binary"):
         raise ValueError(f"unknown store: {store!r}")

@@ -26,65 +26,63 @@ ORACLES: dict[str, str] = {}
 # registrations are capped at ~25 per round so the window can re-certify
 # the whole registry within roughly two rounds of any addition.
 #
-# Round-12 rotation (tools/rotation_plan.py recomputed at HEAD, VERDICT
-# r11 #2): the window leads with this round's one net-new row
-# (`target_encode_serving`), gives the r11-new `ann_serving_gate` its
-# SECOND sampling (the VERDICT r9 #1 two-sample policy for fresh
-# registrations), then re-certifies the stalest driver evidence — the
-# whole r7 block (43 rows, last-green r7), topping up from the head of
-# the r8 block to fill 50.  Rows-only checks (the 2 tuned-ANN tiers)
-# stay last.
+# Round-13 rotation (tools/rotation_plan.py recomputed at HEAD, VERDICT
+# r12 #2): the window leads with this round's two net-new rows (the
+# residual-PQ pair, VERDICT r12 #1 — first-ever driver sampling), then
+# re-certifies the stalest driver evidence: the ENTIRE r8 block (40 rows,
+# last-green r8), topped up from the head of the r9 block to fill 50.
+# Rows-only checks (the 2 tuned-ANN tiers) stay last.
 _RUN_FIRST = (
-    "target_encode_serving",
-    "ann_serving_gate",
-    "calibration_bins",
-    "query_expansion_prf",
-    "passage_search_maxpool",
-    "phrase_search",
-    "top_customers_per_segment",
-    "customers_without_orders",
-    "revenue_rollup",
-    "order_priority_rolling",
-    "scd2_asof_enrichment",
-    "small_quantity_revenue",
-    "large_volume_orders",
-    "shipping_priority_topk",
-    "returned_item_losses",
-    "min_cost_supplier",
-    "sole_supplier_orders",
-    "important_part_value",
-    "ewma_recency",
-    "zorder_clustering_gate",
-    "salted_aggregation_gate",
-    "bucketed_join_gate",
-    "profit_by_nation_year",
-    "shipping_delay_priority",
-    "top_revenue_supplier",
-    "supplier_part_variety",
-    "bracketed_quantity_revenue",
-    "excess_shipment_suppliers",
-    "revenue_pareto",
-    "trending_topn",
-    "ohlc_bars",
-    "top_event_paths",
-    "snapshot_diff_cdc",
-    "watermark_lateness_report",
-    "user_rfm_scores",
-    "grouped_split_gate",
-    "event_transitions",
-    "dau_wau_stickiness",
-    "robust_outlier_days",
-    "events_type_pivot",
-    "growth_accounting",
-    "ann_binary_full_probe",
-    "ann_binary_recall",
-    "npy_roundtrip",
-    "ppm_image_features",
-    "knn_exact_cosine",
-    "knn_exact_euclidean",
-    "knn_topk_local_merge",
-    "similarity_pairs",
-    "embedding_quantize",
+    "ann_ivfpq_residual_recall",
+    "ivfpq_residual_full_probe",
+    "knn_filtered",
+    "recall_at_k",
+    "mean_recall",
+    "doc_fingerprints",
+    "token_counts",
+    "text_quality",
+    "unigram_logprob",
+    "repetition_stats",
+    "lang_id_pred",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "ngram_jaccard_capped",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "simhash_fingerprints",
+    "simhash_neardup_pairs",
+    "dedup_clusters",
+    "embedding_neardup",
+    "embedding_neardup_ann",
+    "curation_filter",
+    "corpus_attrition",
+    "stratified_sample",
+    "text_hash_embeddings",
+    "tfidf_top_terms",
+    "vocab_stats",
+    "decontamination",
+    "sequence_packing",
+    "shard_assignment",
+    "pii_scrub",
+    "quality_classifier",
+    "mixing_weights",
+    "hybrid_rrf_search",
+    "bm25_search",
+    "promo_revenue_by_type",
+    "top_suppliers_per_nation",
+    "returns_cube",
+    "synthetic_documents",
+    "ann_ivf_full_probe",
+    "ann_hnsw_full_probe",
+    "index_persist_roundtrip",
+    "random_projection",
+    "knn_label_vote",
+    "pca_gate",
+    "latency_summary",
+    "percentile_floor_global",
+    "ab_compare",
+    "ab_delta_summary",
+    "percentile_sketch_gate",
 )
 _RUN_LAST = (
     "ann_ivf_knn",

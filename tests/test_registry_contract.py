@@ -33,8 +33,8 @@ def test_registry_is_complete_and_loads_loudly():
     # VERDICT r6 #2); the pinned counts make ANY accidental drop fail the
     # suite instead of quietly narrowing the driver's evidence window.
     # Update both pins when registering new queries.
-    assert len(QUERIES) == 221, sorted(QUERIES)
-    assert len(ORACLES) == 219
+    assert len(QUERIES) == 223, sorted(QUERIES)
+    assert len(ORACLES) == 221
 
 
 def test_rotation_lists_name_only_registered_queries():
