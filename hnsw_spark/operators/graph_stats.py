@@ -126,6 +126,10 @@ def k_core(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # one count job per round: the previous round's post-peel count IS this
+    # round's pre-peel count (the checkpointed frame cannot change between
+    # rounds), so re-counting it was a pure extra job per iteration
+    n_before = e.count()
     while True:
         deg = (
             e.select(F.col("u").alias("node"))
@@ -134,7 +138,6 @@ def k_core(
             .agg(F.count(F.lit(1)).alias("d"))
         )
         keep = deg.filter(F.col("d") >= k).select("node")
-        n_before = e.count()
         e2 = (
             e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
             .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
@@ -144,6 +147,7 @@ def k_core(
         e = e2
         if n_after == n_before:
             break
+        n_before = n_after
     return (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))

@@ -381,34 +381,40 @@ def mutual_knn_pairs(
     query, so the Q×N scored-row shuffle of the window tier is exactly the
     blowup local_merge exists to avoid — BLAS block scoring, per-batch
     top-k, Q×k×batches shuffle input), self-match dropped, re-ranked to k,
-    PERSISTED (both join sides consume it — without the persist the whole
-    scoring pipeline runs twice), then an equi-self-join on the reversed
-    key — the join carries N×k rows, never N².
+    then ONE groupBy on the canonical (min, max) pair key: each directed
+    edge lands in its unordered pair's group, a pair is mutual iff both
+    directions are present, and the (rank_ab, rank_ba, score) columns are
+    conditional aggregates over the ≤2 rows per group.  A group carries at
+    most one row per direction ((query_id, id) is unique in a top-k), so
+    the aggregation is exact, and the whole operator is a single pass —
+    no persist and no self-join (the former fwd⋈rev plan scanned the
+    scoring pipeline from both join sides, racing duplicate
+    materialization of the cached frame when cold).
     """
-    from pyspark.storagelevel import StorageLevel
-
     top = knn_exact(
         emb, emb, k=k + 1, metric=metric,
         base_id=id_col, base_vec=vec_col, query_id=id_col, query_vec=vec_col,
         strategy="local_merge",
     ).filter(F.col("id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("id"))
-    ranked = (
-        top.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    ranked = top.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
     )
-    fwd = ranked.select(
-        F.col("query_id").alias("id_a"),
-        F.col("id").alias("id_b"),
-        F.col("rank").alias("rank_ab"),
-        "score",
-    ).filter(F.col("id_a") < F.col("id_b"))
-    rev = ranked.select(
-        F.col("id").alias("id_a"),
-        F.col("query_id").alias("id_b"),
-        F.col("rank").alias("rank_ba"),
-    ).filter(F.col("id_a") < F.col("id_b"))
-    return fwd.join(rev, ["id_a", "id_b"]).select(
-        "id_a", "id_b", "rank_ab", "rank_ba", "score"
+    is_fwd = F.col("query_id") < F.col("id")
+    sides = ranked.select(
+        F.least("query_id", "id").alias("id_a"),
+        F.greatest("query_id", "id").alias("id_b"),
+        F.when(is_fwd, F.col("rank")).alias("_rank_ab"),
+        F.when(~is_fwd, F.col("rank")).alias("_rank_ba"),
+        F.when(is_fwd, F.col("score")).alias("_score_ab"),
+    )
+    return (
+        sides.groupBy("id_a", "id_b")
+        .agg(
+            F.max("_rank_ab").alias("rank_ab"),
+            F.max("_rank_ba").alias("rank_ba"),
+            F.max("_score_ab").alias("score"),
+        )
+        .filter(F.col("rank_ab").isNotNull() & F.col("rank_ba").isNotNull())
+        .select("id_a", "id_b", "rank_ab", "rank_ba", "score")
     )

@@ -1305,9 +1305,19 @@ def jaccard_auto_dispatch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute = probe(
         ngram_jaccard_auto(boil, n=3, threshold=_AUTO_JACC_T, plan="brute")
     )
+    # multiset equality in ONE job: the exceptAll-both-directions form ran
+    # each (expensive) Jaccard pipeline twice — once per direction.  Tagging
+    # the sides +1/-1 and summing per row is the same multiset comparison
+    # (both exceptAll directions empty ⟺ every row's multiplicity matches)
+    # with each pipeline evaluated exactly once.
+    marked = auto.withColumn("_s", F.lit(1)).unionByName(
+        brute.withColumn("_s", F.lit(-1))
+    )
     pairs_match = (
-        auto.exceptAll(brute).count() == 0
-        and brute.exceptAll(auto).count() == 0
+        marked.groupBy("id_a", "id_b", "n_common", "size_a", "size_b")
+        .agg(F.sum("_s").alias("_d"))
+        .filter(F.col("_d") != 0)
+        .isEmpty()
     )
     return spark.createDataFrame(
         [(even_plan, templated_plan, pairs_match)],

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from hnsw_spark.streaming.sketch import _read_or_empty
+from hnsw_spark.streaming.sketch import _partition_versions, _read_or_empty
 
 
 class StreamingTargetEncoder:
@@ -81,11 +81,12 @@ class StreamingTargetEncoder:
         all_versions = _read_or_empty(
             spark, self.stats_path, self._stats_schema(spark)
         )
-        versions = [
-            r["_v"]
-            for r in all_versions.select("_v").distinct().collect()
-            if r["_v"] < epoch_id
-        ]
+        listed = _partition_versions(self.stats_path, "_v=")
+        if listed is None:
+            listed = [
+                r["_v"] for r in all_versions.select("_v").distinct().collect()
+            ]
+        versions = [v for v in listed if v < epoch_id]
         if not versions:
             return all_versions.drop("_v").limit(0)
         return all_versions.filter(F.col("_v") == max(versions)).drop("_v")
@@ -105,9 +106,11 @@ class StreamingTargetEncoder:
         # replay guard and the prior selection (ADVICE r10 follow-up — the
         # guard used to trigger a second full read via _stats_before).
         all_df = _read_or_empty(spark, self.stats_path, self._stats_schema(spark))
-        all_versions = [
-            r["_v"] for r in all_df.select("_v").distinct().collect()
-        ]
+        all_versions = _partition_versions(self.stats_path, "_v=")
+        if all_versions is None:
+            all_versions = [
+                r["_v"] for r in all_df.select("_v").distinct().collect()
+            ]
         priors = [v for v in all_versions if v < epoch_id]
         # Replay is only safe while this epoch's prior version survives
         # the prune window: replaying epoch e after its prior was pruned

@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from hnsw_spark.streaming.sketch import _read_or_empty
+from hnsw_spark.streaming.sketch import _partition_versions, _read_or_empty
 
 
 class StreamingTrailingFeatures:
@@ -69,16 +69,19 @@ class StreamingTrailingFeatures:
 
         full = StructType(list(schema.fields) + [StructField("_v", IntegerType())])
         tails = _read_or_empty(spark, self.tail_path, full)
-        versions = [
-            r["_v"]
-            for r in tails.select("_v").distinct().collect()
-            if r["_v"] < epoch_id
-        ]
+        # version discovery from the partition directory names (one less
+        # Spark job per epoch); Spark-side distinct only when not listable
+        listed = _partition_versions(self.tail_path, "_v=")
+        if listed is None:
+            listed = [r["_v"] for r in tails.select("_v").distinct().collect()]
+        versions = [v for v in listed if v < epoch_id]
         if not versions:
             return tails.drop("_v").limit(0)
         return tails.filter(F.col("_v") == max(versions)).drop("_v")
 
     def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        from pyspark.storagelevel import StorageLevel
+
         from hnsw_spark.operators.features import trailing_window_features
 
         if batch.isEmpty():
@@ -88,9 +91,15 @@ class StreamingTrailingFeatures:
         tail = self._tail_before(spark, int(epoch_id), batch.schema)
         # dropDuplicates: a replayed epoch's rows may already sit in a tail
         # version written by the failed attempt's successor — id-dedup makes
-        # the union (and therefore the features) attempt-invariant
-        union = tail.select(*cols).unionByName(batch).dropDuplicates(
-            [self.id_col]
+        # the union (and therefore the features) attempt-invariant.
+        # Persisted: three consumers read it (the feature write, the high-
+        # watermark aggregate, the tail write) and each would otherwise
+        # re-run the scan + dedup shuffle from scratch.
+        union = (
+            tail.select(*cols)
+            .unionByName(batch)
+            .dropDuplicates([self.id_col])
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         feats = trailing_window_features(
             union,
@@ -124,6 +133,7 @@ class StreamingTrailingFeatures:
             .partitionBy("_v")
             .parquet(self.tail_path)
         )
+        union.unpersist()
         self._drop_old_tails(spark, int(epoch_id))
 
     def _drop_old_tails(self, spark, epoch_id: int) -> None:

@@ -37,6 +37,32 @@ def _read_or_empty(spark, path: str, schema: str) -> DataFrame:
         return spark.createDataFrame([], schema)
 
 
+def _partition_versions(path: str, prefix: str) -> list[int] | None:
+    """Distinct partition values of an integer partition column, read from
+    the partition DIRECTORY NAMES (``<prefix><n>``) instead of a Spark
+    ``select(col).distinct().collect()`` job — a per-epoch fixed cost on
+    every versioned-state reader.  Returns ``None`` when the path is not a
+    locally listable directory (HDFS/S3 URI, or nothing written yet), in
+    which case callers fall back to the Spark-side distinct; committed
+    partition directories are exactly the values that read would return,
+    and the eager version-pruners in this module already trust the same
+    listing (``_drop_old_versions``/``_drop_old_tails``)."""
+    import os
+
+    try:
+        names = os.listdir(path)
+    except OSError:
+        return None
+    out = []
+    for d in names:
+        if d.startswith(prefix):
+            try:
+                out.append(int(d[len(prefix):]))
+            except ValueError:
+                pass
+    return out
+
+
 class StreamingCountMin:
     def __init__(
         self,
@@ -150,8 +176,14 @@ class StreamingKMV:
     def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
         from hnsw_spark.operators.sketches import kmv_sketch
 
-        if batch.isEmpty():
-            return
+        # No isEmpty() pre-probe (unlike the versioned-state writers, where
+        # "empty batch writes no version" is load-bearing): KMV state is an
+        # unversioned epoch-partition tree merged by distinct-union, so an
+        # empty batch's delta is zero rows and the dynamic-overwrite write
+        # of zero rows touches no partition — the same end state the guard
+        # produced, minus one full map-stage evaluation per micro-batch
+        # (take(1) behind the shingle pipeline's fan-out exchange ran the
+        # whole scan stage).
         delta = kmv_sketch(batch, self.col, self.k).withColumn(
             "epoch_id", F.lit(int(epoch_id))
         )
