@@ -735,7 +735,15 @@ def ivf_self_join(
             pairs_group, "id_a long, id_b long, cosine double"
         )
     else:
-        salted = _salt_oversized_lists(assigned, max_list)
+        # the salting guard's per-list counts aggregate and the scoring
+        # join both consume `assigned`; Spark does not CSE a shared
+        # subtree, so without a persist the scan + BLAS-assign Python
+        # stage runs TWICE (a full extra corpus pass at scale).  Library-
+        # owned persist: released by release_caches() after the caller's
+        # action (the cachereg contract).
+        from hnsw_spark.plans.cachereg import owned_persist
+
+        salted = _salt_oversized_lists(owned_persist(assigned), max_list)
 
         def pairs_task(key, pdf):
             _, ca, cb = key

@@ -119,14 +119,24 @@ class StreamingTrailingFeatures:
             .partitionBy("epoch_id")
             .parquet(self.out_path)
         )
-        hw = union.agg(F.max(self.ts_col)).first()[0]
         # retention = horizon + allowed lateness: a row arriving ℓ late
-        # needs frame events back to hw - ℓ - W (see module docstring)
+        # needs frame events back to hw - ℓ - W (see module docstring).
+        # The high watermark rides the tail-write job as a broadcast 1-row
+        # aggregate over the persisted union instead of its own collect
+        # action — one less job per epoch, same value.
+        hw_frame = F.broadcast(
+            union.agg(F.max(self.ts_col).alias("_hw"))
+        )
         keep = max(self.horizons_s) + self.allowed_lateness_s
-        new_tail = union.filter(
-            F.col(self.ts_col)
-            >= F.lit(hw) - F.expr(f"INTERVAL {int(keep)} SECOND")
-        ).withColumn("_v", F.lit(int(epoch_id)))
+        new_tail = (
+            union.crossJoin(hw_frame)
+            .filter(
+                F.col(self.ts_col)
+                >= F.col("_hw") - F.expr(f"INTERVAL {int(keep)} SECOND")
+            )
+            .drop("_hw")
+            .withColumn("_v", F.lit(int(epoch_id)))
+        )
         (
             new_tail.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

@@ -86,6 +86,14 @@ def main() -> int:
                 break
             walls.append(round(time.time() - t0, 3))
         spark.sparkContext.setJobDescription(None)
+        # bench fidelity: the bench clears library-owned persists and the
+        # catalog cache BETWEEN cells (never between a cell's samples) —
+        # without this, a later query rides the previous query's caches
+        # and probes read artificially low
+        from hnsw_spark.plans.cachereg import release_caches
+
+        release_caches()
+        spark.catalog.clearCache()
         out = {"query": name, "walls": walls}
         if err:
             out["err"] = err
