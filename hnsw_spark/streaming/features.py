@@ -89,16 +89,34 @@ class StreamingTrailingFeatures:
         spark = batch.sparkSession
         cols = batch.columns
         tail = self._tail_before(spark, int(epoch_id), batch.schema)
-        # dropDuplicates: a replayed epoch's rows may already sit in a tail
-        # version written by the failed attempt's successor — id-dedup makes
-        # the union (and therefore the features) attempt-invariant.
+        # id-dedup: a replayed epoch's rows may already sit in a tail
+        # version written by the failed attempt's successor — dedup makes
+        # the union (and therefore the features) attempt-invariant.  A
+        # duplicate of an event carries the SAME key value (it is a replay
+        # of the same row), so instead of ``dropDuplicates([id])`` — whose
+        # exchange hashes by event id right before the feature window
+        # re-shuffles by key — the dedup rides the key partitioning the
+        # window needs anyway: partition by key, sort by id, keep the
+        # first row of each id run (one exchange instead of two; the
+        # window's sort-by-ts is a re-sort of the same partitioning, no
+        # new exchange).
         # Persisted: three consumers read it (the feature write, the high-
         # watermark aggregate, the tail write) and each would otherwise
         # re-run the scan + dedup shuffle from scratch.
+        from pyspark.sql import Window
+
+        w_dedup = Window.partitionBy(self.by).orderBy(self.id_col)
         union = (
             tail.select(*cols)
             .unionByName(batch)
-            .dropDuplicates([self.id_col])
+            .withColumn(
+                "_is_dup",
+                F.lag(self.id_col).over(w_dedup).eqNullSafe(
+                    F.col(self.id_col)
+                ),
+            )
+            .filter(~F.coalesce(F.col("_is_dup"), F.lit(False)))
+            .drop("_is_dup")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         feats = trailing_window_features(
