@@ -606,22 +606,34 @@ def boilerplate_spans(
         .select("shingle")
     )
     hits = pos.join(F.broadcast(common), "shingle")
-    n_common = hits.groupBy(id_col).agg(F.count("*").alias("n_common"))
-    covered = (
-        hits.select(
-            id_col,
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
-            ).alias("_tp"),
-        )
-        .distinct()
-        .groupBy(id_col)
-        .agg(F.count("*").alias("covered_tokens"))
+    # ONE aggregation over hits: n_common is the row count, and
+    # covered_tokens — the size of the union of the [pos, pos+n-1]
+    # intervals — has a closed form over the doc's SORTED distinct
+    # positions (Σ min(next−cur, n), last interval contributing n), so
+    # the old explode(sequence)+distinct pass (n× the hit rows through an
+    # extra shuffle, plus a second evaluation of the whole scan+explode
+    # pipeline for the separate n_common aggregate) collapses into the
+    # same groupBy.  A doc's positions fit in one row by definition (the
+    # doc itself was a row), so collect_set is bounded by doc length.
+    pos_arr = F.array_sort(F.collect_set("pos"))
+    per_doc = hits.groupBy(id_col).agg(
+        F.count("*").alias("n_common"), pos_arr.alias("_ps")
+    )
+    gaps = F.zip_with(
+        F.col("_ps"),
+        F.slice(F.col("_ps"), 2, F.greatest(F.size("_ps") - 1, F.lit(1))),
+        lambda a, b: F.coalesce(F.least(b - a, F.lit(n)), F.lit(n)),
+    )
+    per_doc = per_doc.select(
+        id_col,
+        "n_common",
+        F.aggregate(
+            gaps, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("covered_tokens"),
     )
     return (
         docs.select(id_col, F.size("_w").alias("_len"))
-        .join(n_common, id_col, "left")
-        .join(covered, id_col, "left")
+        .join(per_doc, id_col, "left")
         .select(
             id_col,
             F.coalesce("n_common", F.lit(0)).alias("n_common"),
@@ -687,10 +699,16 @@ def jaccard_prefix_pairs(
         .withColumn("size", F.size("_sh"))
     )
     sh = arrays.select("id", "size", F.explode("_sh").alias("shingle"))
-    freq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+    # document frequency as a window count over the shingle partitioning
+    # (one pass, one shuffle) instead of a groupBy + join-back, which
+    # evaluated the exploded frame twice and shuffled it twice; the
+    # prefix itself is persisted because the candidate join consumes it
+    # from BOTH sides (the two window shuffles would otherwise run twice).
     w = Window.partitionBy("id").orderBy(F.asc("_df"), F.asc("shingle"))
-    prefix = (
-        sh.join(freq, "shingle")
+    prefix = owned_persist(
+        sh.withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
         .withColumn("_rn", F.row_number().over(w))
         .filter(
             F.col("_rn")
@@ -923,15 +941,22 @@ def ngram_novelty(
     work on the shingle table the dedup ladder already builds (the SAME
     ``doc_shingles`` frame: per-row array_distinct set representation, no
     post-explode corpus shuffle, narrow-input fan-out guard)."""
+    # df-per-shingle as a window count over the shingle partitioning: the
+    # old groupBy(shingle) + join-back evaluated the scan+explode shingle
+    # pipeline TWICE (the aggregate's map-side partials make its exchange
+    # subtree differ from the join side's, so ReuseExchange never fires)
+    # and shuffled the shingle frame twice; one window pass shuffles it
+    # once and reads it once.  Same hot-shingle skew behavior as the join
+    # (both route a shingle's rows to one partition).
+    from pyspark.sql import Window
+
     sh = doc_shingles(df, n, text_col, id_col)
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    per = (
-        sh.join(freq, "shingle")
-        .groupBy("id")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_unique"),
-        )
+    with_df = sh.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    )
+    per = with_df.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_unique"),
     )
     # left-join back to the full id set so shingle-less docs survive the
     # inner aggregation above (they have no rows in the shingle frame)
