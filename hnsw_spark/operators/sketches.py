@@ -370,8 +370,18 @@ def kmv_corpus_overlap(
     scalar collect, the same budget class as a convergence flag).  Raw
     doubles out (oracle-facing callers quantize)."""
     spark = items_a.sparkSession
-    va = sorted(r["h"] for r in kmv_sketch(items_a, col, k).collect())
-    vb = sorted(r["h"] for r in kmv_sketch(items_b, col, k).collect())
+    # the two sketch jobs are independent — submit both so the second
+    # job's tasks back-fill executors freed by the first job's tail
+    # (guide §2.6 overlap; job-description thread-locals are per-thread,
+    # so labels stay correct)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _collect(items: DataFrame) -> list:
+        return sorted(r["h"] for r in kmv_sketch(items, col, k).collect())
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fa, fb = pool.submit(_collect, items_a), pool.submit(_collect, items_b)
+        va, vb = fa.result(), fb.result()
     sa, sb = set(va), set(vb)
     union_k = sorted(sa | sb)[:k]
     ku = set(union_k)

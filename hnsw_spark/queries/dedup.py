@@ -684,14 +684,22 @@ def lsh_quality_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = lsh_candidate_pairs(
         docs, num_perm=NUM_PERM, bands=BANDS, n=3, max_bucket=None
     ).select("id_a", "id_b")
-    ex = exact.agg(F.count("*").alias("n_exact"))
-    cd = cand.agg(F.count("*").alias("n_candidates"))
-    ht = cand.join(exact, ["id_a", "id_b"]).agg(
-        F.count("*").alias("n_hits")
+    # one pass per arm: the separate count/count/inner-join-count form
+    # evaluated EACH arm's whole pipeline twice inside the final job
+    # (Spark does not CSE shared subtrees).  Both pair sets are distinct
+    # by construction, so a marked full-outer join + one aggregate yields
+    # the same three counts with each arm evaluated exactly once.
+    ej = exact.withColumn("_e", F.lit(1))
+    cj = cand.withColumn("_c", F.lit(1))
+    merged = ej.join(cj, ["id_a", "id_b"], "full_outer")
+    counts = merged.agg(
+        F.count("_e").alias("n_exact"),
+        F.count("_c").alias("n_candidates"),
+        F.count(F.when(F.col("_e").isNotNull() & F.col("_c").isNotNull(), 1))
+        .alias("n_hits"),
     )
     return (
-        ex.crossJoin(cd)
-        .crossJoin(ht)
+        counts
         .select(
             "n_exact",
             "n_candidates",
