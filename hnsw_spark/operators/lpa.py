@@ -32,10 +32,17 @@ def label_propagation(
 
     ``edges`` holds each undirected edge once (any orientation);
     ``nodes`` is the full vertex set (isolated vertices included)."""
-    ee = edges.select(
-        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
-    ).union(
-        edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
+    from hnsw_spark.plans.cachereg import owned_persist
+
+    # the edge list is consumed once per round and the caller's edge
+    # pipeline may be expensive (the gate feeds a brute cosine self-join);
+    # library-owned persist so rounds re-read, not re-derive
+    ee = owned_persist(
+        edges.select(
+            F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+        ).union(
+            edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
+        )
     )
     labels = nodes.select(
         F.col(node_col).alias("node"), F.col(node_col).alias("label")
@@ -56,9 +63,17 @@ def label_propagation(
             .filter(F.col("_rn") == 1)
             .select("node", F.col("label").alias("_new"))
         )
-        labels = (
-            labels.join(picked, "node", "left")
-            .select(
+        # cache each round's labels: round r's frame is consumed TWICE by
+        # round r+1 (the neighbor-count join and the carry-forward join),
+        # so without it the plan tree doubles per round and the upstream
+        # edge/label pipelines re-execute 2^rounds times.  owned_persist
+        # (not localCheckpoint): the cache bounds re-EXECUTION while
+        # staying lazy — no per-round blocking write — and rounds here are
+        # a small constant so the logical-plan growth itself is bounded;
+        # for long chains add localCheckpoint every few rounds exactly as
+        # operators/components.py does.
+        labels = owned_persist(
+            labels.join(picked, "node", "left").select(
                 "node", F.coalesce("_new", "label").alias("label")
             )
         )

@@ -449,10 +449,17 @@ def curriculum_phases_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hnsw_spark.functions.text import quality_score_w, words
     from hnsw_spark.operators.evaluation import percentile_floor
 
+    from hnsw_spark.plans.cachereg import owned_persist
+
     d = load_table(spark, sf_dir, "documents")
-    q = d.select(
-        "doc_id",
-        quality_score_w(F.col("text"), words("text")).alias("quality"),
+    # persisted: the threshold subtree (percentile ranking) and the final
+    # scan both consume q, and each would otherwise re-run the regexp-heavy
+    # quality-score pipeline (library-owned; released per action)
+    q = owned_persist(
+        d.select(
+            "doc_id",
+            quality_score_w(F.col("text"), words("text")).alias("quality"),
+        )
     )
     th = percentile_floor(q, "quality", [33, 66])
     return q.crossJoin(F.broadcast(th)).select(
@@ -642,9 +649,16 @@ def quality_drift_ks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         grp.alias("grp"),
         quality_score_w(F.col("text"), words("text")).alias("quality"),
     )
-    c = q.groupBy("quality").agg(
-        F.sum((F.col("grp") == 0).cast("long")).alias("c0"),
-        F.sum((F.col("grp") == 1).cast("long")).alias("c1"),
+    from hnsw_spark.plans.cachereg import owned_persist
+
+    # persisted: the totals aggregate and the cumulative window both
+    # consume c — without it the corpus-wide quality pipeline + groupBy
+    # runs twice (c itself is skinny: <= #distinct quality values)
+    c = owned_persist(
+        q.groupBy("quality").agg(
+            F.sum((F.col("grp") == 0).cast("long")).alias("c0"),
+            F.sum((F.col("grp") == 1).cast("long")).alias("c1"),
+        )
     )
     n = c.agg(F.sum("c0").alias("n0"), F.sum("c1").alias("n1"))
     w = Window.orderBy("quality").rowsBetween(
@@ -722,11 +736,16 @@ def quality_auc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         grp.alias("grp"),
         quality_score_w(F.col("text"), words("text")).alias("quality"),
     )
-    c = q.groupBy("quality").agg(
-        F.sum((F.col("grp") == 0).cast("long")).alias("c0"),
-        F.sum((F.col("grp") == 1).cast("long")).alias("c1"),
+    from hnsw_spark.plans.cachereg import owned_persist
+
+    # owned_persist (was a bare .persist() with no release handle — the
+    # exact storage-leak class cachereg exists for)
+    c = owned_persist(
+        q.groupBy("quality").agg(
+            F.sum((F.col("grp") == 0).cast("long")).alias("c0"),
+            F.sum((F.col("grp") == 1).cast("long")).alias("c1"),
+        )
     )
-    c = c.persist()
     n = c.agg(
         F.sum("c0").alias("n0"),
         F.sum("c1").alias("n1"),

@@ -455,10 +455,18 @@ def heavy_hitters_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hnsw_spark.operators.sketches import misra_gries
     from hnsw_spark.sources.synthetic import synthetic_zipf_tokens
 
+    from hnsw_spark.plans.cachereg import owned_persist
+
     stream = synthetic_zipf_tokens(spark, _HH_N, _HH_VOCAB, seed=_HH_SEED)
     bound = _HH_N / (_HH_K + 1)
-    sk = misra_gries(stream, k=_HH_K)
-    exact = stream.groupBy("token").agg(F.count(F.lit(1)).alias("true_cnt"))
+    # persisted: the final crossJoin job consumes the sketch from three
+    # branches (coverage anti-join, bound join, size) and the exact counts
+    # from two — each branch would re-run the full stream pass otherwise
+    # (both frames are <= vocab-size rows)
+    sk = owned_persist(misra_gries(stream, k=_HH_K))
+    exact = owned_persist(
+        stream.groupBy("token").agg(F.count(F.lit(1)).alias("true_cnt"))
+    )
     hitters = exact.filter(F.col("true_cnt") > bound)
     uncovered = hitters.join(sk, "token", "left_anti").agg(
         (F.count(F.lit(1)) == 0).alias("covered_ok")
