@@ -173,6 +173,7 @@ def feature_hash_embeddings(
     dim: int = 64,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Feature-hashing text embeddings (the HashingTF / hashing-trick
     recipe): token t adds ±1 (sign = a second hash bit) into bucket
@@ -189,8 +190,14 @@ def feature_hash_embeddings(
     from hnsw_spark.plans.parallelism import fan_out_narrow
 
     df = fan_out_narrow(df)
+    # tokens_col: a pre-tokenized array (e.g. chunk_documents'
+    # chunk_tokens) skips the words() regexp re-split — row-identical
+    # because words() tokens are \s-free and lowercased, so
+    # words(array_join(toks, ' ')) == toks up to the empty-token rows the
+    # filter below drops either way
+    toks = F.col(tokens_col) if tokens_col is not None else words(text_col)
     tok = df.select(
-        F.col(id_col).alias("id"), F.explode(words(text_col)).alias("tok")
+        F.col(id_col).alias("id"), F.explode(toks).alias("tok")
     ).filter(F.col("tok") != "")
     hashed = tok.withColumn("h", h31("tok")).select(
         "id",
@@ -299,8 +306,15 @@ def bigram_logprob(
     from hnsw_spark.functions.text import shingles_w
     from hnsw_spark.plans.parallelism import fan_out_narrow
 
-    base = fan_out_narrow(df).select(
-        F.col(id_col).alias("doc_id"), words(text_col).alias("w")
+    # base feeds TWO subtrees — the bigram tf explode and the vocabulary
+    # count — and Spark does not CSE shared subtrees, so without the
+    # persist the regexp tokenize pass runs twice over the corpus.  Same
+    # caller-owned lifetime as tf below (README "Cache ownership");
+    # MEMORY_AND_DISK so the token arrays spill, never OOM.
+    base = (
+        fan_out_narrow(df)
+        .select(F.col(id_col).alias("doc_id"), words(text_col).alias("w"))
+        .persist()
     )
     bg = base.select(
         "doc_id", F.explode(shingles_w(F.col("w"), 2)).alias("bg")

@@ -129,6 +129,7 @@ def chunk_documents(
     overlap: int = 32,
     text_col: str = "text",
     id_col: str = "doc_id",
+    with_tokens: bool = False,
 ) -> DataFrame:
     """Split documents into overlapping token-window chunks — the long-
     document preparation step (pretraining context windows, RAG passages)
@@ -177,13 +178,23 @@ def chunk_documents(
     piece = F.slice(
         F.col("_w"), F.col("chunk_start") + 1, F.lit(chunk_size)
     )
-    return exploded.select(
-        "doc_id",
-        "chunk_id",
-        "chunk_start",
+    cols = [
+        F.col("doc_id"),
+        F.col("chunk_id"),
+        F.col("chunk_start"),
         F.size(piece).alias("n_chunk_tokens"),
         F.array_join(piece, " ").alias("chunk_text"),
-    )
+    ]
+    if with_tokens:
+        # the raw token slice, for consumers that would otherwise
+        # re-tokenize chunk_text (words() ∘ array_join(' ') is the
+        # identity on a words() slice: tokens are \s-free and already
+        # lowercased, and the empty slice round-trips to zero non-empty
+        # tokens either way).  Catalyst prunes the chunk_text join when
+        # the consumer selects only chunk_tokens, so the string is never
+        # materialized on that path.
+        cols.append(piece.alias("chunk_tokens"))
+    return exploded.select(*cols)
 
 
 def global_shuffle(

@@ -383,14 +383,19 @@ def chunk_pooled_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hnsw_spark.operators.packing import chunk_documents
 
     docs = load_table(spark, sf_dir, "documents")
+    # chunk_tokens instead of chunk_text: the embedding pass consumes the
+    # token slice directly, so the array_join + regexp re-split round
+    # trip (two full string passes over the chunked corpus) is pruned
+    # out of the plan entirely — same tokens by the words()-idempotence
+    # argument in chunk_documents/feature_hash_embeddings
     chunks = chunk_documents(
-        docs, chunk_size=_CP_CHUNK, overlap=_CP_OVERLAP
+        docs, chunk_size=_CP_CHUNK, overlap=_CP_OVERLAP, with_tokens=True
     ).select(
         (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("cid"),
-        "chunk_text",
+        "chunk_tokens",
     )
     emb = feature_hash_embeddings(
-        chunks, dim=_CP_DIM, text_col="chunk_text", id_col="cid"
+        chunks, dim=_CP_DIM, tokens_col="chunk_tokens", id_col="cid"
     )
     comps = emb.select(
         F.floor(F.col("id") / 1000).cast("long").alias("doc_id"),

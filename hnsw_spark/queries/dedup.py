@@ -1220,6 +1220,8 @@ def kmv_stream_parity_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hnsw_spark.operators.sketches import kmv_sketch
     from hnsw_spark.streaming.sketch import StreamingKMV
 
+    from hnsw_spark.plans.cachereg import owned_persist
+
     docs = load_table(spark, sf_dir, "documents")
     tmp = tempfile.mkdtemp(prefix="kmv_stream_gate_")
     try:
@@ -1227,10 +1229,26 @@ def kmv_stream_parity_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(tmp, "kmv"), col="shingle", k=_KMV_GATE_K
         )
 
+        # the shingle table is consumed 5 times (3 epoch batches, the
+        # replayed epoch, the one-shot batch sketch) and each consumer
+        # would otherwise re-run the tokenize+shingle pipeline from raw
+        # text — 2.33 corpus passes of regexp work.  Persist it ONCE
+        # (library-owned, released by the harness after the action); the
+        # epoch batches filter the persisted frame, row-identical to
+        # shingling the filtered corpus because doc_shingles is
+        # per-document.  The streaming machinery under test
+        # (process_batch, dynamic-partition overwrite, replay
+        # absorption, distinct-union merge) is untouched — only the
+        # harness-side derivation of batch CONTENT is shared, exactly as
+        # a real stream source delivers each item once.
+        sh = owned_persist(
+            doc_shingles(docs, n=3).select(
+                (F.col("id") % 3).alias("_epoch"), "shingle"
+            )
+        )
+
         def epoch_items(epoch: int) -> DataFrame:
-            return doc_shingles(
-                docs.filter(F.col("doc_id") % 3 == epoch), n=3
-            ).select("shingle")
+            return sh.filter(F.col("_epoch") == epoch).select("shingle")
 
         for epoch in range(3):
             skv.process_batch(epoch_items(epoch), epoch)
@@ -1239,9 +1257,7 @@ def kmv_stream_parity_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         whole = sorted(
             r["h"]
             for r in kmv_sketch(
-                doc_shingles(docs, n=3).select("shingle"),
-                "shingle",
-                k=_KMV_GATE_K,
+                sh.select("shingle"), "shingle", k=_KMV_GATE_K
             ).collect()
         )
     finally:

@@ -381,3 +381,44 @@ def test_token_budget_select_all_fit(spark):
     )
     out = token_budget_select(docs, budget_fraction=1.0).collect()
     assert all(r.selected for r in out)
+
+
+def test_feature_hash_embeddings_tokens_col_parity(spark):
+    """The pre-tokenized path (chunk_documents with_tokens +
+    feature_hash_embeddings tokens_col) is row-identical to embedding the
+    reassembled chunk_text — the words()-idempotence contract the
+    chunk_pooled_embeddings query now rides.  Fixture exercises the edge
+    cases of the argument: empty doc (words('') == ['']), ragged tail
+    chunk, multi-space text, and an exactly-chunk-sized doc."""
+    from hnsw_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (0, ""),
+            (1, "Alpha   beta\tGAMMA  delta epsilon"),
+            (2, " ".join(f"tok{i}" for i in range(11))),
+            (3, " ".join(f"w{i}" for i in range(4))),
+        ],
+        "doc_id long, text string",
+    )
+    ch = chunk_documents(docs, chunk_size=4, overlap=1, with_tokens=True)
+    # the token slice re-splits to itself (modulo the empty-token rows the
+    # embed path filters)
+    both = ch.select("chunk_text", "chunk_tokens").collect()
+    for r in both:
+        resplit = [t for t in r.chunk_text.lower().split() if t != ""]
+        assert resplit == [t for t in r.chunk_tokens if t != ""]
+    keyed = ch.select(
+        (F.col("doc_id") * 100 + F.col("chunk_id")).alias("cid"),
+        "chunk_text",
+        "chunk_tokens",
+    )
+    via_text = feature_hash_embeddings(
+        keyed, dim=16, text_col="chunk_text", id_col="cid"
+    )
+    via_tokens = feature_hash_embeddings(
+        keyed, dim=16, tokens_col="chunk_tokens", id_col="cid"
+    )
+    a = {r.id: list(r.embedding) for r in via_text.collect()}
+    b = {r.id: list(r.embedding) for r in via_tokens.collect()}
+    assert a == b
