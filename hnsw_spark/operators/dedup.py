@@ -168,8 +168,20 @@ def ngram_jaccard_pairs(
     aggregates are the price of the approximation)."""
     asymmetric = right is not None and right is not left
     right = right if right is not None else left
-    sa = doc_shingles_sized(left, n, text_col, id_col)
-    sb = doc_shingles_sized(right, n, text_col, id_col)
+    if asymmetric:
+        sa = doc_shingles_sized(left, n, text_col, id_col)
+        sb = doc_shingles_sized(right, n, text_col, id_col)
+    else:
+        # self-join: both join sides consume the SAME shingle pipeline,
+        # and Spark does not CSE shared subtrees (when one side
+        # broadcasts there is not even an exchange to reuse), so the
+        # tokenize+shingle scan ran twice.  Library-owned persist — the
+        # same treatment containment_pairs / jaccard_prefix_pairs got
+        # (plans/cachereg.py docstring); released by the caller's
+        # harness after the action.
+        from hnsw_spark.plans.cachereg import owned_persist
+
+        sa = sb = owned_persist(doc_shingles_sized(left, n, text_col, id_col))
     if max_doc_freq is not None:
         banned = (
             sb.groupBy("shingle")
@@ -177,19 +189,24 @@ def ngram_jaccard_pairs(
             .filter(F.col("_df") > max_doc_freq)
             .select("shingle")
         )
+
         # sizes change once shingles are banned: recount per doc and
         # re-attach to the rows (window over the post-ban frame keeps the
         # size-on-row contract without a separate sizes join downstream)
-        sa = (
-            sa.drop("size")
-            .join(F.broadcast(banned), "shingle", "left_anti")
-            .withColumn("size", F.count("*").over(Window.partitionBy("id")))
-        )
-        sb = (
-            sb.drop("size")
-            .join(F.broadcast(banned), "shingle", "left_anti")
-            .withColumn("size", F.count("*").over(Window.partitionBy("id")))
-        )
+        def _ban(s: DataFrame) -> DataFrame:
+            return (
+                s.drop("size")
+                .join(F.broadcast(banned), "shingle", "left_anti")
+                .withColumn(
+                    "size", F.count("*").over(Window.partitionBy("id"))
+                )
+            )
+
+        if asymmetric:
+            sa, sb = _ban(sa), _ban(sb)
+        else:
+            # one post-ban derivation for both sides (sa is sb)
+            sa = sb = _ban(sa)
     pair_cond = F.col("a.shingle") == F.col("b.shingle")
     if asymmetric:
         probe = F.broadcast(sa)
