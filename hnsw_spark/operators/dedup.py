@@ -128,6 +128,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_doc_freq: int | None = None,
+    share_shingles: bool = True,
 ) -> DataFrame:
     """Pairwise n-gram Jaccard via shingle equi-join:
     |A∩B| from the join, |A∪B| = |A|+|B|−|A∩B|.
@@ -168,7 +169,13 @@ def ngram_jaccard_pairs(
     aggregates are the price of the approximation)."""
     asymmetric = right is not None and right is not left
     right = right if right is not None else left
-    if asymmetric:
+    if asymmetric or not share_shingles:
+        # ``share_shingles=False``: for an input BOUNDED BY CONSTRUCTION
+        # (e.g. duplicate_span_lengths' fixed 150-doc window) the cache
+        # materialization barrier costs more than re-deriving the tiny
+        # shingle table inline on both pipelined join sides — at any
+        # corpus scale, since the bound is the query's own definition.
+        # Corpus-scale symmetric calls keep the default (share).
         sa = doc_shingles_sized(left, n, text_col, id_col)
         sb = doc_shingles_sized(right, n, text_col, id_col)
     else:
@@ -202,11 +209,11 @@ def ngram_jaccard_pairs(
                 )
             )
 
-        if asymmetric:
-            sa, sb = _ban(sa), _ban(sb)
-        else:
-            # one post-ban derivation for both sides (sa is sb)
+        if sa is sb:
+            # one post-ban derivation for both sides of the shared table
             sa = sb = _ban(sa)
+        else:
+            sa, sb = _ban(sa), _ban(sb)
     pair_cond = F.col("a.shingle") == F.col("b.shingle")
     if asymmetric:
         probe = F.broadcast(sa)

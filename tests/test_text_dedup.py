@@ -521,3 +521,31 @@ def test_staged_ladder_per_band_cap_matches_global_cap(spark, tmp_path):
         docs_df=docs, id_max=len(texts),
     )
     assert out["n_candidate_pairs"] == capped
+
+
+def test_ngram_jaccard_share_shingles_parity(spark):
+    """share_shingles=False (the bounded-window escape hatch) returns the
+    identical pair set as the default shared-persist path, with and
+    without the max_doc_freq ban."""
+    d = _docs(
+        spark,
+        [
+            "a b c d e f g",
+            "a b c d e f h",
+            "x y z w q r s",
+            "x y z w q r t",
+            "a b c x y z q",
+        ],
+    )
+    for kw in ({}, {"max_doc_freq": 3}):
+        shared = sorted(
+            (r.id_a, r.id_b, r.n_common, r.size_a, r.size_b)
+            for r in ngram_jaccard_pairs(d, n=2, threshold=0.1, **kw).collect()
+        )
+        unshared = sorted(
+            (r.id_a, r.id_b, r.n_common, r.size_a, r.size_b)
+            for r in ngram_jaccard_pairs(
+                d, n=2, threshold=0.1, share_shingles=False, **kw
+            ).collect()
+        )
+        assert shared == unshared and shared
