@@ -246,13 +246,21 @@ def unigram_logprob(
     distinct docs, and AQE skew-join splits what remains) → one groupBy(doc).
     The corpus total is a 1-row aggregate cross-joined as a broadcast, never
     a driver collect.  Docs with no tokens keep a row (n_tokens=0, NULL
-    logprob)."""
+    logprob).
+
+    tf feeds three consumers (cnt, the corpus total, and the scoring
+    join); Spark does not CSE shared subtrees, so without the persist the
+    explode + tf aggregate ran once PER consumer (the corpus tokenized
+    twice through the cnt branch alone).  Same caller-owned lifetime as
+    bigram_logprob's tf persist (README "Cache ownership").  The total is
+    Σ tf read off the persisted frame — identical to Σ c by construction
+    (both are exact integer sums of the same occurrences)."""
     tok = df.select(
         F.col(id_col).alias("doc_id"), F.explode(words(text_col)).alias("token")
     ).filter(F.col("token") != "")
-    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf")).persist()
     cnt = tf.groupBy("token").agg(F.sum("tf").alias("c"))
-    tot = cnt.agg(F.sum("c").alias("t"))
+    tot = tf.agg(F.sum("tf").alias("t"))
     q = F.floor(
         F.log(F.col("c").cast("double") / F.col("t").cast("double")) * 1000000.0
         + 0.5
@@ -496,9 +504,17 @@ def pipeline_attrition(
     tok = base.select("doc_id", F.explode("w").alias("token")).filter(
         F.col("token") != ""
     )
-    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    # tf feeds three consumers (cnt, the corpus total, the scoring join) —
+    # persisted so the explode + aggregate over every token occurrence runs
+    # once, not once per consumer (same fix as unigram_logprob; lifetime is
+    # ContextCleaner's, like ``base`` above).  tot = Σ tf ≡ Σ c exactly.
+    tf = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     cnt = tf.groupBy("token").agg(F.sum("tf").alias("c"))
-    tot = cnt.agg(F.sum("c").alias("t"))
+    tot = tf.agg(F.sum("tf").alias("t"))
     q = F.floor(
         F.log(F.col("c").cast("double") / F.col("t").cast("double")) * 1000000.0
         + 0.5
@@ -550,7 +566,13 @@ def pipeline_attrition(
         F.when(F.col("logprob") < min_logprob, F.lit("incoherent")),
         F.lit("kept"),
     )
-    total = joined.agg(F.count("*").alias("_total"))
+    # the row count of ``joined`` IS the row count of ``base`` (flags is a
+    # 1:1 select of base; lp and ga are groupBy(doc_id) frames left-joined
+    # on the unique key, so neither join changes cardinality) — counting
+    # the persisted base instead of the joined frame stops the broadcast
+    # total subtree from re-running the whole LM + 2-gram join pipeline
+    # just to count rows
+    total = base.agg(F.count("*").alias("_total"))
     return (
         joined.select(reason.alias("drop_reason"))
         .groupBy("drop_reason")
