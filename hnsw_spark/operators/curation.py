@@ -49,6 +49,7 @@ def curation_flags(
     allowed_langs: tuple[str, ...] | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-document keep/drop decision composing the pipeline's signals:
     exact-dup canonical election, length floor, quality floor, language gate.
@@ -57,11 +58,31 @@ def curation_flags(
     (duplicate → too_short → low_quality → lang), so downstream attrition
     dashboards are stable; ``keep`` is its null-ness.  Duplicate election
     keeps the lowest id per normalized-text fingerprint (the exact_dedup
-    convention, operators/dedup.py)."""
+    convention, operators/dedup.py).
+
+    ``carry_cols`` threads the named input columns through to the output
+    unchanged.  A composing pipeline that needs the surviving documents
+    themselves (not just their ids) passes e.g. ``carry_cols=("text",)``
+    and filters on ``keep`` directly — WITHOUT it the caller must join the
+    flags back to the input on id, which re-reads (or worse, re-computes)
+    the whole input a second time and pays two join shuffles on top of the
+    fingerprint window's; WITH it the carried columns ride the one window
+    exchange this operator already owns."""
+    reserved = {"doc_id", "n_words", "quality", "lang_pred", "drop_reason", "keep"}
+    if bad := [c for c in carry_cols if c in reserved or c == id_col]:
+        raise ValueError(f"carry_cols collide with output columns: {bad}")
+    # text_col is already selected (aliased "text"); other carried columns
+    # come through verbatim
+    extra = [F.col(c) for c in carry_cols if c != text_col]
+    carry = [
+        (F.col("text").alias(c) if c == text_col else F.col(c))
+        for c in carry_cols
+    ]
     base = df.select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("text"),
         words(text_col).alias("w"),
+        *extra,
     )
     scored = base.select(
         "doc_id",
@@ -69,6 +90,7 @@ def curation_flags(
         F.size("w").alias("n_words"),
         quality_score_w(F.col("text"), F.col("w")).alias("quality"),
         lang_id_w(F.col("w")).alias("lang_pred"),
+        *carry,
     )
     canonical = F.min("doc_id").over(Window.partitionBy("_fp"))
     lang_ok = (
@@ -90,6 +112,7 @@ def curation_flags(
         "lang_pred",
         reason.alias("drop_reason"),
         reason.isNull().alias("keep"),
+        *carry_cols,
     )
 
 

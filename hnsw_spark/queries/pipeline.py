@@ -433,10 +433,15 @@ def pipeline_end_to_end_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hnsw_spark.operators.curation import curation_flags
 
     docs = load_table(spark, sf_dir, "documents")
-    flags = curation_flags(docs)
-    kept = docs.join(
-        flags.filter(F.col("keep")).select("doc_id"), "doc_id"
-    ).select("doc_id", redact_pii("text").alias("text"))
+    # carry text through the flags' fingerprint window instead of joining
+    # the kept ids back to the corpus: the join-back form scanned the
+    # documents a second time and paid two id-keyed join shuffles on top
+    # of the window's (text rides the one exchange the election already
+    # owns; same rows, same values)
+    flags = curation_flags(docs, carry_cols=("text",))
+    kept = flags.filter(F.col("keep")).select(
+        "doc_id", redact_pii("text").alias("text")
+    )
     packed = pack_sequences(kept, budget=_PACK_BUDGET, num_shards=_PACK_SHARDS)
     return packed.groupBy("shard_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -554,8 +559,12 @@ def crawl_pipeline_end_to_end_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cleaned = docs.select(
         "doc_id", html_shell_expr().alias("raw")
     ).select("doc_id", strip_html("raw").alias("text"))
-    flags = curation_flags(cleaned)
-    kept = cleaned.join(flags.filter(F.col("keep")).select("doc_id"), "doc_id")
+    # carry the stripped text through the flags' fingerprint window: the
+    # join-back form re-ran the whole HTML-synthesis + strip_html regexp
+    # pipeline a second time for the join's left side (Spark does not CSE
+    # shared subtrees) and paid two join shuffles on top of the window's
+    flags = curation_flags(cleaned, carry_cols=("text",))
+    kept = flags.filter(F.col("keep")).select("doc_id", "text")
     sp = dataset_split(kept, {"train": 0.8, "val": 0.1, "test": 0.1})
     return sp.groupBy("split").agg(
         F.count(F.lit(1)).alias("n_docs"),

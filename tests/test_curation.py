@@ -422,3 +422,38 @@ def test_feature_hash_embeddings_tokens_col_parity(spark):
     a = {r.id: list(r.embedding) for r in via_text.collect()}
     b = {r.id: list(r.embedding) for r in via_tokens.collect()}
     assert a == b
+
+
+def test_curation_flags_carry_cols_parity(spark):
+    """carry_cols threads input columns through the flags unchanged: the
+    carried frame equals the default output joined back to the input on
+    doc_id (the join-back shape the pipeline queries replaced), and the
+    flag columns themselves are byte-identical.  Colliding names raise."""
+    from hnsw_spark.operators.curation import curation_flags
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog", 7),
+            (1, "the quick brown fox jumps over the lazy dog", 8),  # dup
+            (2, "short", 9),
+            (3, "", 10),
+        ],
+        "doc_id long, text string, extra int",
+    )
+    default = curation_flags(docs)
+    carried = curation_flags(docs, carry_cols=("text", "extra"))
+    assert carried.columns == default.columns + ["text", "extra"]
+    joined = {
+        r.doc_id: r
+        for r in default.join(
+            docs.select("doc_id", "text", "extra"), "doc_id"
+        ).collect()
+    }
+    got = {r.doc_id: r for r in carried.collect()}
+    assert got.keys() == joined.keys()
+    for k in got:
+        assert got[k] == joined[k]
+    with pytest.raises(ValueError, match="carry_cols"):
+        curation_flags(docs, carry_cols=("keep",))
+    with pytest.raises(ValueError, match="carry_cols"):
+        curation_flags(docs, carry_cols=("doc_id",))
