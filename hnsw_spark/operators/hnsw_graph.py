@@ -110,6 +110,13 @@ def _with_salt(assigned: DataFrame, max_list_size: int) -> DataFrame:
     STABLE under growth: a later insert cannot shift an existing node's
     sub-list, which is what makes incremental insert into a salted index
     sound (the rank-based salt could not offer that)."""
+    from hnsw_spark.plans.cachereg import owned_persist
+
+    # the counts aggregate AND the join's main side both consume the
+    # assigned frame — without the persist the assign mapInPandas stage
+    # (a full corpus pass through Python) ran once per consumer (Spark
+    # does not CSE shared subtrees)
+    assigned = owned_persist(assigned)
     counts = assigned.groupBy("list_id").agg(
         F.ceil(F.count("*") / F.lit(int(max_list_size)))
         .cast("long")
@@ -837,7 +844,17 @@ class HNSWIndex:
             # routing stays list-keyed and only the cogroup key changes
             # alias through a fresh name: the map derives from index_df, and
             # cogrouping index_df against a probe frame carrying the SAME
-            # sub_id attribute trips Spark's ambiguous-self-join analysis
+            # sub_id attribute trips Spark's ambiguous-self-join analysis.
+            # The map makes the node table a SECOND consumer of whatever
+            # pipeline produced it — for a freshly built/grown/merged index
+            # that meant re-running the entire assign + wire applyInPandas
+            # chain just to list the sub_ids — so persist it first (same
+            # library-owned contract as the exact-dispatch branch above)
+            lvl = self.index_df.storageLevel
+            if not (lvl.useMemory or lvl.useDisk):
+                from hnsw_spark.plans.cachereg import owned_persist
+
+                self.index_df = owned_persist(self.index_df)
             sub_map = self.index_df.select(
                 "list_id", F.col("sub_id").alias("_sub")
             ).distinct()
@@ -932,6 +949,12 @@ def add_points(
             "scale", quant_scale("vector")
         ).withColumn("qvec", quantize("vector", F.col("scale")))
     if salted:
+        from hnsw_spark.plans.cachereg import owned_persist
+
+        # the totals subtree (per-list n_salts) and the union into the
+        # rewire both consume the assigned delta; persist it (delta-sized)
+        # so the assign mapInPandas runs once, not once per consumer
+        assigned = owned_persist(assigned)
         cap = int(index.params.get("max_list_size") or 1)
         old_counts = index.index_df.groupBy("list_id").agg(
             F.count("*").alias("_n_old")
