@@ -997,7 +997,6 @@ def add_points(
     old_df = index.index_df
     if "entry_id" not in old_df.columns:
         old_df = old_df.withColumn("entry_id", F.lit(None).cast("long"))
-    unioned = old_df.select(*cols).unionByName(new_nodes)
 
     def rewire_group(pdf: pd.DataFrame) -> pd.DataFrame:
         is_new = pdf["neighbors"].isna()
@@ -1042,8 +1041,28 @@ def add_points(
         return pd.DataFrame(out)
 
     key = "sub_id" if salted else "list_id"
-    index_df = unioned.groupBy(key).applyInPandas(
-        rewire_group, _node_schema(salted, store)
+    # O(delta) for real: only (sub-)lists that RECEIVE new nodes cross the
+    # rewire shuffle + Python boundary; every other list's rows pass by as
+    # a plain columnar scan (the rewire's own pass-through branch returned
+    # them row-identical anyway, after paying the full nested-neighbors
+    # Arrow round trip).  The touched set is delta-sized and broadcast; at
+    # incremental-insert scale untouched lists are the overwhelming
+    # majority of the index.
+    if not salted:
+        # the touched-set derivation makes the assigned delta a second
+        # consumer (the salted branch persisted it above for its own)
+        from hnsw_spark.plans.cachereg import owned_persist
+
+        new_nodes = owned_persist(new_nodes)
+    touched = new_nodes.select(key).distinct()
+    old_sel = old_df.select(*cols)
+    unioned = old_sel.join(F.broadcast(touched), key, "left_semi").unionByName(
+        new_nodes
+    )
+    index_df = (
+        unioned.groupBy(key)
+        .applyInPandas(rewire_group, _node_schema(salted, store))
+        .unionByName(old_sel.join(F.broadcast(touched), key, "left_anti"))
     )
     params = dict(index.params)
     # the memoized corpus size (auto-dispatch) is stale on the grown index

@@ -900,3 +900,52 @@ def test_greedy_upper_matches_full_nbrs_descent():
                 ep_full = _greedy_search(sim, nbrs, qprep, ep_full, level)
                 ep_sparse = _greedy_upper(sim, upper, qprep, ep_sparse, level)
                 assert ep_full == ep_sparse, (metric, level)
+
+
+def test_add_points_untouched_lists_skip_rewire(spark, embeddings):
+    """Partial-touch insert: lists that receive no new nodes must come
+    through row-identical (wiring, entry point, order-insensitive), now
+    that they bypass the rewire cogroup entirely — and the grown index
+    must still answer full probes exactly."""
+    from hnsw_spark.operators.hnsw_graph import add_points
+
+    base = embeddings.filter(F.col("vec_id") < 300)
+    index = build_hnsw_index(
+        base, n_lists=4, m=8, ef_construction=32, metric="cosine",
+        max_level=0, seed=7,
+    )
+    index.index_df = index.index_df.cache()
+    before = {r["id"]: r for r in index.index_df.collect()}
+    # route the delta to exactly the lists of two EXISTING vectors by
+    # reusing (slightly perturbed) copies of them: same argmax centroid
+    seeds = {r.vec_id: r.embedding for r in base.filter(
+        F.col("vec_id").isin(0, 1)).collect()}
+    delta = spark.createDataFrame(
+        [(1000 + i, [x * 1.01 for x in seeds[i]]) for i in (0, 1)],
+        "vec_id long, embedding array<float>",
+    )
+    grown = add_points(index, delta)
+    rows = grown.index_df.collect()
+    assert len(rows) == 302
+    touched_lists = {
+        r["list_id"] for r in rows if r["id"] in (1000, 1001)
+    }
+    for r in rows:
+        if r["list_id"] not in touched_lists and r["id"] < 300:
+            b = before[r["id"]]
+            assert r["neighbors"] == b["neighbors"]
+            assert r["entry_id"] == b["entry_id"]
+            assert r["level"] == b["level"]
+    # full probe on the grown index degenerates to exact kNN
+    qs = embeddings.filter(F.col("vec_id") < 4)
+    approx = {
+        (r.query_id, r.id)
+        for r in grown.search(qs, k=10, n_probe=4, ef_search=1 << 20,
+                              dispatch="beam").collect()
+    }
+    allv = base.select("vec_id", "embedding").unionByName(delta)
+    exact = {
+        (r.query_id, r.id)
+        for r in knn_exact(allv, qs, k=10, metric="cosine").collect()
+    }
+    assert approx == exact
