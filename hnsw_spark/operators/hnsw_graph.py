@@ -1048,12 +1048,12 @@ def add_points(
     # Arrow round trip).  The touched set is delta-sized and broadcast; at
     # incremental-insert scale untouched lists are the overwhelming
     # majority of the index.
-    if not salted:
-        # the touched-set derivation makes the assigned delta a second
-        # consumer (the salted branch persisted it above for its own)
-        from hnsw_spark.plans.cachereg import owned_persist
+    # the touched-set broadcast build and the rewire union both consume the
+    # delta frame; persist it (delta-sized) so neither the broadcast job
+    # nor the main job re-runs the assign/salt pipeline
+    from hnsw_spark.plans.cachereg import owned_persist
 
-        new_nodes = owned_persist(new_nodes)
+    new_nodes = owned_persist(new_nodes)
     touched = new_nodes.select(key).distinct()
     old_sel = old_df.select(*cols)
     unioned = old_sel.join(F.broadcast(touched), key, "left_semi").unionByName(
