@@ -74,6 +74,12 @@ NODE_SCHEMA = (
 # the physical graph/partition key; list_id stays the ROUTING key
 NODE_SCHEMA_SALTED = "sub_id long, " + NODE_SCHEMA
 _SALT_STRIDE = 1 << 20
+# add_points: touched (sub-)list keys become a literal IN-list (scan-time
+# partition pruning for the untouched branch) up to this many values; a
+# larger touched set keeps the broadcast semi/anti join shape.  The bound
+# keeps Catalyst literal lists sane — the driver footprint is the same
+# either way (the join path force-broadcast the same set).
+_TOUCHED_ISIN_CAP = 8192
 RESULT_SCHEMA = "query_id long, id long, score double"
 
 
@@ -1045,24 +1051,43 @@ def add_points(
     # rewire shuffle + Python boundary; every other list's rows pass by as
     # a plain columnar scan (the rewire's own pass-through branch returned
     # them row-identical anyway, after paying the full nested-neighbors
-    # Arrow round trip).  The touched set is delta-sized and broadcast; at
-    # incremental-insert scale untouched lists are the overwhelming
-    # majority of the index.
-    # the touched-set broadcast build and the rewire union both consume the
-    # delta frame; persist it (delta-sized) so neither the broadcast job
-    # nor the main job re-runs the assign/salt pipeline
+    # Arrow round trip).  The touched set is bounded by the index's own
+    # physical (sub-)list count — the previous shape force-BROADCAST it, so
+    # the driver already held it; collecting it instead prices the same
+    # bound while turning both sides of the split into plain literal
+    # predicates: the untouched branch becomes `key NOT IN touched`, which
+    # pushes into the node-table scan (the persisted layout is partitioned
+    # by list_id — untouched lists are PRUNED at the source, never scanned),
+    # and the broadcast-exchange build + two join stages disappear from the
+    # critical path.  A very large touched set (a bulk ingest that touches
+    # more sub-lists than a sane literal list) falls back to the broadcast
+    # semi/anti joins — same values, the old plan shape.
+    # the touched-set job and the rewire union both consume the delta
+    # frame; persist it (delta-sized) so neither runs assign/salt twice
     from hnsw_spark.plans.cachereg import owned_persist
 
     new_nodes = owned_persist(new_nodes)
-    touched = new_nodes.select(key).distinct()
     old_sel = old_df.select(*cols)
-    unioned = old_sel.join(F.broadcast(touched), key, "left_semi").unionByName(
-        new_nodes
-    )
+    touched_rows = new_nodes.select(key).distinct().limit(
+        _TOUCHED_ISIN_CAP + 1
+    ).collect()
+    if len(touched_rows) <= _TOUCHED_ISIN_CAP:
+        touched_vals = [r[0] for r in touched_rows]
+        is_touched = F.col(key).isin(touched_vals)
+        # NULL keys never match an equi-join, so the anti branch KEPT them;
+        # `~isin` is NULL on NULL input — keep the row explicitly
+        unioned = old_sel.filter(is_touched).unionByName(new_nodes)
+        untouched = old_sel.filter(~is_touched | F.col(key).isNull())
+    else:
+        touched = new_nodes.select(key).distinct()
+        unioned = old_sel.join(
+            F.broadcast(touched), key, "left_semi"
+        ).unionByName(new_nodes)
+        untouched = old_sel.join(F.broadcast(touched), key, "left_anti")
     index_df = (
         unioned.groupBy(key)
         .applyInPandas(rewire_group, _node_schema(salted, store))
-        .unionByName(old_sel.join(F.broadcast(touched), key, "left_anti"))
+        .unionByName(untouched)
     )
     params = dict(index.params)
     # the memoized corpus size (auto-dispatch) is stale on the grown index
