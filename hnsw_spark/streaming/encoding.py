@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from hnsw_spark.streaming.sketch import _partition_versions, _read_or_empty
+from hnsw_spark.streaming.sketch import _partition_versions, _read_or_none
 
 
 class StreamingTargetEncoder:
@@ -78,14 +78,23 @@ class StreamingTargetEncoder:
         )
 
     def _stats_before(self, spark, epoch_id: int) -> DataFrame:
-        all_versions = _read_or_empty(
-            spark, self.stats_path, self._stats_schema(spark)
+        raw = _read_or_none(spark, self.stats_path)
+        all_versions = (
+            raw
+            if raw is not None
+            else spark.createDataFrame([], self._stats_schema(spark))
         )
         listed = _partition_versions(self.stats_path, "_v=")
         if listed is None:
-            listed = [
-                r["_v"] for r in all_versions.select("_v").distinct().collect()
-            ]
+            # a failed read proves there are no versions — no distinct job
+            listed = (
+                []
+                if raw is None
+                else [
+                    r["_v"]
+                    for r in all_versions.select("_v").distinct().collect()
+                ]
+            )
         versions = [v for v in listed if v < epoch_id]
         if not versions:
             return all_versions.drop("_v").limit(0)
@@ -105,12 +114,20 @@ class StreamingTargetEncoder:
         # ONE state read per micro-batch: the version list drives both the
         # replay guard and the prior selection (ADVICE r10 follow-up — the
         # guard used to trigger a second full read via _stats_before).
-        all_df = _read_or_empty(spark, self.stats_path, self._stats_schema(spark))
+        raw = _read_or_none(spark, self.stats_path)
+        all_df = (
+            raw
+            if raw is not None
+            else spark.createDataFrame([], self._stats_schema(spark))
+        )
         all_versions = _partition_versions(self.stats_path, "_v=")
         if all_versions is None:
-            all_versions = [
-                r["_v"] for r in all_df.select("_v").distinct().collect()
-            ]
+            # a failed read proves there are no versions — no distinct job
+            all_versions = (
+                []
+                if raw is None
+                else [r["_v"] for r in all_df.select("_v").distinct().collect()]
+            )
         priors = [v for v in all_versions if v < epoch_id]
         # Replay is only safe while this epoch's prior version survives
         # the prune window: replaying epoch e after its prior was pruned

@@ -38,7 +38,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from hnsw_spark.streaming.sketch import _partition_versions, _read_or_empty
+from hnsw_spark.streaming.sketch import (
+    _partition_versions,
+    _read_or_empty,
+    _read_or_none,
+)
 
 
 class StreamingTrailingFeatures:
@@ -68,12 +72,19 @@ class StreamingTrailingFeatures:
         from pyspark.sql.types import IntegerType, StructField, StructType
 
         full = StructType(list(schema.fields) + [StructField("_v", IntegerType())])
-        tails = _read_or_empty(spark, self.tail_path, full)
+        raw = _read_or_none(spark, self.tail_path)
+        tails = raw if raw is not None else spark.createDataFrame([], full)
         # version discovery from the partition directory names (one less
         # Spark job per epoch); Spark-side distinct only when not listable
+        # AND the read found state (a failed read proves there are no
+        # versions — no job needed on the first epoch)
         listed = _partition_versions(self.tail_path, "_v=")
         if listed is None:
-            listed = [r["_v"] for r in tails.select("_v").distinct().collect()]
+            listed = (
+                []
+                if raw is None
+                else [r["_v"] for r in tails.select("_v").distinct().collect()]
+            )
         versions = [v for v in listed if v < epoch_id]
         if not versions:
             return tails.drop("_v").limit(0)

@@ -21,12 +21,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _read_or_empty(spark, path: str, schema: str) -> DataFrame:
-    """Read the epoch-partition tree, or an empty frame before the first
-    epoch lands.  Existence is probed by attempting the read and catching
-    the analysis error — NOT ``os.path.isdir``, which only understands
-    local paths and would silently report an empty sketch for HDFS/S3
-    URIs even when epoch partitions exist (ADVICE r4)."""
+def _read_or_none(spark, path: str) -> DataFrame | None:
+    """Read the epoch-partition tree, or ``None`` before the first epoch
+    lands.  Existence is probed by attempting the read and catching the
+    analysis error — NOT ``os.path.isdir``, which only understands local
+    paths and would silently report an empty sketch for HDFS/S3 URIs even
+    when epoch partitions exist (ADVICE r4).  The ``None`` signal lets
+    version-discovery callers skip their Spark-side distinct fallback when
+    the read itself proved there is no state (a per-epoch job saved on the
+    first epoch of every versioned-state stream)."""
     from pyspark.errors import AnalysisException
 
     try:
@@ -34,7 +37,13 @@ def _read_or_empty(spark, path: str, schema: str) -> DataFrame:
         df.schema  # force analysis so a missing path raises here
         return df
     except AnalysisException:
-        return spark.createDataFrame([], schema)
+        return None
+
+
+def _read_or_empty(spark, path: str, schema: str) -> DataFrame:
+    """`_read_or_none` with an empty typed frame in place of ``None``."""
+    df = _read_or_none(spark, path)
+    return df if df is not None else spark.createDataFrame([], schema)
 
 
 def _partition_versions(path: str, prefix: str) -> list[int] | None:
