@@ -845,28 +845,51 @@ class HNSWIndex:
         key = "list_id"
         if "sub_id" in self.index_df.columns:
             # salted index (max_list_size): fan each probed list out to all
-            # of its sub-lists — the (list_id → sub_id) map is distinct over
-            # the node table (≤ a few rows per list, broadcast by AQE), so
-            # routing stays list-keyed and only the cogroup key changes
-            # alias through a fresh name: the map derives from index_df, and
-            # cogrouping index_df against a probe frame carrying the SAME
-            # sub_id attribute trips Spark's ambiguous-self-join analysis.
-            # The map makes the node table a SECOND consumer of whatever
-            # pipeline produced it — for a freshly built/grown/merged index
-            # that meant re-running the entire assign + wire applyInPandas
-            # chain just to list the sub_ids — so persist it first (same
-            # library-owned contract as the exact-dispatch branch above)
-            lvl = self.index_df.storageLevel
-            if not (lvl.useMemory or lvl.useDisk):
-                from hnsw_spark.plans.cachereg import owned_persist
+            # of its sub-lists.
+            sub_ids = self.params.get("sub_ids")
+            if sub_ids:
+                # Fast path: the (list_id → sub_id) map is index METADATA —
+                # computed once at publish time (persistence.save_index) and
+                # extended on insert (add_points) — so the search plan never
+                # has to persist and re-scan the node table just to list the
+                # sub_ids: for a freshly grown/merged index that second
+                # consumer forced caching the ENTIRE index and a full extra
+                # pass over it inside the search action.  The map may carry
+                # sub-lists with no physical rows (hash residues nothing
+                # landed in, or publish-time supersets); their cogroup groups
+                # have no nodes and contribute zero result rows, so the
+                # output is identical to the distinct-derived map.
+                sub_map = spark.createDataFrame(
+                    [(int(s) // _SALT_STRIDE, int(s)) for s in sub_ids],
+                    "list_id int, sub_id long",
+                )
+                probes = probes.join(F.broadcast(sub_map), "list_id")
+            else:
+                # Fallback (no metadata, e.g. an index saved before the map
+                # existed, or grown past the literal-set cap): the map is
+                # distinct over the node table (≤ a few rows per list,
+                # broadcast by AQE), so routing stays list-keyed and only the
+                # cogroup key changes.
+                # alias through a fresh name: the map derives from index_df,
+                # and cogrouping index_df against a probe frame carrying the
+                # SAME sub_id attribute trips Spark's ambiguous-self-join
+                # analysis.  The map makes the node table a SECOND consumer
+                # of whatever pipeline produced it — for a freshly
+                # built/grown/merged index that meant re-running the entire
+                # assign + wire applyInPandas chain just to list the sub_ids
+                # — so persist it first (same library-owned contract as the
+                # exact-dispatch branch above)
+                lvl = self.index_df.storageLevel
+                if not (lvl.useMemory or lvl.useDisk):
+                    from hnsw_spark.plans.cachereg import owned_persist
 
-                self.index_df = owned_persist(self.index_df)
-            sub_map = self.index_df.select(
-                "list_id", F.col("sub_id").alias("_sub")
-            ).distinct()
-            probes = probes.join(sub_map, "list_id").withColumnRenamed(
-                "_sub", "sub_id"
-            )
+                    self.index_df = owned_persist(self.index_df)
+                sub_map = self.index_df.select(
+                    "list_id", F.col("sub_id").alias("_sub")
+                ).distinct()
+                probes = probes.join(sub_map, "list_id").withColumnRenamed(
+                    "_sub", "sub_id"
+                )
             key = "sub_id"
         local = (
             self.index_df.groupBy(key)
@@ -1071,6 +1094,7 @@ def add_points(
     touched_rows = new_nodes.select(key).distinct().limit(
         _TOUCHED_ISIN_CAP + 1
     ).collect()
+    touched_vals = None
     if len(touched_rows) <= _TOUCHED_ISIN_CAP:
         touched_vals = [r[0] for r in touched_rows]
         is_touched = F.col(key).isin(touched_vals)
@@ -1092,6 +1116,24 @@ def add_points(
     params = dict(index.params)
     # the memoized corpus size (auto-dispatch) is stale on the grown index
     params.pop("n_vectors", None)
+    if salted:
+        # Maintain the publish-time fan-out map (search's params fast path):
+        # grown sub-lists = the base's map ∪ the delta's touched set — which
+        # this function ALREADY collected for the scan split, so the update
+        # is free.  Any condition that breaks the invariant (no base map,
+        # cap fallback where the touched set was never collected, or a NULL
+        # key that the literal map could not route) drops the map entirely
+        # and search falls back to deriving it from the node table.
+        base_map = params.pop("sub_ids", None)
+        if (
+            base_map
+            and touched_vals is not None
+            and all(v is not None for v in touched_vals)
+        ):
+            params["sub_ids"] = sorted(
+                set(int(s) for s in base_map)
+                | set(int(v) for v in touched_vals)
+            )
     return HNSWIndex(index_df, index.centroids, metric, params)
 
 

@@ -42,6 +42,24 @@ def save_index(index, path: str) -> None:
     # PQ codebooks are a numpy tensor — JSON round-trip as nested lists
     if isinstance(params.get("pq_codebooks"), np.ndarray):
         params["pq_codebooks"] = params["pq_codebooks"].tolist()
+    if "sub_id" in index.index_df.columns and "sub_ids" not in params:
+        # Salted fan-out map computed at publish time: the set of non-empty
+        # sub-lists, read from the JUST-WRITTEN files (a column-pruned scan —
+        # never a second evaluation of whatever pipeline produced the node
+        # table).  Loaded indexes then search without re-deriving the map
+        # from the node table (hnsw_graph.HNSWIndex.search's params fast
+        # path); a NULL sub_id anywhere disables the map so the search-side
+        # distinct fallback keeps grouping those rows exactly as before.
+        spark = index.index_df.sparkSession
+        subs = [
+            r["sub_id"]
+            for r in spark.read.parquet(nodes)
+            .select("sub_id")
+            .distinct()
+            .collect()
+        ]
+        if all(s is not None for s in subs):
+            params["sub_ids"] = sorted(int(s) for s in subs)
     with open(os.path.join(path, "params.json"), "w") as f:
         json.dump(params, f)
 

@@ -949,3 +949,63 @@ def test_add_points_untouched_lists_skip_rewire(spark, embeddings):
         for r in knn_exact(allv, qs, k=10, metric="cosine").collect()
     }
     assert approx == exact
+
+
+def test_salted_sub_map_params_fast_path_parity(spark, embeddings, tmp_path):
+    """The publish-time fan-out map (params['sub_ids'], save_index) must
+    route searches identically to the distinct-derived fallback: same map
+    values as distinct over the node table, same full-probe results with
+    and without the metadata, and add_points must extend the map to cover
+    every sub-list of the grown index."""
+    from hnsw_spark.operators.hnsw_graph import add_points
+    from hnsw_spark.plans.persistence import load_index, save_index
+
+    base = embeddings.filter(F.col("vec_id") < 300)
+    built = build_hnsw_index(
+        base, n_lists=4, m=8, ef_construction=32, max_level=0,
+        max_list_size=40, seed=7,
+    )
+    assert "sub_ids" not in built.params  # build stays lazy: no metadata
+    path = str(tmp_path / "salted_idx")
+    save_index(built, path)
+    loaded = load_index(spark, path)
+    actual = sorted(
+        r["sub_id"]
+        for r in loaded.index_df.select("sub_id").distinct().collect()
+    )
+    assert loaded.params["sub_ids"] == actual
+    qs = embeddings.filter(F.col("vec_id") < 6)
+
+    def pairs(idx):
+        return {
+            (r.query_id, r.id)
+            for r in idx.search(
+                qs, k=10, n_probe=4, ef_search=1 << 20, dispatch="beam"
+            ).collect()
+        }
+    fast = pairs(loaded)
+    stripped = load_index(spark, path)
+    stripped.params.pop("sub_ids")
+    assert fast == pairs(stripped)  # fallback parity
+    exact = {
+        (r.query_id, r.id)
+        for r in knn_exact(base, qs, k=10, metric="cosine").collect()
+    }
+    assert fast == exact
+    # grown index: map extends with the insert's touched set and still
+    # covers every physical sub-list
+    delta = embeddings.filter(
+        (F.col("vec_id") >= 300) & (F.col("vec_id") < 400)
+    )
+    grown = add_points(load_index(spark, path), delta)
+    grown_actual = {
+        r["sub_id"]
+        for r in grown.index_df.select("sub_id").distinct().collect()
+    }
+    assert grown_actual <= set(grown.params["sub_ids"])
+    allv = embeddings.filter(F.col("vec_id") < 400)
+    exact_grown = {
+        (r.query_id, r.id)
+        for r in knn_exact(allv, qs, k=10, metric="cosine").collect()
+    }
+    assert pairs(grown) == exact_grown
