@@ -60,6 +60,14 @@ def save_index(index, path: str) -> None:
         ]
         if all(s is not None for s in subs):
             params["sub_ids"] = sorted(int(s) for s in subs)
+    if "n_vectors" not in params:
+        # Publish-time corpus size: a count over the just-written files is a
+        # parquet-footer metadata job, and it lets a LOADED index route the
+        # auto-dispatch crossover without paying a full-index persist+count
+        # inside the first search of every serving session
+        # (hnsw_graph.HNSWIndex.search sizing memo).
+        spark = index.index_df.sparkSession
+        params["n_vectors"] = spark.read.parquet(nodes).count()
     with open(os.path.join(path, "params.json"), "w") as f:
         json.dump(params, f)
 

@@ -64,9 +64,13 @@ WITH q AS (
 
 
 def _recall_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hnsw_spark.queries.index import cached_exact_topk
+
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < N_QUERIES)
-    exact = knn_exact(emb, qs, k=K, metric="cosine")
+    # the cosine ground truth is the memoized frame the recall/serving rows
+    # share (deterministic, so sharing changes no values — VERDICT r11 #6)
+    exact = cached_exact_topk(spark, sf_dir)
     approx = knn_exact(emb, qs, k=K, metric="euclidean")
     return recall_table(approx, exact)
 

@@ -365,8 +365,13 @@ def retrieval_quality_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sys_ranked = knn_exact(
         emb, qs, k=_RQ_K, metric="euclidean", strategy="window"
     ).withColumn("rank", F.row_number().over(w))
+    # cosine ground truth = the memoized exact top-k frame (same nq=8,
+    # k=10, cosine, window tier — deterministic, so sharing changes no
+    # values; VERDICT r11 #6): one corpus scoring pass instead of two
+    from hnsw_spark.queries.index import cached_exact_topk
+
     qrels = (
-        knn_exact(emb, qs, k=_RQ_K, metric="cosine", strategy="window")
+        cached_exact_topk(spark, sf_dir)
         .withColumn("rank", F.row_number().over(w))
         .select(
             "query_id",
