@@ -819,9 +819,17 @@ def contrastive_pairs(
     repartitions by target position; N rides as a broadcast 1-row
     aggregate).  No candidate ever materializes more than k·N rows."""
     from hnsw_spark.operators.packing import global_shuffle
+    from hnsw_spark.plans.cachereg import owned_persist
 
-    pos = global_shuffle(df.select(id_col), id_col=id_col).select(
-        F.col(id_col).alias("anchor_id"), F.col("pos")
+    # the position frame has THREE consumers (the corpus-size aggregate,
+    # the expanded anchors, and the negative-resolution join's right side)
+    # and Spark does not CSE shared subtrees — without the persist the
+    # two keyed global_shuffle shuffles ran once per consumer.  Skinny
+    # (id + pos), library-owned (release_caches() frees it).
+    pos = owned_persist(
+        global_shuffle(df.select(id_col), id_col=id_col).select(
+            F.col(id_col).alias("anchor_id"), F.col("pos")
+        )
     )
     n = pos.agg(F.count(F.lit(1)).alias("_n"))
     expanded = (

@@ -125,7 +125,14 @@ def kmeans_lloyd(
     ``k`` smallest ids, then ``iterations`` assignment rounds with a
     centroid update between consecutive rounds, returning the last
     assignment (id, cluster, d2)."""
-    vecs = quantize_vectors(df, vec_col, id_col)
+    from hnsw_spark.plans.cachereg import owned_persist
+
+    # every round's assignment AND each centroid update scans the
+    # quantized corpus (2·iterations consumers of the same subtree, plus
+    # the seed TakeOrdered) — persist it so the quantize projection runs
+    # once, not once per consumer.  Library-owned (release_caches() frees
+    # it after the caller's action).
+    vecs = owned_persist(quantize_vectors(df, vec_col, id_col))
     # the k smallest ids, not ``id < k``: ids need not be 0-based or dense
     # (a filter would silently under-seed or empty the centroid set).
     # orderBy+limit compiles to TakeOrderedAndProject — a k-row per-partition

@@ -41,7 +41,16 @@ def bm25_scores(
     idf = ln((N − df + 0.5)/(df + 0.5) + 1)  (the standard non-negative
     Robertson–Spärck Jones smoothing); term = idf · tf·(k1+1) /
     (tf + k1·(1 − b + b·dl/avgdl))."""
+    from hnsw_spark.plans.cachereg import owned_persist
+
     tok, dlen, stats = bm25_corpus(docs, text_col, id_col)
+    # three consumers read the corpus explode (the matched-term tf join,
+    # the dlen join, and stats via dlen) and Spark does not CSE shared
+    # subtrees — without the persists the corpus regexp-tokenized once per
+    # consumer.  Library-owned (release_caches() frees them); dlen is
+    # doc-count-sized, tok is the one unavoidable corpus-sized frame.
+    tok = owned_persist(tok)
+    dlen = owned_persist(dlen)
     return bm25_scores_from(tok, dlen, stats, query_tokens, k1, b)
 
 
