@@ -1216,16 +1216,17 @@ def dsir_select(
         F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long")
         % n_buckets
     )
-    from pyspark.storagelevel import StorageLevel
+    from hnsw_spark.plans.cachereg import owned_persist
 
     # tfb feeds THREE consumers (raw counts, target counts, per-doc scores)
     # and per feeds two (threshold + final projection): without the persists
     # the whole tokenize/explode pipeline re-runs per consumer — audited at
-    # 6 corpus scans / 15 shuffles, the corpus_attrition anti-pattern
-    tfb = (
+    # 6 corpus scans / 15 shuffles, the corpus_attrition anti-pattern.
+    # cachereg-owned (a bare .persist() has no release handle and leaks
+    # storage across a long-lived session — the quality_auc lesson).
+    tfb = owned_persist(
         tok.groupBy("doc_id", "_tgt", bucket.alias("bucket"))
         .agg(F.count("*").alias("tf"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     cr = tfb.groupBy("bucket").agg(F.sum("tf").alias("c_raw"))
     ct = tfb.filter("_tgt").groupBy("bucket").agg(F.sum("tf").alias("c_tgt"))
@@ -1259,8 +1260,8 @@ def dsir_select(
         .withColumn(
             "_score", F.col("_si") / (F.col("n_tokens") * F.lit(1000000.0))
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    per = owned_persist(per)
     from hnsw_spark.operators.evaluation import percentile_floor
 
     thr = percentile_floor(per, "_score", [100.0 * (1.0 - keep_frac)])

@@ -225,13 +225,22 @@ def classifier_eval(
     Scale shape: one equi-join on the id, two keyed marginal aggregations,
     and single-row combines — no window, no corpus shuffle beyond the
     join."""
-    joined = pred.select(
-        F.col(id_col).alias("_id"), F.col(pred_col).alias("_pred")
-    ).join(
-        truth.select(
-            F.col(truth_id_col).alias("_id"), F.col(label_col).alias("_true")
-        ),
-        "_id",
+    from hnsw_spark.plans.cachereg import owned_persist
+
+    # the accuracy aggregate and BOTH marginal aggregations consume this
+    # frame, and Spark does not CSE shared subtrees — without the persist
+    # the upstream predictor pipeline (e.g. the whole LOO kNN vote) ran
+    # once per consumer.  Query-count-sized, library-owned.
+    joined = owned_persist(
+        pred.select(
+            F.col(id_col).alias("_id"), F.col(pred_col).alias("_pred")
+        ).join(
+            truth.select(
+                F.col(truth_id_col).alias("_id"),
+                F.col(label_col).alias("_true"),
+            ),
+            "_id",
+        )
     )
     base = joined.agg(
         F.count(F.lit(1)).alias("n"),
