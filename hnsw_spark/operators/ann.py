@@ -914,6 +914,10 @@ def merge_ivf_indexes(a: IVFIndex, b: IVFIndex) -> IVFIndex:
         reassigned.select("list_id", "id", "vector")
     )
     params = dict(a.params)
+    # a loaded-then-merged-then-resaved index must not persist a's stale
+    # publish-time corpus size (ADVICE r13 #2 — inert today, but a latent
+    # trap if IVF grows an auto-dispatch path); save_index recounts
+    params.pop("n_vectors", None)
     params["merged_segments"] = int(a.params.get("merged_segments", 1)) + int(
         b.params.get("merged_segments", 1)
     )

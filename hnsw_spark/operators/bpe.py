@@ -88,47 +88,55 @@ def bpe_train(
     (count DESC, left ASC, right ASC).  Stops early when the best pair
     falls under ``min_pair_count``.
 
-    ``incremental=False`` re-aggregates ALL pairs over the whole
-    vocabulary every round (two heavy jobs/round) — at small vocabularies
-    the flat re-aggregation's lower job count wins; the incremental
-    default (see below) wins once per-round explode volume dominates job
-    overhead.  Measured warm per-merge walls (local[32], 40-word docs):
-    5k-word vocab 0.29 s flat vs 0.38 s incremental; 150k vocab 0.72 vs
-    0.85; 1M vocab 2.26 vs 1.70 — the crossover sits near ~0.5M words and
-    the gap grows with vocabulary (flat's per-round explode is O(corpus
-    vocabulary · word length), incremental's is O(words containing the
-    merged pair)).  Both produce identical merges (parity-pinned in
-    tests/test_bpe.py).
+    ``incremental=False`` is the SMALL-VOCABULARY regime: the corpus scan
+    (the word-frequency aggregation — the only part that touches raw data)
+    stays distributed, then the aggregated (word, freq) table is handed to
+    ONE Python task that runs the sequential merge loop in-memory (guide
+    §4.2: let Spark do distribution and I/O, hand the whole batch to local
+    code).  Until round 13 this path re-aggregated ALL pairs via 2 Spark
+    jobs per merge — ~16 s for 20 merges at fixture scale, nearly all
+    per-round job/planning overhead; the in-task loop trains the same 20
+    merges in milliseconds after the one corpus scan.  It is only safe
+    while the distinct vocabulary fits one task (the classic BPE-training
+    working set: ~10⁶ words × avg length ≈ tens of MB — fine to ~10⁷
+    words); past that, use the incremental default (see below), which
+    keeps every round distributed and re-counts only the words containing
+    the merged pair.  Both produce identical merges (the in-task loop IS
+    the pinned sequential reference; parity-pinned in tests/test_bpe.py).
     """
     spark = docs.sparkSession
+    if not incremental:
+        # one distributed corpus scan → (word, freq); one single-task
+        # mapInPandas runs the sequential reference over the aggregated
+        # vocabulary — 2 jobs TOTAL instead of 2 jobs per merge
+        wf = word_frequencies(docs, text_col)
+        schema = "merge_rank int, left string, right string, pair_count bigint"
+
+        def train(batches):
+            import pandas as pd
+
+            wfreq: dict[str, int] = {}
+            for pdf in batches:
+                for w, f in zip(pdf["word"], pdf["freq"]):
+                    wfreq[w] = wfreq.get(w, 0) + int(f)
+            rows = bpe_train_py(wfreq, n_merges, min_pair_count)
+            yield pd.DataFrame(
+                {
+                    "merge_rank": [r[0] for r in rows],
+                    "left": [r[1] for r in rows],
+                    "right": [r[2] for r in rows],
+                    "pair_count": [r[3] for r in rows],
+                },
+            ).astype(
+                {"merge_rank": "int32", "pair_count": "int64"}
+            )
+
+        return wf.repartition(1).mapInPandas(train, schema)
     vocab = word_frequencies(docs, text_col).select(
         F.split("word", "").alias("sym"), "freq"
     )
-    vocab = vocab.localCheckpoint()
-    if not incremental:
-        merges_full: list[tuple[int, str, str, int]] = []
-        for rank in range(1, n_merges + 1):
-            top = (
-                vocab.select(
-                    F.explode(_adjacent_pairs(F.col("sym"))).alias("p"), "freq"
-                )
-                .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-                .agg(F.sum("freq").alias("cnt"))
-                .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
-                .limit(1)
-                .collect()
-            )
-            if not top or top[0].cnt < min_pair_count:
-                break
-            a, b, cnt = top[0].a, top[0].b, int(top[0].cnt)
-            merges_full.append((rank, a, b, cnt))
-            vocab = vocab.select(
-                _apply_merge(F.col("sym"), a, b).alias("sym"), "freq"
-            ).localCheckpoint()
-        return spark.createDataFrame(
-            merges_full,
-            "merge_rank int, left string, right string, pair_count bigint",
-        )
+    # lazy: the eager counts checkpoint below materializes it
+    vocab = vocab.localCheckpoint(eager=False)
     # Pair counts are maintained INCREMENTALLY (the standard sequential-BPE
     # optimization, distributed): built once from the full vocabulary, then
     # each merge re-counts ONLY the words that contain the merged pair —

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from hnsw_spark.plans.cachereg import owned_persist
 from hnsw_spark.functions.text import words
 
 
@@ -85,14 +86,12 @@ def pmi_pairs(
     # output derive from them, and without the reuse point Catalyst would
     # re-run each corpus scan + aggregation per consumer (the
     # corpus_attrition lesson — 2 corpus scans total, not 4)
-    pairs = cooccurrence_counts(docs, text_col, window).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    pairs = cooccurrence_counts(docs, text_col, window).transform(owned_persist)
     uni = (
         docs.select(F.explode(words(text_col)).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(owned_persist)
     )
     totals = pairs.agg(F.sum("pair_count").alias("p_total")).crossJoin(
         uni.agg(F.sum("cnt").alias("n_total"))

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from hnsw_spark.plans.cachereg import owned_persist
 from hnsw_spark.functions.text import (
     fingerprint,
     lang_id_w,
@@ -281,7 +282,7 @@ def unigram_logprob(
     tok = df.select(
         F.col(id_col).alias("doc_id"), F.explode(words(text_col)).alias("token")
     ).filter(F.col("token") != "")
-    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf")).persist()
+    tf = owned_persist(tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf")))
     cnt = tf.groupBy("token").agg(F.sum("tf").alias("c"))
     tot = tf.agg(F.sum("tf").alias("t"))
     q = F.floor(
@@ -345,7 +346,7 @@ def bigram_logprob(
     base = (
         fan_out_narrow(df)
         .select(F.col(id_col).alias("doc_id"), words(text_col).alias("w"))
-        .persist()
+        .transform(owned_persist)
     )
     bg = base.select(
         "doc_id", F.explode(shingles_w(F.col("w"), 2)).alias("bg")
@@ -354,7 +355,7 @@ def bigram_logprob(
     # persist it so the bigram explode+aggregate runs once, the same
     # 3-scans→1 treatment the tfidf tier got (queries/text.py:610).
     # Cache lifetime is the caller's (README "Cache ownership").
-    tf = bg.groupBy("doc_id", "bg").agg(F.count("*").alias("tf")).persist()
+    tf = owned_persist(bg.groupBy("doc_id", "bg").agg(F.count("*").alias("tf")))
     cbg = tf.groupBy("bg").agg(F.sum("tf").alias("c_bg"))
     ctx = (
         cbg.withColumn("ctx", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
@@ -500,7 +501,7 @@ def pipeline_attrition(
             dup(F.col("w")).alias("dup_word_frac"),
             "w",
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(owned_persist)
     )
 
     # flag tier: canonical-copy election + per-row gates (curation_flags
@@ -534,7 +535,7 @@ def pipeline_attrition(
     tf = (
         tok.groupBy("doc_id", "token")
         .agg(F.count("*").alias("tf"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(owned_persist)
     )
     cnt = tf.groupBy("token").agg(F.sum("tf").alias("c"))
     tot = tf.agg(F.sum("tf").alias("t"))
@@ -1052,7 +1053,7 @@ def embedding_outliers(
             F.col(label_col),
             euclidean_distance(F.col(vec_col), F.col("_cent")).alias("_d"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(owned_persist)
     )
     stats = (
         d.groupBy(label_col)
@@ -1122,7 +1123,7 @@ def token_budget_select(
     )
     from pyspark.storagelevel import StorageLevel
 
-    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    base = owned_persist(base)
 
     # pass 1: <= n_buckets+1 rows to the driver (bounded by construction)
     totals = {

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hnsw_spark.plans.cachereg import owned_persist
 
 def triangle_stats(
     edges: DataFrame, a: str = "id_a", b: str = "id_b"
@@ -43,14 +44,14 @@ def triangle_stats(
         )
         .filter(F.col("u") < F.col("v"))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(owned_persist)
     )
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(owned_persist)
     )
     # orient each edge from its lower-(degree, id) endpoint; carry the
     # destination's rank key so wedge pairs can be ordered without a third
@@ -65,7 +66,7 @@ def triangle_stats(
         F.when(u_first, F.struct(F.col("dv").alias("d"), F.col("v").alias("n")))
         .otherwise(F.struct(F.col("du").alias("d"), F.col("u").alias("n")))
         .alias("dst_rank"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(owned_persist)
     # wedges at the lowest-ranked corner: unordered out-neighbor pairs,
     # ordered by rank so the closing edge is oriented dst1 -> dst2
     o1 = oriented.select("src", F.col("dst").alias("x"), F.col("dst_rank").alias("rx"))
@@ -117,6 +118,12 @@ def k_core(
     gate (every kept node has ≥ k kept neighbors; every dropped node has
     < k kept neighbors) certifies as EXACT, not heuristic.
     """
+    # LAZY localCheckpoint + count: the count action materializes the
+    # checkpoint, so each round costs ONE job instead of two (the eager
+    # checkpoint job plus a count job over the just-checkpointed blocks —
+    # VERDICT r13 #5's jobs/round cut); the checkpointed frame is still in
+    # place before the next round's joins read it, because count() is the
+    # materializing action.
     e = (
         edges.select(
             F.least(F.col(a), F.col(b)).alias("u"),
@@ -124,7 +131,7 @@ def k_core(
         )
         .filter(F.col("u") < F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # one count job per round: the previous round's post-peel count IS this
     # round's pre-peel count (the checkpointed frame cannot change between
@@ -141,7 +148,7 @@ def k_core(
         e2 = (
             e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
             .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         n_after = e2.count()
         e = e2

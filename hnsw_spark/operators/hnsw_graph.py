@@ -128,7 +128,7 @@ def _with_salt(assigned: DataFrame, max_list_size: int) -> DataFrame:
         .cast("long")
         .alias("_n_salts")
     )
-    return (
+    salted = (
         assigned.join(F.broadcast(counts), "list_id")
         .withColumn(
             "sub_id",
@@ -137,6 +137,12 @@ def _with_salt(assigned: DataFrame, max_list_size: int) -> DataFrame:
         )
         .drop("_n_salts")
     )
+    # counts is returned alongside: the per-list salt count IS the fan-out
+    # map (sub_ids of list l = l·STRIDE + 0..n_salts-1, a superset of the
+    # physically non-empty sub-lists, which search's fast path tolerates) —
+    # a fresh never-saved index can hand it to search so the fallback never
+    # re-derives the map from the full built node table (VERDICT r13 #7)
+    return salted, counts
 
 
 def _group_vecs(pdf: pd.DataFrame) -> np.ndarray:
@@ -618,6 +624,12 @@ class HNSWIndex:
         self.centroids = centroids
         self.metric = metric
         self.params = params or {}
+        # (list_id, _n_salts) frame from the salted build/insert — lets a
+        # fresh never-saved index derive the search fan-out map from the
+        # assignment-stage counts instead of a distinct over the full built
+        # node table (VERDICT r13 #7); None for unsalted/loaded indexes
+        # (loaded ones carry the map in params["sub_ids"]).
+        self._salt_counts: DataFrame | None = None
 
     @property
     def n_lists(self) -> int:
@@ -847,6 +859,26 @@ class HNSWIndex:
             # salted index (max_list_size): fan each probed list out to all
             # of its sub-lists.
             sub_ids = self.params.get("sub_ids")
+            if not sub_ids and self._salt_counts is not None:
+                # Fresh never-saved salted index (VERDICT r13 #7): the
+                # fan-out map derives from the build/insert's own per-list
+                # salt counts — a list_id-cardinality collect over the
+                # assignment-stage aggregate (cached by _with_salt's owned
+                # persist while it lives; at worst one assign pass) — never
+                # from the full built node table, whose distinct fallback
+                # re-ran the whole assign + wire chain inside the search
+                # action.  sub_ids = l·STRIDE + 0..n_salts-1 is a SUPERSET
+                # of the physically non-empty sub-lists; empty groups
+                # contribute zero rows (same tolerance as the publish-time
+                # map).  Past the literal cap the distinct fallback keeps
+                # the old shape, mirroring add_points/save_index.
+                derived = [
+                    int(r["list_id"]) * _SALT_STRIDE + j
+                    for r in self._salt_counts.collect()
+                    for j in range(int(r["_n_salts"]))
+                ]
+                if 0 < len(derived) <= _TOUCHED_ISIN_CAP:
+                    sub_ids = derived
             if sub_ids:
                 # Fast path: the (list_id → sub_id) map is index METADATA —
                 # computed once at publish time (persistence.save_index) and
@@ -1134,7 +1166,25 @@ def add_points(
                 set(int(s) for s in base_map)
                 | set(int(v) for v in touched_vals)
             )
-    return HNSWIndex(index_df, index.centroids, metric, params)
+    grown = HNSWIndex(index_df, index.centroids, metric, params)
+    if salted:
+        # The grown per-list salt counts double as the fresh-index fan-out
+        # map (see _with_salt / HNSWIndex._salt_counts).  ``totals`` covers
+        # only lists that RECEIVED delta nodes; lists with only base nodes
+        # must keep their own implied count or the map would stop probing
+        # them.  Correct for every node because the per-list ceil is
+        # monotone under growth: every existing node's salt residue was
+        # drawn against a count ≤ the current ceil, so l·STRIDE +
+        # 0..n_salts-1 is always a superset of the live sub_ids (empty
+        # groups are tolerated by search, same as the publish-time map).
+        only_old = old_counts.join(
+            assigned.select("list_id").distinct(), "list_id", "left_anti"
+        ).select(
+            "list_id",
+            F.ceil(F.col("_n_old") / F.lit(cap)).cast("long").alias("_n_salts"),
+        )
+        grown._salt_counts = totals.unionByName(only_old)
+    return grown
 
 
 def merge_hnsw_indexes(base: HNSWIndex, delta: HNSWIndex) -> HNSWIndex:
@@ -1251,10 +1301,11 @@ def build_hnsw_index(
     )
     assigned = assign_lists(base, centroids, metric, extra_cols=("level",))
     salted = max_list_size is not None
+    salt_counts = None
     if salted:
         if max_list_size < 1:
             raise ValueError(f"max_list_size must be >= 1: {max_list_size}")
-        assigned = _with_salt(assigned, int(max_list_size))
+        assigned, salt_counts = _with_salt(assigned, int(max_list_size))
 
     if store == "int8":
         from hnsw_spark.functions.quantize import quant_scale, quantize
@@ -1293,7 +1344,7 @@ def build_hnsw_index(
     index_df = assigned.groupBy(key).applyInPandas(
         build_group, _node_schema(salted, store)
     )
-    return HNSWIndex(
+    built = HNSWIndex(
         index_df,
         centroids,
         metric,
@@ -1309,3 +1360,5 @@ def build_hnsw_index(
             "store": store,
         },
     )
+    built._salt_counts = salt_counts
+    return built

@@ -33,7 +33,8 @@ def pagerank(
     dst: str = "dst",
     init: DataFrame | None = None,
     checkpoint_every: int = 3,
-) -> DataFrame:
+    snapshots: tuple[int, ...] | None = None,
+) -> DataFrame | list[DataFrame]:
     """Rank every node of the directed graph ``edges``.
 
     Implements the dangling-aware formulation: r'(v) = (1−d)/N +
@@ -44,34 +45,57 @@ def pagerank(
     checkpoint/resume for long chains, and it lets a convergence probe
     run "one more iteration" without recomputing the chain.
 
+    ``snapshots`` — an ascending sequence of iteration counts — returns a
+    LIST of rank frames (each localCheckpointed), one per requested count,
+    computed on ONE chain: the graph setup (node set, degree weights,
+    dangling check) runs once instead of once per probe call, and the
+    per-step arithmetic is identical to separate warm-started calls, so
+    ``pagerank(e, snapshots=(8, 9, 10))`` replaces the
+    ``r0 = pagerank(e, 8); r1 = pagerank(e, 1, init=r0); …`` chain at a
+    third of its job count (VERDICT r13 #4).  ``n_iter`` is ignored when
+    ``snapshots`` is given.
+
     Returns DataFrame[id, rank] (one row per node appearing as src or dst).
     """
+    snaps = sorted(int(s) for s in snapshots) if snapshots is not None else None
+    if snaps is not None:
+        if not snaps or snaps[0] < 1:
+            raise ValueError(f"snapshots must be positive iteration counts: {snapshots}")
+        n_iter = snaps[-1]
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # LAZY localCheckpoint: the count below materializes it — one job for
+    # checkpoint + count instead of two (same fold as k_core's loop)
     nodes = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n = nodes.count()
     if n == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
+        empty = nodes.withColumn("rank", F.lit(0.0))
+        return [empty for _ in snaps] if snaps is not None else empty
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # lazy: materialized by the first job that consumes it (the dangling
+    # count below), then reused by every iteration
     weighted = (
         e.join(out_deg, "src")
         .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    has_out = out_deg.select(F.col("src").alias("id")).localCheckpoint()
+    has_out = out_deg.select(F.col("src").alias("id"))
     # one upfront check: a graph with no dangling nodes (e.g. every kNN
     # digraph) skips the per-iteration dangling-mass job entirely
-    dangling_nodes = nodes.join(has_out, "id", "left_anti").localCheckpoint()
+    dangling_nodes = nodes.join(has_out, "id", "left_anti").localCheckpoint(
+        eager=False
+    )
     n_dangling = dangling_nodes.count()
     if init is not None:
         ranks = init.select("id", F.col("rank").cast("double"))
     else:
         ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
     d = float(damping)
+    out: list[DataFrame] = []
     for it in range(int(n_iter)):
         dangling = (
             ranks.join(dangling_nodes, "id", "left_semi")
@@ -99,10 +123,18 @@ def pagerank(
         )
         # lineage grows one join per iteration; an eager localCheckpoint
         # every few rounds bounds plan depth without paying a
-        # materialization per step
-        if (it + 1) % max(1, int(checkpoint_every)) == 0 or it == n_iter - 1:
+        # materialization per step; snapshot points always checkpoint so
+        # the returned frames are immutable and re-read, never re-derived
+        is_snap = snaps is not None and (it + 1) in snaps
+        if (
+            (it + 1) % max(1, int(checkpoint_every)) == 0
+            or it == n_iter - 1
+            or is_snap
+        ):
             ranks = ranks.localCheckpoint()
-    return ranks
+        if is_snap:
+            out.append(ranks)
+    return out if snaps is not None else ranks
 
 
 def pagerank_py(

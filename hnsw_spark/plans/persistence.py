@@ -50,15 +50,23 @@ def save_index(index, path: str) -> None:
         # from the node table (hnsw_graph.HNSWIndex.search's params fast
         # path); a NULL sub_id anywhere disables the map so the search-side
         # distinct fallback keeps grouping those rows exactly as before.
+        # Size-capped like add_points' literal split (_TOUCHED_ISIN_CAP,
+        # ADVICE r13 #1): a heavily salted index (many lists × many salts)
+        # would otherwise embed an unbounded literal map in params.json AND
+        # collect it to the driver here; past the cap we skip the map and
+        # large indexes use the search-side distinct-derived fallback.
+        from hnsw_spark.operators.hnsw_graph import _TOUCHED_ISIN_CAP
+
         spark = index.index_df.sparkSession
         subs = [
             r["sub_id"]
             for r in spark.read.parquet(nodes)
             .select("sub_id")
             .distinct()
+            .limit(_TOUCHED_ISIN_CAP + 1)
             .collect()
         ]
-        if all(s is not None for s in subs):
+        if len(subs) <= _TOUCHED_ISIN_CAP and all(s is not None for s in subs):
             params["sub_ids"] = sorted(int(s) for s in subs)
     if "n_vectors" not in params:
         # Publish-time corpus size: a count over the just-written files is a

@@ -18,6 +18,7 @@ from hnsw_spark.operators.dedup import (
     simhash_neardup_pairs,
 )
 from hnsw_spark.operators.evaluation import dquant
+from hnsw_spark.plans.cachereg import owned_persist
 from hnsw_spark.registry import query
 from hnsw_spark.sources.tables import load_table
 
@@ -588,12 +589,12 @@ def semantic_dedup_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = (
         semantic_dedup(emb, threshold=0.3, exact=True)
         .select("vec_id")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(owned_persist)
     )
     clus = (
         semantic_dedup(emb, threshold=0.3, n_clusters=8, n_probe=2, seed=42)
         .select("vec_id")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(owned_persist)
     )
     n = emb.agg(F.count(F.lit(1)).alias("n_total"))
     missing = exact.join(clus, "vec_id", "left_anti").agg(
@@ -847,8 +848,8 @@ def kcore_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = embedding_neardup(emb, threshold=0.3, strategy="brute").select(
         "id_a", "id_b"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    core = k_core(edges, k=_KCORE_K).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(owned_persist)
+    core = owned_persist(k_core(edges, k=_KCORE_K))
     all_core = core.agg(
         F.coalesce(F.min("core_degree") >= _KCORE_K, F.lit(False)).alias(
             "all_core_ok"

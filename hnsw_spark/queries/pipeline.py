@@ -597,15 +597,26 @@ def pagerank_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hnsw_spark.operators.pagerank import pagerank
 
     emb = load_table(spark, sf_dir, "embeddings")
-    nn = knn_exact(emb, emb, k=6, metric="cosine").filter(
-        F.col("query_id") != F.col("id")
-    )
+    # local_merge (BLAS block scoring + per-partition top-k), not the
+    # window tier: every corpus row is a query here, and the window path's
+    # Catalyst crossJoin scored Q×N cells through interpreted array lambdas
+    # plus a Q×N-row window shuffle — measured 8-20 s of the gate's 11-15 s
+    # wall at sf0.1 (the same all-rows-are-queries shape mutual_knn_pairs
+    # already routes through local_merge).  At a 100 TB corpus the kNN
+    # graph would come from the ANN tier; this gate measures PAGERANK.
+    nn = knn_exact(
+        emb, emb, k=6, metric="cosine", strategy="local_merge"
+    ).filter(F.col("query_id") != F.col("id"))
     edges = nn.select(
         F.col("query_id").alias("src"), F.col("id").alias("dst")
-    ).localCheckpoint()  # the graph is input to 3 pagerank calls — build once
-    r0 = pagerank(edges, n_iter=8).localCheckpoint()
-    r1 = pagerank(edges, n_iter=1, init=r0).localCheckpoint()
-    r2 = pagerank(edges, n_iter=1, init=r1).localCheckpoint()
+    ).localCheckpoint()  # consumed by pagerank's node/degree/dangling setup
+    # ONE chain with snapshots (VERDICT r13 #4): the former
+    # r0 = pagerank(8); r1 = pagerank(1, init=r0); r2 = pagerank(1, init=r1)
+    # shape re-ran the whole graph setup (node distinct + count, degree
+    # weights, dangling check) per call — 3× — and each returned frame was
+    # checkpointed twice.  Identical per-step arithmetic, already
+    # checkpointed at each snapshot.
+    r0, r1, r2 = pagerank(edges, snapshots=(8, 9, 10))
     joined = (
         r0.withColumnRenamed("rank", "r0")
         .join(r1.withColumnRenamed("rank", "r1"), "id")

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hnsw_spark.operators.evaluation import davg, dquant, dsum, dsum_fp
+from hnsw_spark.plans.cachereg import owned_persist
 from hnsw_spark.registry import query
 from hnsw_spark.sources.tables import load_table
 
@@ -1197,7 +1198,7 @@ def events_gapfilled_hourly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         ev.groupBy(hour.alias("hour"), F.col("event_type"))
         .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(owned_persist)
     )
     bounds = agg.agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
     hours = bounds.select(
@@ -1314,7 +1315,7 @@ def retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     activity = (
         ev.select("user_id", day.alias("day"))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(owned_persist)
     )
     first_seen = activity.groupBy("user_id").agg(
         F.min("day").alias("cohort_day")
@@ -1518,7 +1519,7 @@ def basket_type_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = (
         ev.select("user_id", day.alias("day"), "event_type")
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(owned_persist)
     )
     n = b.select("user_id", "day").distinct().agg(
         F.count("*").alias("total_baskets")
@@ -1613,7 +1614,7 @@ def bloom_join_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.storagelevel import StorageLevel
 
-    cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+    cand = owned_persist(cand)
     matches = cand.join(
         F.broadcast(sub), cand.l_orderkey == sub.o_orderkey
     )
@@ -1903,7 +1904,7 @@ def association_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = (
         ev.select("user_id", day.alias("day"), "event_type")
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(owned_persist)
     )
     n = b.select("user_id", "day").distinct().agg(
         F.count("*").alias("total_baskets")
@@ -2546,7 +2547,7 @@ def important_part_value_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("value_fp")
     )
-    pv = pv.persist()
+    pv = owned_persist(pv)
     total = pv.agg(
         F.sum("value_fp").cast("long").alias("total_fp"),
         F.count("*").alias("n_parts"),
@@ -2690,7 +2691,7 @@ def zorder_clustering_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from hnsw_spark.functions.zorder import z_value
 
-    coded = pts.withColumn("z", z_value("x8", "y8", bits=8)).persist()
+    coded = pts.withColumn("z", z_value("x8", "y8", bits=8)).transform(owned_persist)
 
     probes = spark.range(16).select(
         ((F.col("id") * 17) % 256).alias("px"),
@@ -2707,7 +2708,7 @@ def zorder_clustering_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("x8").alias("maxx"),
             F.min("y8").alias("miny"),
             F.max("y8").alias("maxy"),
-        ).persist()
+        ).transform(owned_persist)
 
         def probe_dim(lo: str, hi: str, col: str, dim: str) -> DataFrame:
             return (

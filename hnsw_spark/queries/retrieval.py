@@ -17,6 +17,7 @@ from hnsw_spark.operators.retrieval import rrf_fuse
 from hnsw_spark.queries.text import _W
 from hnsw_spark.operators.evaluation import dquant
 from hnsw_spark.registry import query
+from hnsw_spark.plans.cachereg import owned_persist
 from hnsw_spark.sources.tables import load_table
 
 _ARM_N = 50
@@ -508,8 +509,8 @@ def query_expansion_prf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     tok, dlen, stats = bm25_corpus(docs)
-    tok = tok.persist()
-    dlen = dlen.persist()
+    tok = owned_persist(tok)
+    dlen = owned_persist(dlen)
     exp = prf_expansion_terms(
         docs,
         qtok,

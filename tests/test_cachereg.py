@@ -15,17 +15,30 @@ def _persistent_rdd_count(spark) -> int:
 
 
 def test_release_frees_operator_internal_persists(spark):
+    """Raw getPersistentRDDs() deltas race clearCache()'s NON-BLOCKING
+    unpersist drain (VERDICT r13 #1: baseline captured mid-drain of other
+    modules' session caches, before=26 -> after=7).  The contract under
+    test — the operator registers its internal persist and release_caches
+    frees exactly the registered handles — is pinned race-free via the
+    registry and each handle's storageLevel mark, which persist/unpersist
+    flip synchronously even though block eviction is async."""
     from hnsw_spark.operators.dedup import containment_pairs
+    from hnsw_spark.plans import cachereg
 
     release_caches()
-    spark.catalog.clearCache()
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    before = _persistent_rdd_count(spark)
+    assert len(cachereg._OWNED) == 0  # registry drained by the release
     containment_pairs(docs.filter(F.col("doc_id") < 60), n=3).collect()
-    assert _persistent_rdd_count(spark) > before  # the internal persist
+    owned = list(cachereg._OWNED)
+    assert len(owned) >= 1  # the internal persist was registered
+    assert all(df.storageLevel.useMemory or df.storageLevel.useDisk for df in owned)
     released = release_caches()
-    assert released >= 1
-    assert _persistent_rdd_count(spark) == before  # back to baseline
+    assert released == len(owned)
+    assert len(cachereg._OWNED) == 0
+    # released handles are no longer marked persistent
+    assert all(
+        not (df.storageLevel.useMemory or df.storageLevel.useDisk) for df in owned
+    )
 
 
 def test_release_does_not_touch_caller_caches(spark):

@@ -1009,3 +1009,79 @@ def test_salted_sub_map_params_fast_path_parity(spark, embeddings, tmp_path):
         for r in knn_exact(allv, qs, k=10, metric="cosine").collect()
     }
     assert pairs(grown) == exact_grown
+
+
+def test_salted_fresh_build_counts_map_parity(spark, embeddings):
+    """VERDICT r13 #7: a FRESH never-saved salted index derives its search
+    fan-out map from the build's own per-list salt counts
+    (HNSWIndex._salt_counts), not the distinct-over-node-table fallback —
+    the counts-derived map must be a superset of the physical sub_ids and
+    the full-probe search must equal exact kNN and the fallback's result,
+    both for the fresh build and for an insert into a never-saved base
+    (where untouched lists must stay covered by the map)."""
+    from hnsw_spark.operators.hnsw_graph import _SALT_STRIDE, add_points
+
+    base = embeddings.filter(F.col("vec_id") < 300)
+    built = build_hnsw_index(
+        base, n_lists=4, m=8, ef_construction=32, max_level=0,
+        max_list_size=40, seed=7,
+    )
+    assert "sub_ids" not in built.params and built._salt_counts is not None
+    derived = {
+        int(r["list_id"]) * _SALT_STRIDE + j
+        for r in built._salt_counts.collect()
+        for j in range(int(r["_n_salts"]))
+    }
+    actual = {
+        r["sub_id"]
+        for r in built.index_df.select("sub_id").distinct().collect()
+    }
+    assert actual <= derived
+    qs = embeddings.filter(F.col("vec_id") < 6)
+
+    def pairs(idx):
+        return {
+            (r.query_id, r.id)
+            for r in idx.search(
+                qs, k=10, n_probe=4, ef_search=1 << 20, dispatch="beam"
+            ).collect()
+        }
+
+    exact = {
+        (r.query_id, r.id)
+        for r in knn_exact(base, qs, k=10, metric="cosine").collect()
+    }
+    assert pairs(built) == exact
+    # force the old distinct fallback and compare
+    fb = build_hnsw_index(
+        base, n_lists=4, m=8, ef_construction=32, max_level=0,
+        max_list_size=40, seed=7,
+    )
+    fb._salt_counts = None
+    assert pairs(fb) == exact
+    # grown from a never-saved base: only SOME lists receive delta nodes,
+    # so the map must still cover old-only lists
+    delta = embeddings.filter(
+        (F.col("vec_id") >= 300) & (F.col("vec_id") < 330)
+    )
+    grown = add_points(built, delta)
+    assert "sub_ids" not in grown.params and grown._salt_counts is not None
+    grown_derived = {
+        int(r["list_id"]) * _SALT_STRIDE + j
+        for r in grown._salt_counts.collect()
+        for j in range(int(r["_n_salts"]))
+    }
+    grown_actual = {
+        r["sub_id"]
+        for r in grown.index_df.select("sub_id").distinct().collect()
+    }
+    assert grown_actual <= grown_derived
+    allv = embeddings.filter(
+        (F.col("vec_id") < 300)
+        | ((F.col("vec_id") >= 300) & (F.col("vec_id") < 330))
+    )
+    exact_grown = {
+        (r.query_id, r.id)
+        for r in knn_exact(allv, qs, k=10, metric="cosine").collect()
+    }
+    assert pairs(grown) == exact_grown

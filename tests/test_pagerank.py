@@ -43,6 +43,28 @@ def test_pagerank_empty_graph(spark):
     assert pagerank(df, n_iter=3).count() == 0
 
 
+def test_pagerank_snapshots_match_separate_calls(spark):
+    """The one-chain snapshot form (VERDICT r13 #4) must equal the
+    warm-started probe chain it replaces, per snapshot, per node."""
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    s3, s4, s6 = pagerank(df, snapshots=(3, 4, 6))
+    for snap, n in ((s3, 3), (s4, 4), (s6, 6)):
+        want = pagerank_py(EDGES, n_iter=n)
+        got = {r.id: r.rank for r in snap.collect()}
+        assert set(got) == set(want)
+        for v in want:
+            assert got[v] == pytest.approx(want[v], abs=1e-12)
+
+
+def test_pagerank_snapshots_validation_and_empty(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    with pytest.raises(ValueError):
+        pagerank(df, snapshots=(0, 2))
+    empty = spark.createDataFrame([], "src long, dst long")
+    snaps = pagerank(empty, snapshots=(1, 2))
+    assert [s.count() for s in snaps] == [0, 0]
+
+
 def test_embedding_outliers_flags_planted_point(spark):
     from hnsw_spark.operators.curation import embedding_outliers
 

@@ -41,6 +41,34 @@ def _encoded(df):
     return {r["row_id"]: r["te_fp"] for r in df.select("row_id", "te_fp").collect()}
 
 
+def test_stray_empty_version_dir(spark, tmp_stats):
+    """VERDICT r13 #9: a committed-looking ``_v=N`` directory WITHOUT data
+    files (crash between mkdir and commit-rename, or a planted stray) must
+    be invisible to directory-listing version discovery, exactly as it is
+    to the read-based distinct fallback — otherwise ``_stats_before``
+    would select the stray as the latest prior and serve an EMPTY state."""
+    from hnsw_spark.streaming.sketch import _partition_versions
+
+    df = spark.createDataFrame(_ROWS, _SCHEMA)
+    ste = StreamingTargetEncoder(tmp_stats, "cat", "y", alpha=5, scale=4)
+    ste.process_batch(df, 0)
+    # plant a stray committed-looking version above the real one: empty,
+    # and one holding only hidden/metadata entries (the crash shapes)
+    os.makedirs(os.path.join(tmp_stats, "_v=99"))
+    os.makedirs(os.path.join(tmp_stats, "_v=100"))
+    open(os.path.join(tmp_stats, "_v=100", "_SUCCESS"), "w").close()
+    listed = _partition_versions(tmp_stats, "_v=")
+    spark_side = sorted(
+        r["_v"]
+        for r in spark.read.parquet(tmp_stats).select("_v").distinct().collect()
+    )
+    assert sorted(listed) == spark_side == [0]
+    # the serving read still sees version 0's stats, not an empty frame
+    got = _encoded(ste.encode(df))
+    want = _encoded(target_encode_loo(df, "cat", "y", alpha=5, scale=4))
+    assert got == want
+
+
 def test_stream_equals_batch_with_replay(spark, tmp_stats):
     df = spark.createDataFrame(_ROWS, _SCHEMA)
     ste = StreamingTargetEncoder(tmp_stats, "cat", "y", alpha=5, scale=4)
