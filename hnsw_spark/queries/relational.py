@@ -1329,8 +1329,12 @@ def retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
     )
     return (
+        # activity is distinct (user_id, day) and (cohort_day, day_offset)
+        # determines the day, so each user contributes exactly one row per
+        # group — count(*) IS the distinct-user count, without the Expand
+        # phase countDistinct plans
         joined.groupBy("cohort_day", "day_offset")
-        .agg(F.countDistinct("user_id").alias("n_active"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
         .join(F.broadcast(cohort_sizes), "cohort_day")
         .select(
             "cohort_day",

@@ -786,8 +786,12 @@ def tfidf_doc_similarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = tf.select("doc_id").distinct().agg(F.count(F.lit(1)).alias("n_docs"))
     idf = (
+        # tf is one row per (doc_id, token) by construction, so count(*)
+        # per token IS the distinct-doc count — count_distinct planned a
+        # second aggregation phase for a distinctness the frame already has
+        # (same derivation tfidf_top_terms uses)
         tf.groupBy("token")
-        .agg(F.count_distinct("doc_id").alias("df"))
+        .agg(F.count(F.lit(1)).alias("df"))
         .crossJoin(F.broadcast(n))
         .select(
             "token",
